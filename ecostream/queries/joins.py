@@ -1,0 +1,257 @@
+"""Join operators (SURVEY §2.4): equi joins over the star schema,
+semi/anti joins (the exact counterparts of the reference's Bloom-filter
+membership branches, consultas.py:137-140), and a theta/range join.
+
+The reference has no relational joins — its 7 secondary indexes are
+join-free denormalization — so these queries are driven by the driver's
+star-schema testdata.  Scale notes per query: small dimensions are
+broadcast (no shuffle of the fact side); fact-fact joins shuffle on the
+join key and rely on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- J1: TPC-H Q1-style pricing summary (scan-heavy agg; bench headliner) --
+
+
+@query(
+    "j1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def j1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation: full scan + hash-agg on two
+    low-cardinality keys.  DECIMAL sums keep it exact (order-free);
+    whole-stage codegen covers scan→project→partial-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 6).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ).cast("double"),
+                6,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- J2: star join orders⋈customer⋈nation⋈region (broadcast chain) ---------
+
+
+@query(
+    "j2_star_revenue_by_region",
+    oracle="""
+    SELECT r_name,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j2_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic star-schema rollup.  customer/nation/region are broadcast
+    (dims ≪ fact) so the orders fact never shuffles for the join; the
+    only exchange is the final tiny group-by."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# --- J3: semi join — exact twin of Bloom "possibly present" (K1) -----------
+
+
+@query(
+    "j3_semi_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = the exact counterpart of the reference's Bloom
+    membership test (consultas.py:137-138): "possibly present" with the
+    approximation removed.  Build side (distinct keys) broadcasts."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- J4: anti join — "definitivamente no está" (consultas.py:139-140) ------
+
+
+@query(
+    "j4_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey LIMIT 100
+    """,
+)
+def j4_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = the Bloom filter's "definitely absent" branch made
+    exact."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --- J5: fact-fact join + dims (TPC-H Q3-ish shipping priority) ------------
+
+
+@query(
+    "j5_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
+           epoch_us(o_orderdate) AS o_orderdate_us
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def j5_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact (lineitem⋈orders) shuffle join on l_orderkey with a
+    broadcast customer filter, then top-k.  At 100 TB: both facts hash
+    to the same partitioning of orderkey; AQE handles skewed orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- J6: theta/range join on a measure (habitat-distance analog) -----------
+
+
+@query(
+    "j6_range_join_value_bands",
+    oracle="""
+    SELECT b.band_id, count(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+    FROM events e
+    JOIN (
+        SELECT CAST(r AS INT) AS band_id,
+               CAST(r * 50 AS DOUBLE) AS lo,
+               CAST((r + 1) * 50 AS DOUBLE) AS hi
+        FROM range(0, 20) t(r)
+    ) b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def j6_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join: events banded against a small interval table —
+    the relational shape of the reference's geodesic-threshold pair join
+    (random_walk_utils.py:23-29).  The band table is broadcast, so the
+    theta predicate evaluates map-side (BroadcastNestedLoopJoin) without
+    shuffling the fact."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50).cast("double").alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,200 @@
+"""Markov / event-sequence suite (SURVEY §2.8 M1-M4).
+
+The reference sorts ALL events globally by eventTime and pairs each
+with its successor (transition_matrix.py:22-46), normalizes counts into
+P(next|cur) (":51-62"), pivots to a dense matrix (":64-84"), and runs a
+driver-local DTMC classification (MarkovChainAnalysis.py).
+
+Spark mapping: ``F.lead`` over a window.  The scale-correct variant
+partitions by user (shuffle = hash(user_id), no global sort); the
+strict-parity variant keeps the reference's single global ordering and
+is fine at test scale but documented as the non-scalable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .registry import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pairs_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cur, nxt) consecutive-event pairs within each user's timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+
+
+_PAIRS_SQL = """
+    SELECT user_id, event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+"""
+
+
+# --- M1: consecutive-event pairing (lead/lag) -------------------------------
+
+
+@query(
+    "m1_transition_pairs",
+    oracle=f"""
+    SELECT cur, nxt, count(*) AS cnt
+    FROM ({_PAIRS_SQL})
+    WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt
+    """,
+)
+def m1_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition pair counts, per-user ordering (the scale path: the
+    window shuffle partitions by user_id instead of the reference's
+    global sort)."""
+    return (
+        _pairs_per_user(spark, sf_dir)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "m1_global_transition_pairs",
+    oracle="""
+    SELECT cur, nxt, count(*) AS cnt FROM (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (ORDER BY ts, event_id) AS nxt
+        FROM events
+    ) WHERE nxt IS NOT NULL
+    GROUP BY cur, nxt
+    """,
+)
+def m1_global_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict parity with the reference's single global event ordering
+    (transition_matrix.py:36).  NOTE: a global ORDER BY window is a
+    single-partition sort — correct but intentionally non-scalable;
+    m1_transition_pairs is the 100-TB form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- M2: Markov chain P(next|cur) -------------------------------------------
+
+
+@query(
+    "m2_markov_probabilities",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT cur, nxt, count(*) AS cnt
+        FROM ({_PAIRS_SQL})
+        WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / CAST(SUM(cnt) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+)
+def m2_markov_probabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next|cur) = count(cur→next) / count(cur→*): window-normalized
+    group count (transition_matrix.py:51-62).  Integer counts divide as
+    doubles — IEEE division is deterministic, so round(6) is hash-safe."""
+    pairs = (
+        _pairs_per_user(spark, sf_dir)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("cur")
+    return pairs.withColumn(
+        "p",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double"), 6
+        ),
+    )
+
+
+# --- M3: dense transition matrix (pivot) -------------------------------------
+
+
+@query(
+    "m3_transition_matrix",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT cur, nxt FROM ({_PAIRS_SQL}) WHERE nxt IS NOT NULL
+    )
+    SELECT cur,
+           ROUND(CAST(SUM(CASE WHEN nxt = 'click'    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS p_click,
+           ROUND(CAST(SUM(CASE WHEN nxt = 'error'    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS p_error,
+           ROUND(CAST(SUM(CASE WHEN nxt = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS p_purchase,
+           ROUND(CAST(SUM(CASE WHEN nxt = 'signup'   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS p_signup,
+           ROUND(CAST(SUM(CASE WHEN nxt = 'view'     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS p_view
+    FROM pairs GROUP BY cur
+    """,
+)
+def m3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized dense transition matrix via groupBy().pivot() with
+    the state list pinned (transition_matrix.py:64-84).  Pinning the
+    pivot values avoids the extra distinct-collection job."""
+    pairs = _pairs_per_user(spark, sf_dir)
+    pivoted = (
+        pairs.groupBy("cur")
+        .pivot("nxt", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    total = sum(F.col(s) for s in EVENT_TYPES)
+    out = pivoted.select(
+        "cur",
+        *[
+            F.round(F.col(s).cast("double") / total.cast("double"), 6).alias(
+                f"p_{s}"
+            )
+            for s in EVENT_TYPES
+        ],
+    )
+    return out
+
+
+# --- M4: DTMC state classification (driver-local; SURVEY M4) -----------------
+
+
+@query("m4_dtmc_classification")  # no oracle: graph algorithm, not SQL
+def m4_dtmc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTMC analysis of the transition matrix: recurrent/transient states
+    via SCCs, period per SCC (MarkovChainAnalysis.py:4-161).  The state
+    space is the 5 event types, so the matrix is collected to the driver
+    and classified locally — the one sanctioned driver-side step
+    (SURVEY M4); the matrix itself is computed distributed."""
+    from ..markov_analysis import classify_states
+
+    mat = m3_transition_matrix(spark, sf_dir)
+    rows = mat.collect()
+    probs = {
+        r["cur"]: {s: r[f"p_{s}"] for s in EVENT_TYPES} for r in rows
+    }
+    result = classify_states(probs)
+    out_rows = [
+        (state, info["class"], info["period"], info["scc"])
+        for state, info in sorted(result.items())
+    ]
+    return spark.createDataFrame(
+        out_rows, "state string, class string, period int, scc int"
+    )

@@ -1,0 +1,84 @@
+"""Local mirror of the driver's Spark-vs-DuckDB correctness check.
+
+Runs a declared query on Spark and its oracle SQL on DuckDB over the
+same parquet, normalizes both (columns sorted by name, rows sorted by
+value), and asserts exact equality — a stricter local version of the
+driver's order-insensitive value-hash.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, Decimal)).any():
+            df[c] = df[c].astype(float)
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> None:
+    actual = _normalize(spark_df.toPandas())
+    expected = _normalize(con.sql(sql).df())
+    assert list(actual.columns) == list(expected.columns), (
+        f"{name}: column mismatch spark={list(actual.columns)} "
+        f"duck={list(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"{name}: row count spark={len(actual)} duck={len(expected)}"
+    )
+    for c in actual.columns:
+        a, e = actual[c], expected[c]
+        if pd.api.types.is_float_dtype(a):
+            bad = [
+                i
+                for i, (x, y) in enumerate(zip(a, e))
+                if not (
+                    (pd.isna(x) and pd.isna(y))
+                    or x == y
+                    or (isinstance(x, float) and math.isclose(x, y, rel_tol=0, abs_tol=0))
+                )
+            ]
+        else:
+            bad = [
+                i
+                for i, (x, y) in enumerate(zip(a, e))
+                if not ((pd.isna(x) and pd.isna(y)) or x == y)
+            ]
+        assert not bad, (
+            f"{name}: column {c!r} differs at rows {bad[:5]} "
+            f"spark={[a.iloc[i] for i in bad[:5]]} duck={[e.iloc[i] for i in bad[:5]]}"
+        )

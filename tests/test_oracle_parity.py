@@ -1,0 +1,53 @@
+"""Every declared query with an oracle must match DuckDB exactly —
+the local mirror of the driver's t2 gate (run at sf0.001 for speed;
+the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_SMOKE
+from .parity import compare, duck_connection
+
+
+def _declared():
+    from ecostream.queries import ORACLES, QUERIES
+
+    return [(name, QUERIES[name], ORACLES[name]) for name in sorted(ORACLES)]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", [n for n, _, _ in _declared()])
+def test_oracle_parity(spark, duck, name):
+    from ecostream.queries import ORACLES, QUERIES
+
+    compare(QUERIES[name](spark, SF_SMOKE), duck, ORACLES[name], name)
+
+
+def test_all_queries_run(spark):
+    """Queries without oracles (seeded / non-SQL ops) must still run and
+    return a stable schema (the driver's rows-only check)."""
+    from ecostream.queries import ORACLES, QUERIES
+
+    for name, fn in sorted(QUERIES.items()):
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, f"{name}: empty schema"
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    keys = set(e.queries())
+    assert set(e.oracle_sql()) <= keys
