@@ -1,0 +1,151 @@
+"""Graph operators (SURVEY §2.9 G1-G3): spatial habitat graph, random
+walks, visit-frequency analysis.
+
+The reference builds an undirected habitat graph (nodes = habitats with
+first-seen coordinates, edges = pairs within a geodesic threshold,
+random_walk_utils.py:7-31) and runs uniform random walks over it.  The
+driver tables have no coordinates, so nodes are derived
+deterministically from the events table (FIXTURES §C: "synthetic
+habitat nodes"): habitat ≙ event_type, coordinates from exact min/max
+aggregates folded into lat/lon ranges.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import HAVERSINE_SQL, haversine_km
+from ..schema import load_table
+from .registry import query
+
+
+def habitat_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes: one per event_type with deterministic pseudo-coordinates.
+    The reference's 'first-seen coordinates' (arrival order) is replaced
+    by exact min/max aggregates — order-free, hence oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("habitat")).agg(
+        (F.min("value") % 180 - 90).alias("lat"),
+        (F.max("value") % 360 - 180).alias("lon"),
+    )
+
+
+_NODES_SQL = """
+    SELECT event_type AS habitat,
+           fmod(min(value), 180) - 90 AS lat,
+           fmod(max(value), 360) - 180 AS lon
+    FROM events GROUP BY event_type
+"""
+
+
+def habitat_edges(spark: SparkSession, sf_dir: str, threshold_km: float = 15000.0) -> DataFrame:
+    """Edges: all habitat pairs within the distance threshold, weight =
+    rounded km — a theta join (BroadcastNestedLoopJoin over ≤ |types|²
+    pairs; at real scale the node list is small by construction, so the
+    nested-loop side is always broadcastable)."""
+    nodes = habitat_nodes(spark, sf_dir)
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    dist = F.round(
+        haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")),
+        3,
+    )
+    return (
+        a.join(b, F.col("a.habitat") < F.col("b.habitat"))
+        .select(
+            F.col("a.habitat").alias("src"),
+            F.col("b.habitat").alias("dst"),
+            dist.alias("dist_km"),
+        )
+        .where(F.col("dist_km") <= threshold_km)
+    )
+
+
+@query(
+    "g1_habitat_edges",
+    oracle=f"""
+    WITH nodes AS ({_NODES_SQL})
+    SELECT a.habitat AS src, b.habitat AS dst,
+           ROUND({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) AS dist_km
+    FROM nodes a JOIN nodes b ON a.habitat < b.habitat
+    WHERE ROUND({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) <= 15000.0
+    """,
+)
+def g1_habitat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 habitat graph construction: nodes + haversine theta join
+    (random_walk_utils.py:7-31; distance expr X11)."""
+    return habitat_edges(spark, sf_dir)
+
+
+def _adjacency(spark: SparkSession, sf_dir: str) -> dict[str, list[tuple[str, float]]]:
+    """Collect the (tiny, bounded-by-vocabulary) edge list to the driver
+    as an undirected adjacency map — sanctioned because node count is
+    the category vocabulary (≤ dozens), never data-sized."""
+    edges = habitat_edges(spark, sf_dir).collect()
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for r in edges:
+        adj.setdefault(r["src"], []).append((r["dst"], r["dist_km"]))
+        adj.setdefault(r["dst"], []).append((r["src"], r["dist_km"]))
+    for k in adj:
+        adj[k].sort()
+    return adj
+
+
+def random_walk(
+    adj: dict[str, list[tuple[str, float]]], start: str, steps: int, seed: int
+) -> list[str]:
+    """Uniform random neighbor walk with early stop at sinks
+    (random_walk_utils.py:33-47); seeded for reproducibility."""
+    if start not in adj:
+        raise ValueError(f"start node {start!r} not in graph")
+    rng = random.Random(seed)
+    path = [start]
+    cur = start
+    for _ in range(steps):
+        nbrs = adj.get(cur, [])
+        if not nbrs:
+            break
+        cur = rng.choice(nbrs)[0]
+        path.append(cur)
+    return path
+
+
+@query("g2_random_walk")
+def g2_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 seeded random walk from the lexicographically-first habitat.
+    Seeded → deterministic rows, but the walk is iterative/stateful →
+    rows-only check (SURVEY §5 rule on randomized ops)."""
+    adj = _adjacency(spark, sf_dir)
+    start = sorted(adj)[0]
+    path = random_walk(adj, start, steps=10, seed=42)
+    return spark.createDataFrame(
+        [(i, h) for i, h in enumerate(path)], "step int, habitat string"
+    )
+
+
+@query("g3_walk_frequencies")
+def g3_walk_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 walk-frequency analysis (consultas.py:258-287): R=100 seeded
+    walks → per-habitat visit count + percentage, most-common order.
+    The Counter/pct math is the A8 frequency shape; the walk simulation
+    itself is driver-local over the vocabulary-sized graph."""
+    adj = _adjacency(spark, sf_dir)
+    start = sorted(adj)[0]
+    visits: list[tuple[str]] = []
+    for r in range(100):
+        for h in random_walk(adj, start, steps=10, seed=1000 + r):
+            visits.append((h,))
+    vdf = spark.createDataFrame(visits, "habitat string")
+    from pyspark.sql import Window as W
+
+    counts = vdf.groupBy("habitat").agg(F.count("*").alias("visits"))
+    total = F.sum("visits").over(W.partitionBy())
+    return (
+        counts.withColumn(
+            "pct", F.round(F.col("visits").cast("double") / total * 100, 6)
+        )
+        .orderBy(F.desc("visits"), "habitat")
+    )

@@ -1,0 +1,237 @@
+"""Declared sketch queries (SURVEY §2.7 K1-K5).
+
+Pattern per SURVEY §5: every approximate operator has an *exact twin*
+declared with a DuckDB oracle (semi/anti join for Bloom, countDistinct
+for HLL, pairwise set Jaccard for MinHash); the approximate forms are
+declared rows-only and property-tested for their error bounds in
+tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from ..sketches import HLL_RSD, bloom_probe_df, minhash_jaccard, minhash_signature
+from .registry import query
+
+# The reference's membership key is f"{species}_{role}_{event}"
+# (bloomfilter.py:34-35); driver-table analog: event_type_usermod
+# (FIXTURES §C).
+def _key() -> F.Column:
+    return F.concat_ws(
+        "_", F.col("event_type"), (F.col("user_id") % 10).cast("string")
+    )
+
+
+_KEY_SQL = "event_type || '_' || CAST(user_id % 10 AS VARCHAR)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- K1 exact twins: membership as semi/anti join ---------------------------
+
+
+@query(
+    "k1_membership_present",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT {_KEY_SQL} AS key FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ), probe AS (
+        SELECT DISTINCT {_KEY_SQL} AS key FROM events
+    )
+    SELECT probe.key FROM probe WHERE probe.key IN (SELECT key FROM build)
+    """,
+)
+def k1_membership_present(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom "possibly present" branch (consultas.py:137-138) made exact:
+    left_semi of the probe keys against the build window's distinct keys.
+    The distinct build side broadcasts — the join-side analog of
+    shipping a bloom bitset to every executor."""
+    ev = _events(spark, sf_dir)
+    build = (
+        ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(_key().alias("key"))
+        .distinct()
+    )
+    probe = ev.select(_key().alias("key")).distinct()
+    return probe.join(F.broadcast(build), "key", "left_semi")
+
+
+@query(
+    "k1_membership_absent",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT {_KEY_SQL} AS key FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ), probe AS (
+        SELECT DISTINCT {_KEY_SQL} AS key FROM events
+    )
+    SELECT probe.key FROM probe WHERE probe.key NOT IN (SELECT key FROM build)
+    """,
+)
+def k1_membership_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom "definitely absent" branch (consultas.py:139-140) as
+    left_anti — the guarantee the sketch only approximates."""
+    ev = _events(spark, sf_dir)
+    build = (
+        ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(_key().alias("key"))
+        .distinct()
+    )
+    probe = ev.select(_key().alias("key")).distinct()
+    return probe.join(F.broadcast(build), "key", "left_anti")
+
+
+# --- K1 true sketch (rows-only: hash-dependent, deterministic) --------------
+
+
+@query("k1_bloom_probe")
+def k1_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom probe with the reference's p=0.03 budget
+    (consultas.py:127): no false negatives, FP ≈ 3%.  Deterministic
+    (xxhash64) but not DuckDB-expressible → rows-only check; accuracy
+    is property-tested against the exact twin."""
+    ev = _events(spark, sf_dir)
+    build = ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    n = max(16, build.select(_key().alias("k")).distinct().count())
+    probe = ev.select(_key().alias("key")).distinct()
+    out = bloom_probe_df(build, _key(), probe, F.col("key"), n=n, p=0.03)
+    return out.orderBy("key")
+
+
+# --- K2: HLL distinct count — approx + built-in HLL sketch -------------------
+
+
+@query(
+    "k2_distinct_exact",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(DISTINCT user_id % 1000) AS n_user_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def k2_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of the HLL estimate (hyperloglog.py:25-38): two-phase
+    distinct aggregation, no driver-side sets."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("user_id") % 1000).alias("n_user_buckets"),
+    )
+
+
+@query("k2_distinct_approx")
+def k2_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate at the reference's accuracy budget
+    (b=12 → rsd=1.625%, hyperloglog.py:5-8).  Mergeable across
+    partitions — the property that makes it work at 100 TB.  Rows-only:
+    estimates are engine-specific; the 3σ bound is property-tested."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", HLL_RSD).alias("n_users_est"),
+    )
+
+
+# --- K4: set similarity — exact Jaccard twin + MinHash estimate --------------
+
+
+@query(
+    "k4_jaccard_exact",
+    oracle="""
+    WITH sets AS (
+        SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 30
+    ), sizes AS (
+        SELECT user_id, count(*) AS sz FROM sets GROUP BY user_id
+    ), inter AS (
+        SELECT a.user_id AS a_id, b.user_id AS b_id, count(*) AS n_inter
+        FROM sets a JOIN sets b
+          ON a.event_type = b.event_type AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    )
+    SELECT a_id, b_id,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.user_id = a_id
+    JOIN sizes sb ON sb.user_id = b_id
+    """,
+)
+def k4_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard of per-user event-type sets (the quantity
+    MinHash estimates, minwisehashing.py:32-36).  Inverted-index
+    self-join on the set element — candidate pairs only, never the
+    full |users|² cross product."""
+    ev = _events(spark, sf_dir)
+    sets = (
+        ev.where(F.col("user_id") < 30)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = sets.groupBy("user_id").agg(F.count("*").alias("sz"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("a_id"), F.col("b.user_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("user_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("user_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("k4_minhash_jaccard")
+def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-permutation MinHash Jaccard estimate between per-user sets
+    (reference signature semantics: slot = min over set of seeded hash,
+    minwisehashing.py:13-25).  Deterministic but hash-family-specific →
+    rows-only; the σ ≤ 0.0442 bound is property-tested."""
+    ev = _events(spark, sf_dir)
+    sets = (
+        ev.where(F.col("user_id") < 30).select("user_id", "event_type").distinct()
+    )
+    sigs = minhash_signature(sets, ["user_id"], F.col("event_type"), num_perm=128)
+    est = minhash_jaccard(sigs, sigs, "user_id", num_perm=128)
+    return est.select(
+        "a_id", "b_id", F.round("jaccard_est", 6).alias("jaccard_est")
+    ).orderBy("a_id", "b_id")
+
+
+# --- K5: representative sampling ---------------------------------------------
+
+
+@query("k5_representative_sample")
+def k5_representative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded representative sample (minwisehashing.py:27-30 /
+    random.sample k=3 → here seeded rand + limit).  Nondeterministic
+    across engines → rows-only (SURVEY §5 rule: never oracle-declare
+    sampling)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.rand(42))
+        .limit(5)
+    )

@@ -1,0 +1,175 @@
+"""Probabilistic sketch operators (SURVEY §2.7 K1-K5), Spark-first.
+
+Each sketch follows the reference's semantics but is built with
+distributed expressions (hash/pmod/min aggregates), never row-at-a-time
+Python.  The *exact twins* used for the oracle gate live in
+queries/sketches.py; these classes are the reusable sketch machinery
+plus property-tested accuracy bounds.
+
+Hash-family note (SURVEY X6): the reference uses mmh3 with seeds
+0..k-1; Spark's ``hash``/``xxhash64`` fix the seed but accept extra
+columns, so we vary the *input* (``hash(key, lit(i))``) — the same
+pairwise-independence property, documented deviation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# K1 — Bloom filter (reference bloomfilter.py:6-35)
+# ---------------------------------------------------------------------------
+
+
+def bloom_params(n: int, p: float) -> tuple[int, int]:
+    """Classic sizing: m = ceil(-n ln p / ln² 2) bits, k = ceil(m/n ln 2)
+    (reference bloomfilter.py:13-17 — arg names swapped there, math same)."""
+    m = math.ceil(-n * math.log(p) / (math.log(2) ** 2))
+    k = max(1, math.ceil((m / n) * math.log(2)))
+    return m, k
+
+
+@dataclass
+class BloomFilter:
+    """Driver-held bitset built by a distributed position aggregation.
+
+    Build: each key contributes k positions ``pmod(xxhash64(key, i), m)``
+    computed executor-side; only the distinct set positions (≤ n·k ints)
+    are collected.  At 100 TB you would instead keep positions as a
+    DataFrame and probe via join — ``bloom_probe_df`` does exactly that.
+    """
+
+    m: int
+    k: int
+    bits: int  # arbitrary-precision int as bitset
+
+    @classmethod
+    def build(cls, df: DataFrame, key: Column, n: int, p: float) -> "BloomFilter":
+        m, k = bloom_params(n, p)
+        positions = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)]
+                    )
+                ).alias("pos")
+            )
+            .distinct()
+            .collect()
+        )
+        bits = 0
+        for row in positions:
+            bits |= 1 << row["pos"]
+        return cls(m=m, k=k, bits=bits)
+
+    def contains(self, spark, keys: list[str]) -> list[tuple[str, bool]]:
+        """Probe keys: True = possibly present, False = definitely absent.
+        Positions are computed with the same Spark hash expressions so
+        build and probe agree bit-for-bit."""
+        kdf = spark.createDataFrame([(x,) for x in keys], "key string")
+        rows = kdf.select(
+            "key",
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("key"), F.lit(i)), F.lit(self.m))
+                    for i in range(self.k)
+                ]
+            ).alias("pos"),
+        ).collect()
+        return [
+            (r["key"], all((self.bits >> int(pp)) & 1 for pp in r["pos"]))
+            for r in rows
+        ]
+
+
+def bloom_probe_df(
+    build_df: DataFrame, build_key: Column, probe_df: DataFrame, probe_key: Column,
+    n: int, p: float,
+) -> DataFrame:
+    """Fully-distributed bloom probe: build positions as a DataFrame,
+    probe via left join on position — the scale path (no driver bitset).
+    Returns probe rows with ``possibly_present`` (no false negatives;
+    false positives ≈ p)."""
+    m, k = bloom_params(n, p)
+    build_pos = (
+        build_df.select(
+            F.explode(
+                F.array(
+                    *[F.pmod(F.xxhash64(build_key, F.lit(i)), F.lit(m)) for i in range(k)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe_pos = probe_df.select(
+        probe_key.alias("key"),
+        F.explode(
+            F.array(
+                *[F.pmod(F.xxhash64(probe_key, F.lit(i)), F.lit(m)) for i in range(k)]
+            )
+        ).alias("pos"),
+    )
+    joined = probe_pos.join(F.broadcast(build_pos.withColumn("hit", F.lit(1))), "pos", "left")
+    return (
+        joined.groupBy("key")
+        .agg((F.count("*") == F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("possibly_present"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4 — MinHash signatures (reference minwisehashing.py:4-36)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, group_cols: list[str], key: Column, num_perm: int = 128
+) -> DataFrame:
+    """Per-group MinHash signature: slot i = min over set members of
+    ``pmod(hash(key, i), 2^31)`` (the reference's ``mmh3 & 0x7FFFFFFF``
+    positive clamp, X8).  One hash-agg pass, num_perm columns wide —
+    the map-side combiner keeps the shuffle at |groups|·num_perm ints."""
+    aggs = [
+        F.min(F.pmod(F.hash(key, F.lit(i)), F.lit(2**31))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def minhash_jaccard(
+    sig_a: DataFrame, sig_b: DataFrame, on_distinct: str, num_perm: int = 128
+) -> DataFrame:
+    """Estimated Jaccard between every pair of signatures (a < b):
+    fraction of matching slots (reference minwisehashing.py:32-36).
+    σ ≈ sqrt(J(1-J)/num_perm)."""
+    a = sig_a.select(
+        F.col(on_distinct).alias("a_id"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perm)]
+    )
+    b = sig_b.select(
+        F.col(on_distinct).alias("b_id"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perm)]
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm)
+    )
+    return pairs.select(
+        "a_id", "b_id", (matches / F.lit(num_perm)).alias("jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 — HyperLogLog: use Spark's built-in HLL++ (never reimplement, X7)
+# ---------------------------------------------------------------------------
+
+# b=12 → m=4096 registers → relative std error 1.04/sqrt(4096) = 1.625%
+HLL_RSD = 0.01625
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = HLL_RSD) -> Column:
+    """approx_count_distinct tuned to the reference's b=12 accuracy
+    budget (hyperloglog.py:5-8)."""
+    return F.approx_count_distinct(col, rsd)

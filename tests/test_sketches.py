@@ -1,0 +1,109 @@
+"""Property tests for the sketch operators' accuracy budgets
+(SURVEY §5 rule 3): K1 zero false negatives + FP ≈ p, K2 HLL within
+3·rsd, K4 MinHash Jaccard within 3·σ(128 perms)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Build over half the keyspace, probe all: every present key must
+    report possibly_present; absent keys flag at ≈ p (reference budget
+    p=0.03, consultas.py:127)."""
+    from ecostream.sketches import BloomFilter, bloom_probe_df
+
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("key")
+    )
+    build = df.where(F.col("id") < 10000)
+    probe = df
+    out = bloom_probe_df(
+        build, F.col("key"), probe, F.col("key"), n=10000, p=0.03
+    ).collect()
+    present = {r["key"]: r["possibly_present"] for r in out}
+    false_neg = [k for k in present if int(k.split("_")[1]) < 10000 and not present[k]]
+    assert not false_neg, f"bloom false negatives: {false_neg[:5]}"
+    absent = [k for k in present if int(k.split("_")[1]) >= 10000]
+    fp = sum(1 for k in absent if present[k]) / len(absent)
+    assert fp <= 2 * 0.03, f"bloom FP rate {fp:.4f} > 2p"
+
+    # driver-bitset variant agrees with the distributed probe
+    bf = BloomFilter.build(build, F.col("key"), n=10000, p=0.03)
+    sample = ["key_1", "key_9999", "key_10001", "key_19999"]
+    for key, possibly in bf.contains(spark, sample):
+        assert possibly == present[key]
+
+
+def test_hll_error_bound(spark):
+    """approx_count_distinct(rsd=0.01625) within 3·1.625% of exact on a
+    10k-distinct column (hyperloglog.py budget, SURVEY §5.3)."""
+    df = spark.range(0, 100000).select((F.col("id") % 10000).alias("v"))
+    est = df.agg(F.approx_count_distinct("v", 0.01625).alias("e")).collect()[0]["e"]
+    assert abs(est - 10000) / 10000 <= 3 * 0.01625, est
+
+
+def test_minhash_jaccard_error_bound(spark):
+    """128-perm MinHash estimate within 3·0.0442 of exact Jaccard on
+    two overlapping synthetic sets (minwisehashing.py budget)."""
+    from ecostream.sketches import minhash_jaccard, minhash_signature
+
+    # set A = 0..999, set B = 500..1499  → J = 500/1500 = 1/3
+    a = spark.range(0, 1000).select(F.lit(1).alias("g"), F.col("id"))
+    b = spark.range(500, 1500).select(F.lit(2).alias("g"), F.col("id"))
+    df = a.unionAll(b).select("g", F.concat(F.lit("x"), F.col("id")).alias("elem"))
+    sigs = minhash_signature(df, ["g"], F.col("elem"), num_perm=128)
+    est = minhash_jaccard(sigs, sigs, "g", num_perm=128).collect()
+    assert len(est) == 1
+    j = est[0]["jaccard_est"]
+    assert abs(j - 1 / 3) <= 3 * 0.0442, j
+
+
+def test_dtmc_classification_known_chain(spark):
+    """Sanity: absorbing 2-cycle {a,b} is recurrent with period 2;
+    state c leaking into it is transient (MarkovChainAnalysis parity)."""
+    from ecostream.markov_analysis import classify_states
+
+    probs = {
+        "a": {"b": 1.0},
+        "b": {"a": 1.0},
+        "c": {"a": 0.5, "c": 0.5},
+    }
+    out = classify_states(probs)
+    assert out["a"]["class"] == "recurrent" and out["a"]["period"] == 2
+    assert out["b"]["class"] == "recurrent" and out["b"]["period"] == 2
+    assert out["c"]["class"] == "transient"
+
+
+def test_random_walk_paths(spark):
+    """Walk respects adjacency, stops at sinks, errors on unknown start
+    (random_walk_utils.py:33-47 edge cases per FIXTURES §A)."""
+    from ecostream.queries.graph import random_walk
+
+    adj = {"a": [("b", 1.0)], "b": []}
+    path = random_walk(adj, "a", steps=10, seed=7)
+    assert path == ["a", "b"]  # sink stops early
+    with pytest.raises(ValueError):
+        random_walk(adj, "zz", steps=3, seed=7)
+    # determinism under seed
+    adj2 = {"a": [("b", 1.0), ("c", 1.0)], "b": [("a", 1.0)], "c": [("a", 1.0)]}
+    assert random_walk(adj2, "a", 20, seed=5) == random_walk(adj2, "a", 20, seed=5)
+
+
+def test_bloom_probe_query_no_false_negatives(spark):
+    """Declared k1_bloom_probe vs its exact twin on real testdata:
+    every exactly-present key must be flagged possibly_present."""
+    from ecostream.queries import QUERIES
+
+    exact = {
+        r["key"] for r in QUERIES["k1_membership_present"](spark, SF_SMOKE).collect()
+    }
+    probe = {
+        r["key"]: r["possibly_present"]
+        for r in QUERIES["k1_bloom_probe"](spark, SF_SMOKE).collect()
+    }
+    missing = [k for k in exact if not probe.get(k, False)]
+    assert not missing, missing
