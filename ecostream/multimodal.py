@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media is an opaque ``binary`` column plus a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages (the only sanctioned Python hot
+path — decoding is genuinely not expressible in SQL expressions).
+
+The container has no image/audio libraries, so the actual codec step is
+STUBBED: ``decode_media`` raises NotImplementedError for real codecs
+and provides a deterministic fake decoder used by tests — the
+Spark-side contract (schemas, batch iteration, partition parallelism)
+is real and tested end-to-end.
+
+Scale notes: binary payloads ride in the same parquet row groups;
+``spark.sql.files.maxPartitionBytes`` bounds scan partitions, and the
+mapInPandas stages are map-only (no shuffle).  Metadata-only queries
+never touch the binary column (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("byte_len", T.LongType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Stand-in media table: document text bytes as the opaque binary
+    payload (the container ships no real media fixtures)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("byte_len"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode stage as mapInPandas: Arrow batches in, decoded rows out.
+
+    ``codec="fake"`` derives deterministic pseudo-dimensions/features
+    from the payload bytes (testable plumbing); any real codec name
+    raises NotImplementedError until the decode libraries are
+    available in the runtime image.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: media libraries not present in this runtime; "
+            "wire the real decoder into _decode_batches"
+        )
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            byte_len = content.map(lambda b: len(b) if b is not None else 0)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": (byte_len % 640 + 1).astype("int32"),
+                    "height": (byte_len % 480 + 1).astype("int32"),
+                    "n_frames": (byte_len % 30 + 1).astype("int32"),
+                    "feature": [
+                        [float(b[i % max(len(b), 1)]) / 255.0 for i in range(8)]
+                        if b is not None and len(b) > 0
+                        else [0.0] * 8
+                        for b in content
+                    ],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame-sampling contract: one row per kept frame index — pure
+    expressions (sequence + explode), no Python."""
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

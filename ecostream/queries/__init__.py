@@ -37,3 +37,7 @@ try:
     from . import generator_queries  # noqa: F401  (S1)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import multimodal_queries  # noqa: F401  (binary columns)
+except ImportError:  # pragma: no cover
+    pass

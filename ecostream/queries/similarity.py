@@ -1,0 +1,200 @@
+"""Similarity search over the embeddings table (BASELINE.json north
+star): brute-force cosine top-k as the exact baseline, sign-LSH
+(random hyperplane) bucketing as the scale path, and embedding-cosine
+near-dup detection.
+
+Representation: ``embedding array<float>`` cast element-wise to double
+before any arithmetic (float accumulation drifts ~1e-7; double keeps
+the Spark-vs-DuckDB difference at ~1e-15, far inside the round(6)
+guard).  All vector math is ``zip_with``/``aggregate``/``transform``
+expressions — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .registry import query
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+_COS_SQL = (
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(c.embedding AS DOUBLE[]))"
+)
+
+
+# --- SIM1: brute-force cosine top-k (exact ANN baseline) ---------------------
+
+
+@query(
+    "sim1_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               ROUND({_COS_SQL}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, match_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, match_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast the
+    queries, score every corpus row map-side, per-query top-k via
+    window rank.  At 100 TB the corpus side stays partition-parallel;
+    only |queries|×k rows survive the rank filter."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "match_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+# --- SIM2: sign-LSH (random hyperplane) bucketed ANN -------------------------
+
+
+def signlsh_buckets(emb: DataFrame, n_planes: int = 16, dim: int = 64) -> DataFrame:
+    """Hash each vector to an n_planes-bit sign signature against
+    deterministic pseudo-random hyperplanes (plane p, dim i weight =
+    hash-derived uniform in [-1, 1]).  Vectors in the same bucket are
+    ANN candidates — the shuffle is on the bucket id, never pairwise."""
+    planes = [
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.lit(p * 1024 + i)), F.lit(2001)) / 1000.0
+                    - 1.0
+                )
+                for i in range(dim)
+            ]
+        )
+        for p in range(n_planes)
+    ]
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(dot(F.col("v"), plane) > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return emb.withColumn("bucket", bucket)
+
+
+@query("sim2_signlsh_buckets")
+def sim2_signlsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared sign-LSH bucketing (rows-only: hash-specific).  Bucket
+    sizes show the partition balance; ANN recall vs sim1 is
+    property-tested."""
+    emb = _emb(spark, sf_dir)
+    return (
+        signlsh_buckets(emb, n_planes=8)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+@query("sim2_signlsh_ann")
+def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: exact cosine only within shared LSH buckets —
+    the IVF-style scale path (candidates ≈ corpus/2^planes per query).
+    rows-only; recall vs the brute-force baseline is property-tested.
+    4 planes ⇒ 16 coarse cells at test scale; at real scale raise
+    planes with corpus size to keep cells ≈ thousands of vectors."""
+    emb = signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "match_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+# --- SIM3: embedding-cosine near-dup pairs ------------------------------------
+
+
+@query(
+    "sim3_embedding_near_dup",
+    oracle=f"""
+    SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+           ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE q.vec_id < 100 AND c.vec_id < 100
+      AND ROUND({_COS_SQL}, 6) >= 0.6
+    """,
+)
+def sim3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above 0.6 (declared form
+    bounded to vec_id < 100; the unbounded scale path is sim2's
+    bucketed join).  Exact, oracle-checked."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    cos = F.round(
+        dot(F.col("av"), F.col("bv")) / (norm(F.col("av")) * norm(F.col("bv"))), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.6)
+    )

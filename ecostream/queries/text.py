@@ -1,0 +1,398 @@
+"""Text analysis + deduplication over the documents table — the
+training-data-pipeline operator family (BASELINE.json north star):
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All tokenization is whitespace split (the corpus is pre-normalized);
+every hot path is built-in expressions — explode/groupBy/array ops —
+so the plans stay in whole-stage codegen.  Scale notes per operator:
+dedup families are shuffle-on-signature (never pairwise-all); the
+pairwise exact-Jaccard declared query is an inverted-index join bounded
+by shared shingles, with a stop-shingle cap for skew at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from ..sketches import minhash_signature
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- D1: exact dedup by content hash ----------------------------------------
+
+
+@query(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep the lowest id.
+    One shuffle on the hash; at 100 TB this is the canonical
+    first-pass dedup (hash is 32 bytes regardless of doc size)."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --- D2: n-gram Jaccard near-dup (exact, inverted-index join) ----------------
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    coalesce(string_split(text, ' ')[i + 1], '')
+           ))) AS sh
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@query(
+    "d2_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+    """,
+)
+def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs (restricted to
+    doc_id < 200 in the declared form).  Inverted-index self-join on the
+    shingle — candidate pairs only; at full scale add a stop-shingle
+    document-frequency cap before the join (see minhash_lsh_candidates
+    for the sketch path that avoids the quadratic blowup entirely)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    shingle_expr = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 1, 1)),"
+            " i -> concat(element_at(t, i), ' ', coalesce(element_at(t, i + 1), '')))"
+        )
+    )
+    shingles = toks.select("doc_id", F.explode(shingle_expr).alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(jac >= 0.2)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- D3: MinHash + LSH banding near-dup (the scale path) ---------------------
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH: shingle →
+    per-doc signature (num_perm min-hash slots) → band hashes → join
+    docs sharing any band bucket.  Shuffles on band-hash (bounded by
+    collisions), never all-pairs.  rows_per_band = num_perm // bands."""
+    rows_per_band = num_perm // bands
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " coalesce(element_at(t, i + 1), '')))"
+                )
+            )
+        ).alias("sh"),
+    )
+    sigs = minhash_signature(shingles, ["doc_id"], F.col("sh"), num_perm=num_perm)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+@query("d3_minhash_lsh_candidates")
+def d3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared LSH candidate-pair query (rows-only: hash-specific).
+    Recall vs exact Jaccard is property-tested on seeded near-dups."""
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_candidates(docs).orderBy("a_id", "b_id")
+
+
+# --- D4: SimHash fingerprint --------------------------------------------------
+
+
+def simhash63(hash_col: str = "th") -> F.Column:
+    """63-bit SimHash from a 64-bit token hash column: per bit, sign of
+    the (+1/-1) vote sum across tokens.  Pure aggregate expressions —
+    63 conditional sums recombined into one BIGINT — no UDF.  63 bits
+    (not 64) so the fingerprint stays positive under ANSI arithmetic."""
+    out = F.lit(0).cast("long")
+    for i in range(63):
+        vote = F.sum(
+            F.when(F.expr(f"CAST(shiftright({hash_col}, {i}) & 1 AS INT)") == 1, 1)
+            .otherwise(-1)
+        )
+        out = out + F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+@query("d4_simhash")
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash (near-dup fingerprint; hamming-close docs are
+    near-dups — compare with bit_count(simhash_a ^ simhash_b)).
+    Computed as token-explode → per-bit vote sums → recombine — one
+    shuffle on doc_id.  rows-only (hash-specific)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("th"))
+    agg = toks.groupBy("doc_id").agg(simhash63().alias("simhash"))
+    return agg.orderBy("doc_id")
+
+
+# --- T: language-ID heuristic -------------------------------------------------
+
+_LANG_PROFILES = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), [{words}]))"
+    )
+
+
+@query(
+    "t5_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_profile_sql('de')} AS h_de, {_profile_sql('en')} AS h_en,
+               {_profile_sql('es')} AS h_es, {_profile_sql('fr')} AS h_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(h_de AS BIGINT) AS h_de, CAST(h_en AS BIGINT) AS h_en,
+           CAST(h_es AS BIGINT) AS h_es, CAST(h_fr AS BIGINT) AS h_fr,
+           CASE WHEN h_de + h_en + h_es + h_fr = 0 THEN 'unk'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def t5_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score = |distinct tokens ∩ profile|
+    per language, argmax with deterministic alphabetical tiebreak.
+    Pure array built-ins — at 100 TB this is a map-only pass."""
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(F.split("text", " "))
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).cast("long")
+        for lang, words in _LANG_PROFILES.items()
+    }
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        hits["de"].alias("h_de"),
+        hits["en"].alias("h_en"),
+        hits["es"].alias("h_es"),
+        hits["fr"].alias("h_fr"),
+    )
+    pred = (
+        F.when(
+            F.col("h_de") + F.col("h_en") + F.col("h_es") + F.col("h_fr") == 0,
+            "unk",
+        )
+        .when(
+            (F.col("h_de") >= F.col("h_en"))
+            & (F.col("h_de") >= F.col("h_es"))
+            & (F.col("h_de") >= F.col("h_fr")),
+            "de",
+        )
+        .when((F.col("h_en") >= F.col("h_es")) & (F.col("h_en") >= F.col("h_fr")), "en")
+        .when(F.col("h_es") >= F.col("h_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+# --- T: quality scoring ---------------------------------------------------------
+
+
+@query(
+    "t6_quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang, source,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(n_chars_m AS BIGINT) AS n_chars_m,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           ROUND(CAST(n_chars_m - n_tokens + 1 AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+           CASE WHEN n_tokens BETWEEN 10 AND 1000
+                 AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.1
+                THEN TRUE ELSE FALSE END AS is_quality
+    FROM m
+    """,
+)
+def t6_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics: token count, type-token ratio, average
+    token length, and a quality flag — the standard pre-training filter
+    shape.  Map-only (no shuffle)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    atl = (F.col("n_chars_m") - F.col("n_tokens") + 1).cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return m.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars_m",
+        "n_tokens",
+        "n_distinct",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(atl, 6).alias("avg_token_len"),
+        (
+            F.col("n_tokens").between(10, 1000) & (ttr > 0.1)
+        ).alias("is_quality"),
+    )
+
+
+# --- T: token counting (whitespace + BPE-ish regex) ---------------------------
+
+
+@query(
+    "t7_token_counts",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def t7_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens and a
+    BPE-ish regex token count (letters runs / digit runs / other) —
+    the budget numbers every training-data pipeline reports."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("ws_tokens"),
+        F.sum(
+            F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+# --- T: document fingerprint ----------------------------------------------------
+
+
+@query(
+    "t8_fingerprint_dedup",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def t8_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-fingerprint dedup: md5 over the sorted distinct token
+    set — catches word-order-shuffled duplicates exact dedup misses.
+    Same hash-groupBy shape as D1 (shuffle carries 32-byte hashes)."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
+    )

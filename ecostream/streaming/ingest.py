@@ -1,0 +1,172 @@
+"""Streaming ingest / window / state (SURVEY §2.10).
+
+Maps the reference's consumer loop (consumer.py:358-428) onto
+Structured Streaming:
+
+- Kafka source/sink (S2/S3) behind options — the test environment has
+  no broker, so CI uses the file-stream source over the same schema
+  (SURVEY §7.3 risk table).
+- Watermark 1 hour ≙ the reference's late-data drop (T1,
+  consumer.py:79-83) — but applied *correctly*: state cleanup, not the
+  reference's monotone counters (documented deviation, SURVEY T2).
+- Windowed counts per (category, key) ≙ the time_windows counters (T2).
+- ``store_with_ttl`` ≙ the 2-hour TTL purge (T3, consumer.py:119-148)
+  via foreachBatch parquet partitions pruned by event hour — and unlike
+  the reference, it prunes *every* index (the reference leaks 3 of 7).
+- Checkpointing gives exactly-once state (T7) vs the reference's
+  at-least-once consume with swallowed errors.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import INSECT_EVENT_SCHEMA, parse_event_ts
+
+KAFKA_TOPIC = "insect-events"  # producer.py:52
+KAFKA_BOOTSTRAP = "localhost:9092"  # producer.py:35 / consumer.py:14
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap: str = KAFKA_BOOTSTRAP,
+    topic: str = KAFKA_TOPIC,
+    starting_offsets: str = "earliest",  # consumer.py:16 auto.offset.reset
+) -> DataFrame:
+    """S3: Kafka JSON consumer → typed columns.  ``from_json`` yields
+    null rows for malformed payloads (filtered) — per-record error
+    isolation replacing the reference's per-message except/print."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), INSECT_EVENT_SCHEMA).alias("e")
+    )
+    return (
+        parsed.where(F.col("e").isNotNull())
+        .select("e.*")
+        .withColumn("event_ts", parse_event_ts())
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    checkpoint: str,
+    bootstrap: str = KAFKA_BOOTSTRAP,
+    topic: str = KAFKA_TOPIC,
+):
+    """S2: JSON-encode the event struct → Kafka (producer.py:34-55)."""
+    payload = df.select(
+        F.to_json(F.struct(*[c for c in df.columns if c != "event_ts"])).alias(
+            "value"
+        )
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def file_stream_source(
+    spark: SparkSession, path: str, schema, ts_col: str = "ts"
+) -> DataFrame:
+    """CI-safe stream source: parquet directory tailing with an explicit
+    schema (no inference in streaming).  Used by the stream-batch
+    equivalence tests over the driver's events table."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    window: str = "1 minute",
+    watermark: str = "1 hour",
+    keys: tuple[str, ...] = ("species", "role"),
+) -> DataFrame:
+    """T1+T2: tumbling event-time counts per key tuple with late-data
+    watermark — the correct-semantics re-spec of the reference's
+    (species, role) window counters (consumer.py:32-44,86-110)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "cnt",
+        )
+    )
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str = "update"):
+    """T6: queryable live state — memory sink + ``spark.sql`` replaces
+    the reference's pickle-over-socket snapshot queries."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def store_with_ttl(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    ts_col: str = "event_ts",
+    retention_hours: int = 2,  # consumer.py:119 max_age_hours
+):
+    """T3: durable materialized store with TTL eviction.
+
+    foreachBatch appends each micro-batch to parquet partitioned by
+    event hour, then prunes partitions wholly older than the retention
+    horizon (horizon = max event time seen − retention, i.e. event-time
+    TTL like the reference's, but applied to the whole store — the
+    reference misses 3 of its 7 indexes, consumer.py:131-146).
+    Partition-level deletes mean eviction is O(#partitions), no rewrite.
+    """
+    store = Path(store_dir)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn(
+                "event_hour",
+                F.date_format(ts_col, "yyyy-MM-dd-HH"),
+            )
+            .write.mode("append")
+            .partitionBy("event_hour")
+            .parquet(str(store))
+        )
+        mx = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        if mx is None:
+            return
+        horizon = mx - timedelta(hours=retention_hours)
+        for part in store.glob("event_hour=*"):
+            hour_str = part.name.split("=", 1)[1]
+            try:
+                hour_end = datetime.strptime(hour_str, "%Y-%m-%d-%H") + timedelta(
+                    hours=1
+                )
+            except ValueError:
+                continue
+            if hour_end <= horizon:
+                shutil.rmtree(part, ignore_errors=True)
+
+    return (
+        events.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -1,0 +1,157 @@
+"""Streaming tests (SURVEY §5.4): stream-batch equivalence of the
+windowed counts over a file-source stream of the events table, TTL
+store pruning, and the deterministic generator's native/stream schema.
+No Kafka broker in CI — the Kafka paths are configuration-only."""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .conftest import SF_SMOKE
+
+RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_stream_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    shutil.copy(Path(SF_SMOKE) / "events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _wait(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_stream_batch_equivalence(spark, events_stream_dir, tmp_path):
+    """The Structured Streaming core property: a windowed agg over the
+    stream equals the same agg over the batch table."""
+    from ecostream.streaming import file_stream_source, windowed_counts
+
+    stream = file_stream_source(spark, events_stream_dir, RAW_EVENTS_SCHEMA)
+    stream = stream.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = windowed_counts(
+        stream, window="6 hours", watermark="1 hour", keys=("event_type",)
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("stream_counts")
+        .outputMode("append")
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM stream_counts").collect()
+    }
+
+    from ecostream.schema import load_table
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        .collect()
+    )
+    expected = {(r["ws"], r["event_type"]): r["cnt"] for r in batch}
+    # append mode only emits windows sealed by the watermark; every
+    # emitted window must match the batch result exactly, and most
+    # windows must have been emitted (all but the trailing watermark).
+    assert got, "stream produced no sealed windows"
+    for k, v in got.items():
+        assert expected.get(k) == v, (k, v, expected.get(k))
+    # the trailing window(s) not yet past the watermark stay open —
+    # up to 2 windows × 5 event types may be withheld
+    assert len(got) >= len(expected) - 10
+
+
+def test_store_with_ttl_prunes_old_partitions(spark, tmp_path):
+    """T3: partitions older than the retention horizon are evicted;
+    recent partitions survive — and ALL data is pruned (not 4/7 indexes
+    like the reference's leak)."""
+    from ecostream.generator import insect_events
+    from ecostream.streaming import store_with_ttl
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # batch 1: old events (o'clock hours far in the past relative to batch 2)
+    old = insect_events(spark, 50).withColumn(
+        "event_ts", F.expr("timestampadd(HOUR, -72, event_ts)")
+    )
+    old.write.mode("overwrite").parquet(str(src_dir / "batch=0"))
+    new = insect_events(spark, 50)
+    new.write.mode("overwrite").parquet(str(src_dir / "batch=1"))
+
+    stream = spark.readStream.schema(old.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir / "batch=*"))
+    store_dir = tmp_path / "store"
+    q = store_with_ttl(
+        stream,
+        str(store_dir),
+        checkpoint=str(tmp_path / "ckpt"),
+        retention_hours=2,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    parts = sorted(p.name for p in store_dir.glob("event_hour=*"))
+    assert parts, "store is empty"
+    # the -72h partitions must be gone once the fresh batch advanced the horizon
+    hours = [p.split("=")[1] for p in parts]
+    assert all(h >= "2024-02-29" for h in hours), hours
+
+
+def test_generator_deterministic_and_native_schema(spark):
+    """S1: repeat-run identical; nested schema matches SURVEY §1.1;
+    streaming variant builds against the rate source (not executed —
+    no unbounded sources in CI)."""
+    from ecostream.generator import insect_event_stream, insect_events
+    from ecostream.schema import INSECT_EVENT_SCHEMA
+
+    a = insect_events(spark, 200).collect()
+    b = insect_events(spark, 200).collect()
+    assert a == b
+    got = insect_events(spark, 1).drop("event_ts").schema
+    assert [f.name for f in got] == [f.name for f in INSECT_EVENT_SCHEMA]
+    s = insect_event_stream(spark)
+    assert s.isStreaming
+    assert "insect" in s.columns
+
+    # vocabulary coverage (uniform-ish draw hits every category)
+    rows = insect_events(spark, 500).select("insect.species").distinct().collect()
+    assert len(rows) == 4
+
+
+def test_kafka_paths_construct(spark):
+    """S2/S3 are configuration-only in CI (no broker): the plans must
+    construct with the right topic/bootstrap without starting."""
+    from ecostream.streaming import kafka_sink, kafka_source
+
+    try:
+        src = kafka_source(spark)
+        assert src.isStreaming
+        writer = kafka_sink(src, checkpoint="/tmp/unused-ckpt")
+        assert writer is not None
+    except Exception as e:  # kafka connector jar may be absent entirely
+        assert "kafka" in str(e).lower()
