@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness for the ecostream engine.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock seconds across the headline set (after
+a session warm-up), so lower is better and the driver can compare rounds
+directly. Per-query seconds are reported under ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Headline set: one representative per operator family (SURVEY.md §2) plus
+# the training-data-pipeline extensions. Chosen to exercise scan→agg,
+# windowed agg, broadcast + sort-merge joins, window functions, sketches,
+# dedup, similarity search, and text analysis on the largest tables.
+HEADLINE = [
+    "a2_group_counts",            # A2 four-dim group counts over events
+    "a3_tumbling_counts",         # A3 event-time tumbling window agg
+    "a6_mapreduce_wordcount",     # A6 explode + partial-agg combiner
+    "a7_weighted_species_score",  # A7 scoring + window normalization
+    "j1_pricing_summary",         # TPC-H Q1-shape scan-heavy agg on lineitem
+    "j2_star_revenue_by_region",  # star-schema broadcast/SMJ join chain
+    "j5_shipping_priority",       # TPC-H Q3-shape 3-way join + top-k
+    "m2_markov_probabilities",    # M1+M2 lead() pairs + normalized counts
+    "k2_distinct_exact",          # exact distinct (oracle twin of HLL)
+    "k4_minhash_jaccard",         # 128-perm MinHash signature aggregation
+    "d1_exact_dedup",             # exact dedup over documents
+    "d3_minhash_lsh_candidates",  # MinHash+LSH near-dup candidate pairs
+    "sim1_cosine_topk",           # brute-force cosine top-k ANN baseline
+    "t7_token_counts",            # text analysis over documents
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as contract
+    from ecostream.session import get_spark
+
+    spark = get_spark(app_name="ecostream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = contract.queries()
+    # Warm up the JVM / codegen / parquet footer cache outside the timings.
+    t0 = time.perf_counter()
+    qs["a1_total_count"](spark, sf_dir).collect()
+    warmup = time.perf_counter() - t0
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = None
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            sf = tail
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "warmup_sec": round(warmup, 4),
+                "n_queries": len(per_query),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
