@@ -188,24 +188,33 @@ def a1_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a2_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's stats screen: 4 independent single-column
-    group-counts (species/role/habitat/event analogs).  Kept as 4 plain
-    groupBys unioned — exactly the reference's independent-bucket
-    semantics; each is a partial-agg + tiny shuffle."""
+    group-counts (species/role/habitat/event analogs, consumer.py:156-159).
+    Computed in ONE scan: each row emits its 4 (dim, val) pairs via
+    explode, then a single groupBy — identical output to 4 unioned
+    groupBys but 1/4 the table IO and one shuffle (the pairs are
+    map-side-combined to ≤ 4·|dim domain| rows before exchange)."""
     ev = _events(spark, sf_dir)
-
-    def dim(name: str, col: F.Column) -> DataFrame:
-        return (
-            ev.groupBy(col.alias("val"))
-            .agg(F.count("*").alias("cnt"))
-            .select(F.lit(name).alias("dim"), "val", "cnt")
-        )
-
     k = F.get_json_object("props", "$.k").cast("int")
+    pairs = F.array(
+        F.struct(F.lit("event_type").alias("dim"), F.col("event_type").alias("val")),
+        F.struct(
+            F.lit("user_mod4").alias("dim"),
+            (F.col("user_id") % 4).cast("string").alias("val"),
+        ),
+        F.struct(
+            F.lit("k_bucket").alias("dim"),
+            F.floor(k / 25).cast("string").alias("val"),
+        ),
+        F.struct(
+            F.lit("day").alias("dim"),
+            F.date_format("ts", "yyyy-MM-dd").alias("val"),
+        ),
+    )
     return (
-        dim("event_type", F.col("event_type"))
-        .unionAll(dim("user_mod4", (F.col("user_id") % 4).cast("string")))
-        .unionAll(dim("k_bucket", F.floor(k / 25).cast("string")))
-        .unionAll(dim("day", F.date_format("ts", "yyyy-MM-dd")))
+        ev.select(F.explode(pairs).alias("p"))
+        .select("p.dim", "p.val")
+        .groupBy("dim", "val")
+        .agg(F.count("*").alias("cnt"))
     )
 
 

@@ -139,22 +139,19 @@ def minhash_lsh_candidates(
         ).alias("sh"),
     )
     sigs = minhash_signature(shingles, ["doc_id"], F.col("sh"), num_perm=num_perm)
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
+    # Band hash = xxhash64 over (band index, the band's signature slice);
+    # posexplode keeps it one row per (doc, band) for the bucket join.
+    buckets = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bh"),
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
