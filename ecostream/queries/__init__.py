@@ -41,3 +41,7 @@ try:
     from . import multimodal_queries  # noqa: F401  (binary columns)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import setops  # noqa: F401  (set ops, rollup/cube, as-of join)
+except ImportError:  # pragma: no cover
+    pass

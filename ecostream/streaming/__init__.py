@@ -8,3 +8,4 @@ from .ingest import (  # noqa: F401
     store_with_ttl,
     windowed_counts,
 )
+from .stateful import batch_sketch, running_sketch  # noqa: F401

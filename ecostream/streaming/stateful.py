@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator (SURVEY §2.10 T5).
+
+The reference's ``InsectDataStore`` is hand-rolled keyed state mutated
+per message under a lock (reference consumer.py:21-148).  The Spark
+re-spec is an ``applyInPandasWithState`` operator that maintains a
+*mergeable sketch* per key across micro-batches — the
+"continuously-maintained sketches in streaming" path SURVEY §4 marks as
+the one genuine custom-code candidate:
+
+- running event count           (≙ window counters, consumer.py:86-110)
+- running value sum             (trend accumulation analog)
+- slot-wise-min MinHash signature over user_id (≙ minwisehashing.py's
+  accumulate-then-finalize, here never finalized: state IS the sketch)
+
+Each micro-batch updates state in Arrow-batched pandas (no per-row
+Python), and emits the key's current sketch — output mode ``update``.
+State size is O(num_perm) per key regardless of stream length, which is
+exactly why a sketch (and not a row buffer) is what survives 100 TB.
+
+The per-slot hash is crc32 of ``f"{slot}:{user_id}"`` — deterministic
+and process-independent, so the batch twin (``batch_sketch``) computed
+via ``applyInPandas`` is bit-identical and the stream-batch equivalence
+property is testable.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+NUM_PERM_DEFAULT = 16
+
+OUTPUT_SCHEMA = (
+    "event_type string, n bigint, total double, sig array<bigint>"
+)
+STATE_SCHEMA = "n bigint, total double, sig binary"
+
+
+def _slot_hashes(user_ids: np.ndarray, num_perm: int) -> np.ndarray:
+    """(num_perm, len(user_ids)) crc32 hashes — vectorized per slot."""
+    out = np.empty((num_perm, len(user_ids)), dtype=np.int64)
+    for slot in range(num_perm):
+        out[slot] = [
+            zlib.crc32(f"{slot}:{u}".encode()) for u in user_ids
+        ]
+    return out
+
+
+def _accumulate(
+    pdfs: Iterable[pd.DataFrame], n: int, total: float, sig: np.ndarray
+) -> tuple[int, float, np.ndarray]:
+    """Merge a batch of rows into (count, sum, slot-wise-min signature)."""
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        hashes = _slot_hashes(pdf["user_id"].to_numpy(), len(sig))
+        sig = np.minimum(sig, hashes.min(axis=1))
+    return n, total, sig
+
+
+def _empty_sig(num_perm: int) -> np.ndarray:
+    return np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+
+
+def running_sketch(
+    keyed_events: DataFrame, num_perm: int = NUM_PERM_DEFAULT
+) -> DataFrame:
+    """Streaming keyed sketch: groupBy(event_type).applyInPandasWithState.
+
+    ``keyed_events`` must have columns (event_type, user_id, value).
+    Emits one row per key per micro-batch with the cumulative sketch.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total, sig_bytes = state.get
+            sig = np.frombuffer(sig_bytes, dtype=np.int64).copy()
+        else:
+            n, total, sig = 0, 0.0, _empty_sig(num_perm)
+        n, total, sig = _accumulate(pdfs, n, total, sig)
+        state.update((n, float(total), sig.tobytes()))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "total": [float(total)],
+                "sig": [sig.tolist()],
+            }
+        )
+
+    return keyed_events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_sketch(
+    events: DataFrame, num_perm: int = NUM_PERM_DEFAULT
+) -> DataFrame:
+    """Batch twin of ``running_sketch`` (same hashes, same output schema)
+    for the stream-batch equivalence property (SURVEY §5.4)."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, total, sig = _accumulate([pdf], 0, 0.0, _empty_sig(num_perm))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "total": [float(total)],
+                "sig": [sig.tolist()],
+            }
+        )
+
+    return (
+        events.select("event_type", "user_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(agg, schema=OUTPUT_SCHEMA)
+    )

@@ -1,0 +1,76 @@
+"""Physical-plan assertions (SURVEY §4): the optimizations the reference
+hand-built (hash indexes, early-exit limits, map-side combiners) must
+show up as the corresponding Catalyst features in our plans — predicate
+pushdown into the parquet scan, broadcast joins for small dims, single
+scans for multi-dim aggregates, and whole-stage codegen on hot paths.
+These are the properties that decide whether a plan survives 100 TB."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from ecostream.queries.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_f2_filter_pushed_to_scan(spark):
+    """The reference's species hash index ≙ PushedFilters on the scan."""
+    p = plan(QUERIES["f2_filter_by_type_limit"](spark, SF_SMOKE))
+    assert "PushedFilters" in p
+    assert "EqualTo(event_type,error)" in p or "event_type" in p.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
+
+
+def test_f4_projection_prunes_columns(spark):
+    """Column pruning: the 2-column projection must not read all columns."""
+    p = plan(QUERIES["f4_projection"](spark, SF_SMOKE))
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "user_id" not in read_schema, read_schema
+
+
+def test_j2_broadcasts_small_dims(spark):
+    """Star join: the small dimension sides must broadcast, never
+    shuffle the fact table for a 5-row region dim."""
+    p = plan(QUERIES["j2_star_revenue_by_region"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_a2_single_scan(spark):
+    """The 4-dim group-count reads events exactly once."""
+    p = plan(QUERIES["a2_group_counts"](spark, SF_SMOKE))
+    # formatted detail section has one "(n) Scan parquet" line per scan node
+    scans = [
+        line
+        for line in p.splitlines()
+        if line.startswith("(") and "Scan parquet" in line
+    ]
+    assert len(scans) == 1, p
+
+
+def test_j1_wholestage_codegen_and_partial_agg(spark):
+    """Scan-heavy agg stays JVM-side: whole-stage codegen spans the
+    aggregate, and partial aggregation (map-side combine) is present.
+    Codegen ids only appear once AQE finalizes, so execute first."""
+    df = QUERIES["j1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()
+    p = plan(df)
+    assert "codegen id" in p, p
+    # partial -> final pair means the combiner ran before the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_m1_partitioned_window_no_single_partition_sort(spark):
+    """The per-user transition pairing must partition by user_id —
+    a global Window.orderBy would single-partition 100 TB."""
+    p = plan(QUERIES["m1_transition_pairs"](spark, SF_SMOKE))
+    assert "SinglePartition" not in p, p

@@ -155,3 +155,51 @@ def test_kafka_paths_construct(spark):
         assert writer is not None
     except Exception as e:  # kafka connector jar may be absent entirely
         assert "kafka" in str(e).lower()
+
+
+def test_stateful_running_sketch_stream_equals_batch(spark, tmp_path):
+    """T5: the applyInPandasWithState keyed sketch, fed the events table
+    split across 3 micro-batches, converges to the batch twin exactly
+    (count, sum, and every MinHash slot)."""
+    from ecostream.schema import load_table
+    from ecostream.streaming import batch_sketch, running_sketch
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", "value"
+    )
+    src_dir = tmp_path / "src"
+    events.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    q = (
+        running_sketch(stream)
+        .writeStream.format("memory")
+        .queryName("sketch_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    # memory sink in update mode appends each emission; the LAST row per
+    # key is the final state (multiple batches => multiple emissions)
+    emitted = spark.sql("SELECT * FROM sketch_state").collect()
+    assert len(emitted) > 5, "expected multiple emissions across micro-batches"
+    final = {}
+    for r in emitted:
+        # the cumulative count is monotone, so max-n = the final emission
+        # (collect() order from the memory sink is not guaranteed)
+        if r["event_type"] not in final or r["n"] > final[r["event_type"]]["n"]:
+            final[r["event_type"]] = r
+    expected = {r["event_type"]: r for r in batch_sketch(events).collect()}
+    assert set(final) == set(expected)
+    for k in expected:
+        assert final[k]["n"] == expected[k]["n"], k
+        assert abs(final[k]["total"] - expected[k]["total"]) < 1e-6, k
+        assert list(final[k]["sig"]) == list(expected[k]["sig"]), k
