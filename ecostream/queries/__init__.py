@@ -45,3 +45,11 @@ try:
     from . import setops  # noqa: F401  (set ops, rollup/cube, as-of join)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import analytics  # noqa: F401  (percentiles, having, grouping sets)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import streaming_queries  # noqa: F401  (declared streaming T1/T2/T6)
+except ImportError:  # pragma: no cover
+    pass

@@ -255,3 +255,89 @@ def j6_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+# --- J7: left outer join with null-extension semantics ---------------------
+
+
+@query(
+    "j7_left_join_order_activity",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_without_orders
+    FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j7_left_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-extended rows surviving into the
+    aggregate (the shape Catalyst cannot rewrite to inner).  The
+    per-customer order counts pre-aggregate BEFORE the join, so the
+    join's build side is |customers| not |orders| — the
+    aggregate-pushdown pattern that matters at fact-table scale."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    oc = orders.groupBy(F.col("o_custkey")).agg(F.count("*").alias("n"))
+    return (
+        customer.join(oc, customer.c_custkey == oc.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_without_orders"),
+        )
+    )
+
+
+# --- J8: full outer join of two aggregate streams --------------------------
+
+
+@query(
+    "j8_full_outer_daily_activity",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT epoch_us(COALESCE(c.d, p.d)) AS day_us,
+           COALESCE(clicks, 0) AS clicks,
+           COALESCE(purchases, 0) AS purchases
+    FROM c FULL OUTER JOIN p ON c.d = p.d
+    """,
+)
+def j8_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join aligning two independently-aggregated daily
+    series (days may exist in either side only).  Both sides are
+    pre-aggregated to |days| rows before the join — the full-outer
+    shuffle carries day-level rows, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(day.alias("d"))
+        .agg(F.count("*").alias("clicks"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(day.alias("d2"))
+        .agg(F.count("*").alias("purchases"))
+    )
+    return (
+        c.join(p, c.d == p.d2, "full_outer")
+        .select(
+            F.unix_micros(F.coalesce(c.d, p.d2)).alias("day_us"),
+            F.coalesce("clicks", F.lit(0)).alias("clicks"),
+            F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        )
+    )

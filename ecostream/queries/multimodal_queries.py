@@ -37,3 +37,53 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash"),
         F.col("meta.source").alias("source"),
     )
+
+
+@query(
+    "mm2_decode_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS bl,
+               ascii(substring(text, 1, 1)) AS b0
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(bl % 640 + 1 AS INT) AS width,
+           CAST(bl % 480 + 1 AS INT) AS height,
+           CAST(bl % 30 + 1 AS INT) AS n_frames,
+           CAST((bl % 30) // 5 + 1 AS BIGINT) AS n_sampled_frames,
+           CAST(b0 AS BIGINT) AS f0_byte
+    FROM m
+    """,
+)
+def mm2_decode_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal pipeline, oracle-checked: binary payload →
+    Arrow-batched ``mapInPandas`` decode (the stub codec derives
+    deterministic dims/features from the bytes) → expression-level
+    frame sampling (every 5th frame) → per-media rollup.  The decoded
+    feature's first slot is folded back to its source byte
+    (``round(f0·255)``) so the check is integer-exact through the
+    float32 Arrow round-trip.  Map-only except the final tiny
+    aggregate; the real-codec path raises NotImplementedError until
+    decode libraries ship in the image (multimodal.decode_media)."""
+    from ..multimodal import decode_media, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(docs_as_media(docs), codec="fake")
+    sampled = frame_sample(decoded, every_n=5).groupBy("media_id").agg(
+        F.count("*").alias("n_sampled_frames")
+    )
+    return (
+        decoded.join(sampled, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_frames",
+            "n_sampled_frames",
+            F.round(F.element_at("feature", 1) * 255)
+            .cast("long")
+            .alias("f0_byte"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Declared streaming queries (SURVEY §2.10 T1/T2/T6).
+
+These run a REAL Structured Streaming job inside the declared-query
+contract: file-stream source over the same events parquet → watermark →
+event-time windowed aggregation → memory sink, drained with
+``processAllAvailable``.  Because a bounded stream drained to complete
+output equals the batch computation over the same data (the
+stream-batch equivalence property the Structured Streaming paper is
+built on — PAPERS.md), the result is deterministic and oracle-checkable
+with plain SQL: DuckDB sees the batch twin.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+
+@query(
+    "st1_stream_tumbling_counts",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the events table (file source, explicit
+    schema — no inference in streaming) with a 1-hour watermark (the
+    reference's late-data cutoff, consumer.py:82-83) and daily tumbling
+    counts per event_type, drained to a complete-mode memory sink.
+
+    Complete mode retains all windows, so draining the bounded stream
+    yields exactly the batch answer — the equivalence the oracle
+    checks.  At scale this same plan runs unbounded: the watermark
+    bounds state, and partial aggregation happens per micro-batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File-stream sources take a directory; pathGlobFilter narrows the
+    # listing to the events table within the shared sf_dir.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    name = f"st1_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
