@@ -307,3 +307,59 @@ def o2_topk_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), "user_id")
         .limit(10)
     )
+
+
+# --- F6: full snapshot (reference consumer.py:218-220,320-325) -------------
+
+
+@query(
+    "f6_full_snapshot",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+           ROUND(CAST(value AS DOUBLE), 6) AS value, props
+    FROM events
+    """,
+)
+def f6_full_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole-store snapshot (feeds MapReduce & Markov,
+    consumer.py:320-325) — in Spark simply the table itself.  Declared
+    over every column so the oracle hash certifies byte-level scan
+    fidelity (timestamps as epoch-µs for a stable cross-engine hash)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        "props",
+    )
+
+
+# --- O1: global sort by event time (reference transition_matrix.py:36) -----
+
+
+@query(
+    "o1_sort_by_event_time",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events ORDER BY ts, event_id LIMIT 500
+    """,
+)
+def o1_sort_by_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global time ordering (``entries.sort()``).  With a LIMIT Spark
+    runs TakeOrderedAndProject — a per-partition top-k then a driver
+    merge, never a full global sort shuffle; the unbounded variant is
+    a range-partitioned sort (still scale-safe, one skew-aware
+    exchange)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy("ts", "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .limit(500)
+    )

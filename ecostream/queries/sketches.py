@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import load_table
-from ..sketches import HLL_RSD, bloom_probe_df, minhash_jaccard, minhash_signature
+from ..sketches import (
+    HLL_RSD,
+    bloom_probe_df,
+    minhash_jaccard,
+    minhash_signature_long,
+)
 from .registry import query
 
 # The reference's membership key is f"{species}_{role}_{event}"
@@ -213,7 +218,9 @@ def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         ev.where(F.col("user_id") < 30).select("user_id", "event_type").distinct()
     )
-    sigs = minhash_signature(sets, ["user_id"], F.col("event_type"), num_perm=128)
+    sigs = minhash_signature_long(
+        sets, ["user_id"], F.col("event_type"), num_perm=128
+    )
     est = minhash_jaccard(sigs, sigs, "user_id", num_perm=128)
     return est.select(
         "a_id", "b_id", F.round("jaccard_est", 6).alias("jaccard_est")

@@ -1,0 +1,36 @@
+"""MinHash+LSH near-dup recall on planted duplicates.
+
+With 16 bands × 4 rows, P(candidate | J) = 1 − (1 − J⁴)¹⁶: for the
+planted J ≈ 0.92 pairs the miss probability is ~2e-9, so asserting
+100% recall is stable; fully-disjoint docs share no shingles, so any
+candidate pair between them would indicate a hash-collision bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401  (fixture import side effects)
+
+
+def _docs_df(spark):
+    rows = []
+    for i in range(20):
+        words = [f"w{i}_{j}" for j in range(50)]
+        rows.append((i, " ".join(words)))
+        near = words[:-2] + [f"alt{i}_a", f"alt{i}_b"]  # 47/53 shared bigrams
+        rows.append((100 + i, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_recall_on_planted_near_dups(spark):
+    from ecostream.queries.text import minhash_lsh_candidates
+
+    docs = _docs_df(spark)
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_candidates(docs, num_perm=64, bands=16).collect()
+    }
+    for i in range(20):
+        assert (i, 100 + i) in cands, f"planted near-dup pair {i} missed"
+    # Disjoint-vocab docs share zero shingles -> no candidate pairs.
+    for (a, b) in cands:
+        assert b - a == 100 and a < 20, f"false candidate between disjoint docs: {(a, b)}"

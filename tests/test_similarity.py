@@ -84,3 +84,31 @@ def test_sim4_ivf_equals_bruteforce_within_probed_cells(spark, vectors):
         candidates = [i for i in range(len(ids)) if cell[i] in probed]
         want = _topk(ids, cos[qpos], qid, candidates)
         assert by_query[qid] == want, f"query {qid}"
+
+
+def test_sim2_signlsh_equals_bruteforce_within_buckets(spark, vectors):
+    """sim2's bucketed ANN must equal brute-force top-k restricted to
+    same-bucket candidates.  Bucket ids come from the Spark-side hash
+    (not reproducible in numpy); the candidate join + cosine + ranking
+    are verified independently."""
+    from ecostream.queries.similarity import _emb, signlsh_buckets, sim2_signlsh_ann
+
+    ids, mat = vectors
+    cos = _cosine_matrix(mat)
+    bucket_rows = signlsh_buckets(_emb(spark, SF_SMOKE), n_planes=4).select(
+        "vec_id", "bucket"
+    ).collect()
+    bucket = {r["vec_id"]: r["bucket"] for r in bucket_rows}
+    got = sim2_signlsh_ann(spark, SF_SMOKE).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rnk"])):
+        by_query.setdefault(r["query_id"], []).append(
+            (r["match_id"], round(r["cos_sim"], 6))
+        )
+    for qid in range(5):
+        qpos = int(np.where(ids == qid)[0][0])
+        candidates = [
+            i for i in range(len(ids)) if bucket[int(ids[i])] == bucket[qid]
+        ]
+        want = _topk(ids, cos[qpos], qid, candidates)
+        assert by_query.get(qid, []) == want, f"query {qid}"

@@ -107,3 +107,24 @@ def test_bloom_probe_query_no_false_negatives(spark):
     }
     missing = [k for k in exact if not probe.get(k, False)]
     assert not missing, missing
+
+
+def test_minhash_wide_and_long_forms_agree(spark):
+    """The wide (num_perm aggregates) and long (explode + one min)
+    signature formulations are alternate physical plans for the SAME
+    hash family — their signatures must be identical slot-for-slot."""
+    from ecostream.sketches import minhash_signature, minhash_signature_long
+
+    df = (
+        spark.range(0, 300)
+        .select((F.col("id") % 7).alias("g"), F.concat(F.lit("e"), F.col("id")).alias("elem"))
+    )
+    wide = {
+        r["g"]: r["sig"]
+        for r in minhash_signature(df, ["g"], F.col("elem"), num_perm=32).collect()
+    }
+    long_ = {
+        r["g"]: r["sig"]
+        for r in minhash_signature_long(df, ["g"], F.col("elem"), num_perm=32).collect()
+    }
+    assert wide == long_
