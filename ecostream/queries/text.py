@@ -123,7 +123,17 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs via banded MinHash LSH: shingle →
     per-doc signature (num_perm min-hash slots) → band hashes → join
     docs sharing any band bucket.  Shuffles on band-hash (bounded by
-    collisions), never all-pairs.  rows_per_band = num_perm // bands."""
+    collisions), never all-pairs.  rows_per_band = num_perm // bands.
+
+    Formulation note: explode + wide grouped min-aggs wins here even
+    though it looks shuffle-heavy — a doc's shingles start in one input
+    row, so partial aggregation collapses them map-side and the
+    exchange carries exactly |docs|·num_perm ints.  The tempting
+    zero-shuffle alternative (per-row array expressions) loses badly:
+    higher-order functions run interpreted (no whole-stage codegen, no
+    subexpression elimination) and projection collapse re-inlines the
+    base-hash transform into every slot, rehashing each shingle
+    num_perm times (~6× slower measured at sf0.1)."""
     rows_per_band = num_perm // bands
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     shingles = toks.select(
