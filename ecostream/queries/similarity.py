@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.topk import topk_per_group
 from ..schema import load_table
 from .registry import query
 
@@ -90,10 +91,12 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "match_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 10)
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos_sim"), F.col("match_id")],
+        k=10,
+        salt_col=F.col("match_id"),
     )
 
 
@@ -163,10 +166,12 @@ def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "match_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 10)
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos_sim"), F.col("match_id")],
+        k=10,
+        salt_col=F.col("match_id"),
     )
 
 
@@ -205,8 +210,11 @@ def sim3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine) — the
-    IVF coarse quantizer.  Centroids broadcast; assignment is one
-    map-side pass + a per-vector argmax, no shuffle of the corpus."""
+    IVF coarse quantizer.  Centroids broadcast; the argmax is a
+    ``max(struct(sim, -cent_id))`` aggregate (ties → lowest centroid),
+    so partial aggregation collapses the |centroids| scored rows per
+    vector map-side — the exchange carries one row per vector, unlike
+    a row_number window which would shuffle and sort all of them."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
@@ -215,12 +223,15 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             "cent_sim"
         ),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cent_sim"), "cent_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    best = scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.max(
+            F.struct(
+                F.col("cent_sim"), (-F.col("cent_id")).cast("long").alias("neg_cent")
+            )
+        ).alias("m"),
     )
+    return best.select("vec_id", "v", (-F.col("m.neg_cent")).alias("cell"))
 
 
 @query("sim4_ivf_ann")
@@ -268,8 +279,10 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "match_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 10)
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos_sim"), F.col("match_id")],
+        k=10,
+        salt_col=F.col("match_id"),
     )
