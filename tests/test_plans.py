@@ -74,3 +74,51 @@ def test_m1_partitioned_window_no_single_partition_sort(spark):
     a global Window.orderBy would single-partition 100 TB."""
     p = plan(QUERIES["m1_transition_pairs"](spark, SF_SMOKE))
     assert "SinglePartition" not in p, p
+
+
+def test_o1_uses_take_ordered_not_global_sort(spark):
+    """Sort+limit must plan as TakeOrderedAndProject (per-partition
+    top-k, driver merge) — never a full global sort exchange."""
+    p = plan(QUERIES["o1_sort_by_event_time"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_j7_preaggregated_build_broadcasts(spark):
+    """The left join's build side is the pre-aggregated per-customer
+    order counts — small enough to broadcast; the probe (customer)
+    side must not shuffle for the join."""
+    p = plan(QUERIES["j7_left_join_order_activity"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_r3_grouping_sets_single_scan_expand(spark):
+    """Grouping sets = one scan + Expand + one aggregate exchange —
+    not three unioned scans."""
+    p = plan(QUERIES["r3_grouping_sets"](spark, SF_SMOKE))
+    scans = [
+        line
+        for line in p.splitlines()
+        if line.startswith("(") and "Scan parquet" in line
+    ]
+    assert len(scans) == 1, p
+    assert "Expand" in p, p
+
+
+def test_sim4_assignment_partial_aggregates(spark):
+    """The IVF argmax must be a partial->final aggregate (map-side
+    combine collapses the |centroids| rows per vector before the
+    exchange), never a row_number window shuffling the full scored
+    corpus.  (It plans as SortAggregate, not HashAggregate: carrying
+    the array-typed vector through first() forces a sort-based buffer —
+    still partial->final.)"""
+    from ecostream.queries.similarity import _emb, ivf_assign
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, SF_SMOKE)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    p = plan(ivf_assign(emb, cent))
+    assert "partial_max" in p, p
+    assert "Window" not in p, p
