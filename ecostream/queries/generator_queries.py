@@ -16,3 +16,46 @@ def s1_seeded_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     producer lacks.  Ignores sf_dir (generates 1000 rows like the
     sf0.001 events table)."""
     return insect_events_flat(spark, n=1000)
+
+
+@query(
+    "s2_native_stats",
+    oracle=f"""
+    WITH gen AS ({GENERATOR_ORACLE_SQL})
+    SELECT 'species' AS dim, species AS val, count(*) AS cnt FROM gen GROUP BY species
+    UNION ALL
+    SELECT 'role', role, count(*) FROM gen GROUP BY role
+    UNION ALL
+    SELECT 'habitat', habitat, count(*) FROM gen GROUP BY habitat
+    UNION ALL
+    SELECT 'event', event, count(*) FROM gen GROUP BY event
+    UNION ALL
+    SELECT 'total', 'all', count(*) FROM gen
+    """,
+)
+def s2_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee "stats" screen (consumer.py:151-168) over
+    its OWN nested event schema: total + the four group-counts
+    (species/role/habitat/event), computed in one scan of the generated
+    events via the same explode trick as a2 — each row emits its 5
+    (dim, val) pairs, one hash-agg groups them all.  Nested fields are
+    pruned through the structs; fully oracle-checked because the
+    generator itself is deterministic."""
+    from pyspark.sql import functions as F
+
+    from ..generator import insect_events
+
+    ev = insect_events(spark, n=1000)
+    pairs = F.array(
+        F.struct(F.lit("species").alias("dim"), F.col("insect.species").alias("val")),
+        F.struct(F.lit("role").alias("dim"), F.col("insect.role").alias("val")),
+        F.struct(F.lit("habitat").alias("dim"), F.col("location.habitat").alias("val")),
+        F.struct(F.lit("event").alias("dim"), F.col("event").alias("val")),
+        F.struct(F.lit("total").alias("dim"), F.lit("all").alias("val")),
+    )
+    return (
+        ev.select(F.explode(pairs).alias("p"))
+        .select("p.dim", "p.val")
+        .groupBy("dim", "val")
+        .agg(F.count("*").alias("cnt"))
+    )
