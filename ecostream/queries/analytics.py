@@ -114,3 +114,82 @@ def r3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# --- W1/W2: general window functions (running aggregate, dense rank) --------
+
+
+@query(
+    "w1_running_revenue",
+    oracle="""
+    WITH co AS (
+        SELECT o_custkey, o_orderdate,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT o_custkey, epoch_us(o_orderdate) AS orderdate_us,
+           ROUND(CAST(SUM(day_total) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS running_revenue
+    FROM co
+    WHERE o_custkey < 200
+    """,
+)
+def w1_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue: pre-aggregate to one row per
+    (customer, day) — making the ROWS frame deterministic — then a
+    cumulative sum over a customer-partitioned window.  Partitioning by
+    customer keeps the sort local to each key group (no global sort);
+    DECIMAL accumulation keeps the running values exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    co = (
+        orders.where(F.col("o_custkey") < 200)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total"))
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return co.select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        F.round(F.sum("day_total").over(w).cast("double"), 6).alias(
+            "running_revenue"
+        ),
+    )
+
+
+@query(
+    "w2_order_rank_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(dense_rank() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+           ) AS BIGINT) AS rnk
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def w2_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank of each customer's orders by price — the ranking
+    window-function surface (row_number lives in o2/sim*; lead/lag in
+    m1).  DECIMAL ordering keys avoid float tie instability."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc(F.col("o_totalprice").cast("decimal(18,2)")), F.col("o_orderkey")
+    )
+    return (
+        orders.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).cast("long").alias("rnk"),
+        )
+    )
