@@ -71,3 +71,50 @@ def st1_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "st2_stateful_running_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def st2_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (T5, ``applyInPandasWithState``
+    running sketch — the Spark re-spec of the reference's hand-rolled
+    ``InsectDataStore`` keyed state) executed as a real stream and
+    reduced to its final per-key state.
+
+    Update mode emits each key's cumulative state every micro-batch;
+    the final state's count must equal the batch group-count — that
+    deterministic slice is what the oracle checks (the float total and
+    MinHash signature state are covered by the stream-batch equivalence
+    test, which compares them against the batch twin).  State stays
+    O(num_perm) per key no matter how long the stream runs — the
+    property that replaces the reference's unbounded dict growth."""
+    from ..streaming.stateful import running_sketch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sketched = running_sketch(stream.select("event_type", "user_id", "value"))
+    name = f"st2_{uuid.uuid4().hex[:12]}"
+    q = (
+        sketched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"))
+    )
