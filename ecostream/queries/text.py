@@ -178,9 +178,12 @@ def minhash_lsh_candidates(
 @query("d3_minhash_lsh_candidates")
 def d3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared LSH candidate-pair query (rows-only: hash-specific).
-    Recall vs exact Jaccard is property-tested on seeded near-dups."""
+    Recall vs exact Jaccard is property-tested on planted near-dups
+    (tests/test_lsh.py).  No ORDER BY: the rows-only check is
+    order-insensitive and a global sort of the pair set would be a
+    pure-overhead exchange at scale."""
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_candidates(docs).orderBy("a_id", "b_id")
+    return minhash_lsh_candidates(docs)
 
 
 # --- D4: SimHash fingerprint --------------------------------------------------
