@@ -193,3 +193,15 @@ def w2_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("long").alias("rnk"),
         )
     )
+
+
+@query("a9_percentiles_approx")
+def a9_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable scale path for a9: ``approx_percentile`` with
+    accuracy 10000 (error ≤ 1/accuracy of rank).  rows-only (estimates
+    are engine-specific); closeness to the exact interpolated
+    percentiles is property-tested."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_est"),
+    )

@@ -341,3 +341,41 @@ def j8_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("purchases", F.lit(0)).alias("purchases"),
         )
     )
+
+
+# --- J9: argmin join (correlated-subquery shape, TPC-H Q2 analog) -----------
+
+
+@query(
+    "j9_argmin_supplier_per_part",
+    oracle="""
+    SELECT l_partkey,
+           arg_min(l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2))
+                              ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)), l_suppkey)
+               AS cheapest_suppkey,
+           ROUND(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS min_price
+    FROM lineitem WHERE l_partkey < 500
+    GROUP BY l_partkey
+    """,
+)
+def j9_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part cheapest supplier — the correlated-subquery / argmin
+    shape (TPC-H Q2's core).  One hash-agg with a ``min(struct(price,
+    suppkey))``: partial aggregation collapses each partition's
+    lineitems map-side, no join against a min-subquery needed; ties
+    break to the lowest suppkey via the struct's second field."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_partkey") < 500)
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.struct(price.alias("p"), F.col("l_suppkey").alias("s"))).alias("m")
+        )
+        .select(
+            "l_partkey",
+            F.col("m.s").alias("cheapest_suppkey"),
+            F.round(F.col("m.p").cast("double"), 6).alias("min_price"),
+        )
+    )

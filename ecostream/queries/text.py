@@ -118,7 +118,10 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, num_perm: int = 64, bands: int = 16
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH: shingle →
     per-doc signature (num_perm min-hash slots) → band hashes → join
@@ -162,6 +165,20 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bh"),
     )
+    if max_bucket_size is not None:
+        # Stop-bucket skew guard: a bucket of n docs yields n² candidate
+        # pairs — one hot band hash (boilerplate shingles, near-empty
+        # docs) can dominate the whole join.  Dropping oversized buckets
+        # bounds the worst key at max_bucket_size² pairs; true near-dup
+        # pairs still collide in their other (selective) bands.
+        sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("_n"))
+        buckets = (
+            buckets.join(
+                F.broadcast(sizes.where(F.col("_n") > max_bucket_size)),
+                ["band", "bh"],
+                "left_anti",
+            )
+        )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -183,7 +200,7 @@ def d3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive and a global sort of the pair set would be a
     pure-overhead exchange at scale."""
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_candidates(docs)
+    return minhash_lsh_candidates(docs, max_bucket_size=64)
 
 
 # --- D4: SimHash fingerprint --------------------------------------------------

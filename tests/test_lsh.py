@@ -34,3 +34,30 @@ def test_lsh_recall_on_planted_near_dups(spark):
     # Disjoint-vocab docs share zero shingles -> no candidate pairs.
     for (a, b) in cands:
         assert b - a == 100 and a < 20, f"false candidate between disjoint docs: {(a, b)}"
+
+
+def test_stop_bucket_guard_keeps_planted_pairs(spark):
+    """With a bucket-size cap, planted near-dup pairs (bucket size 2)
+    must survive; a mass-duplicated boilerplate doc family (one giant
+    bucket per band) must be excluded."""
+    from pyspark.sql import functions as F
+    from ecostream.queries.text import minhash_lsh_candidates
+
+    rows = []
+    for i in range(10):
+        words = [f"w{i}_{j}" for j in range(50)]
+        rows.append((i, " ".join(words)))
+        rows.append((100 + i, " ".join(words[:-2] + [f"a{i}", f"b{i}"])))
+    boiler = " ".join(f"same_{j}" for j in range(50))
+    for i in range(30):  # 30 identical docs -> bucket size 30 in every band
+        rows.append((1000 + i, boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_candidates(
+            docs, num_perm=64, bands=16, max_bucket_size=8
+        ).collect()
+    }
+    for i in range(10):
+        assert (i, 100 + i) in cands, f"planted pair {i} dropped by guard"
+    assert not any(a >= 1000 for a, _ in cands), "boilerplate bucket not excluded"

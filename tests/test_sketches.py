@@ -128,3 +128,26 @@ def test_minhash_wide_and_long_forms_agree(spark):
         for r in minhash_signature_long(df, ["g"], F.col("elem"), num_perm=32).collect()
     }
     assert wide == long_
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """approx_percentile(accuracy=10000) rank error <= n/10000 ⇒ on the
+    events table the p50 estimate must sit within the exact p45-p55
+    band per group."""
+    from ecostream.queries.analytics import a9_percentiles_approx
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.45)).alias("lo"),
+            F.percentile("value", F.lit(0.55)).alias("hi"),
+        )
+        .collect()
+    }
+    for r in a9_percentiles_approx(spark, SF_SMOKE).collect():
+        lo, hi = bounds[r["event_type"]]
+        assert lo <= r["p50_est"] <= hi, (r, lo, hi)
