@@ -1,0 +1,78 @@
+"""Cross-operator invariants (SURVEY §5.3): partition-sum consistency
+between windowed and global aggregates, probability normalization, and
+per-record error isolation in the ingest parse path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_tumbling_counts_sum_to_total(spark):
+    """Tumbling windows partition the event set: window counts must sum
+    to the global count (a1)."""
+    from ecostream.queries import QUERIES
+
+    total = QUERIES["a1_total_count"](spark, SF_SMOKE).collect()[0][0]
+    summed = (
+        QUERIES["a3_tumbling_counts"](spark, SF_SMOKE)
+        .agg(F.sum("cnt").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert summed == total, (summed, total)
+
+
+def test_grouping_sets_grand_total_consistent(spark):
+    """The () grouping set row must equal the sum of the per-type rows
+    (and the global count)."""
+    from ecostream.queries import QUERIES
+
+    rows = QUERIES["r3_grouping_sets"](spark, SF_SMOKE).collect()
+    grand = [r for r in rows if r["event_type_g"] == "ALL" and r["day_g"] == "ALL"]
+    per_type = [
+        r for r in rows if r["event_type_g"] != "ALL" and r["day_g"] == "ALL"
+    ]
+    assert len(grand) == 1
+    assert sum(r["cnt"] for r in per_type) == grand[0]["cnt"]
+
+
+def test_markov_probabilities_rows_sum_to_one(spark):
+    """M2: outgoing transition probabilities from every state sum to 1
+    (within rounding)."""
+    from ecostream.queries import QUERIES
+
+    rows = (
+        QUERIES["m2_markov_probabilities"](spark, SF_SMOKE)
+        .groupBy("cur")
+        .agg(F.sum("p").alias("s"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["s"] - 1.0) < 1e-4, r
+
+
+def test_ingest_parse_isolates_malformed_records(spark):
+    """T7 error isolation: malformed JSON payloads become null structs
+    and are filtered — never exceptions (the reference swallows whole
+    messages with a bare except, consumer.py:422-423)."""
+    from ecostream.schema import INSECT_EVENT_SCHEMA
+
+    good = (
+        '{"_id":"x1","insect":{"species":"ant","role":"worker","age":3},'
+        '"event":"birth","eventTime":"2024-01-01T00:00:00 Z",'
+        '"location":{"habitat":"forest","coordinates":{"latitude":1.0,"longitude":2.0}},'
+        '"ecologicalImpact":5,"populationDensity":10}'
+    )
+    payloads = [good, "{not json", "", "[1,2,3]", "null"]
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    parsed = (
+        df.select(F.from_json("value", INSECT_EVENT_SCHEMA).alias("e"))
+        .where(F.col("e").isNotNull() & F.col("e._id").isNotNull())
+        .select("e.*")
+    )
+    rows = parsed.collect()
+    assert len(rows) == 1
+    assert rows[0]["_id"] == "x1"
+    assert rows[0]["insect"]["species"] == "ant"
