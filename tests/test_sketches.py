@@ -151,3 +151,48 @@ def test_approx_percentile_close_to_exact(spark):
     for r in a9_percentiles_approx(spark, SF_SMOKE).collect():
         lo, hi = bounds[r["event_type"]]
         assert lo <= r["p50_est"] <= hi, (r, lo, hi)
+
+
+def test_distributed_walk_matches_local_simulation(spark):
+    """The hash-deterministic distributed walk must equal an
+    independent local simulation of the same choice rule (neighbor =
+    xxhash64(current, step, seed) % degree over sorted neighbors)."""
+    from ecostream.queries.graph import habitat_edges, walk_distributed
+    from .conftest import SF_SMOKE
+
+    edges = habitat_edges(spark, SF_SMOKE)
+    rows = edges.collect()
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+        adj.setdefault(r["dst"], []).append(r["src"])
+    for k in adj:
+        adj[k].sort()
+    start = sorted(adj)[0]
+    seed, steps = 42, 10
+    # Local twin of the hash rule: evaluate pmod(xxhash64, degree) in
+    # one batch for every (habitat, step) pair with that node's actual
+    # degree (x mod M mod d != x mod d in general, so no intermediate
+    # modulus), then walk locally off the lookup table.
+    pairs = [(h, t, len(adj[h])) for h in adj for t in range(steps)]
+    hdf = spark.createDataFrame(pairs, "habitat string, step int, degree int")
+    hv = {
+        (r["habitat"], r["step"]): r["h"]
+        for r in hdf.select(
+            "habitat",
+            "step",
+            F.pmod(
+                F.xxhash64(F.col("habitat"), F.col("step"), F.lit(seed)),
+                F.col("degree"),
+            ).alias("h"),
+        ).collect()
+    }
+    cur, want = start, [(0, start)]
+    for t in range(steps):
+        cur = adj[cur][hv[(cur, t)]]
+        want.append((t + 1, cur))
+    got = [
+        (r["step"], r["habitat"])
+        for r in walk_distributed(spark, edges, start, steps, seed).collect()
+    ]
+    assert got == want
