@@ -172,3 +172,106 @@ def aj1_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "last_view_ts",
     )
+
+
+# --- U4/U5: multiset (ALL) variants -----------------------------------------
+
+
+@query(
+    "u4_intersect_all",
+    oracle="""
+    SELECT cnt FROM (
+        SELECT user_id, count(*) AS cnt FROM (
+            SELECT user_id FROM events WHERE event_type = 'error'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        ) GROUP BY user_id
+    )
+    """,
+)
+def u4_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: each user survives
+    min(#errors, #purchases) times (bag intersection), summarized as
+    the per-user multiplicity so the oracle hash ignores row identity."""
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select("user_id")
+    pur = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        err.intersectAll(pur)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select("cnt")
+    )
+
+
+@query(
+    "u5_except_all",
+    oracle="""
+    SELECT cnt FROM (
+        SELECT user_id, count(*) AS cnt FROM (
+            SELECT user_id FROM events WHERE event_type = 'error'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        ) GROUP BY user_id
+    )
+    """,
+)
+def u5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: a user keeps
+    max(#errors − #purchases, 0) rows."""
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select("user_id")
+    pur = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        err.exceptAll(pur)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select("cnt")
+    )
+
+
+# --- N1: null semantics (absent from the reference entirely) -----------------
+
+
+@query(
+    "n1_null_semantics",
+    oracle="""
+    WITH e AS (
+        SELECT nullif(event_type, 'error') AS et, user_id, value FROM events
+    )
+    SELECT COALESCE(et, '<null>') AS et_g,
+           count(*) AS n_rows,
+           count(et) AS n_nonnull_keys,
+           count(value) AS n_values,
+           CAST(SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
+    FROM e GROUP BY et
+    """,
+)
+def n1_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics end-to-end: nulls form their own group,
+    count(*) vs count(col) differ, and the null group is made hashable
+    via COALESCE.  The reference has no null handling at all (absent
+    dict keys raise, SURVEY §2.2) — this pins the engine's ANSI
+    behavior so it can't silently regress."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        F.nullif("event_type", F.lit("error")).alias("et"), "user_id", "value"
+    )
+    return (
+        e.groupBy("et")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("et").alias("n_nonnull_keys"),
+            F.count("value").alias("n_values"),
+            F.sum(F.when(F.col("et").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        )
+        .select(
+            F.coalesce("et", F.lit("<null>")).alias("et_g"),
+            "n_rows",
+            "n_nonnull_keys",
+            "n_values",
+            "n_null_keys",
+        )
+    )
