@@ -275,3 +275,40 @@ def n1_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_null_keys",
         )
     )
+
+
+# --- P1: unpivot / melt (reshape family; pivot lives in m3) ------------------
+
+
+@query(
+    "p1_unpivot_measures",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, val
+    FROM agg UNPIVOT (val FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def p1_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag measure columns reshaped to long
+    (measure, val) rows — the inverse of m3's pivot, completing the
+    reshape family.  The unpivot is a zero-shuffle Expand over the
+    already-aggregated rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(dec("l_quantity")).cast("double"), 6).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 6).alias("sum_price"),
+        F.round(F.sum(dec("l_discount")).cast("double"), 6).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
