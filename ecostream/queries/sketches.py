@@ -242,3 +242,47 @@ def k5_representative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.rand(42))
         .limit(5)
     )
+
+
+# --- K6: approximate frequent items (heavy hitters) --------------------------
+
+
+@query("k6_freq_items")
+def k6_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over (event_type, user bucket) pairs —
+    the sketch-family answer to A8's exact top-k frequencies
+    (single-pass, bounded memory; support 5%).  Result is a small
+    array-per-column frame; exact twins are a8/o2.  rows-only:
+    freqItems is approximate with engine-specific contents."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(
+        F.col("event_type"), (F.col("user_id") % 50).alias("user_bucket")
+    )
+    out = pairs.stat.freqItems(["event_type", "user_bucket"], support=0.05)
+    return out.select(
+        F.array_sort("event_type_freqItems").alias("event_type_freq"),
+        F.array_sort("user_bucket_freqItems").alias("user_bucket_freq"),
+    )
+
+
+# --- K7: stratified sampling --------------------------------------------------
+
+
+@query("k7_stratified_sample")
+def k7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample (sampleBy): per-stratum fractions keep
+    rare event types represented — the principled version of K5's
+    uniform sample for skewed category distributions.  Seeded but
+    engine-specific → rows-only; declared output is the per-stratum
+    sample count so the row count is stable-ish under the driver's
+    rows-only check."""
+    ev = _events(spark, sf_dir)
+    fractions = {
+        "click": 0.02,
+        "view": 0.02,
+        "purchase": 0.1,
+        "signup": 0.1,
+        "error": 0.2,
+    }
+    sample = ev.sampleBy("event_type", fractions=fractions, seed=42)
+    return sample.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
