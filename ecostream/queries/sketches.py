@@ -286,3 +286,27 @@ def k7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     sample = ev.sampleBy("event_type", fractions=fractions, seed=42)
     return sample.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+# --- K2b: mergeable HLL sketch columns (the warehouse-scale pattern) ---------
+
+
+@query("k2_hll_sketch_mergeable")
+def k2_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type computed by MERGING per-day HLL
+    sketches (hll_sketch_agg per (type, day) → hll_union_agg per type
+    → estimate) — the pattern that matters at 100 TB: daily sketch
+    tables are tiny, persistable, and unioning them answers any date
+    range without rescanning raw events.  lgConfigK=12 matches the
+    reference's b=12 register budget (hyperloglog.py:5-8).  rows-only
+    (estimates are sketch-implementation-specific); the 3σ accuracy
+    bound vs k2_distinct_exact is property-tested."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"))
+        .orderBy("event_type")
+    )

@@ -196,3 +196,22 @@ def test_distributed_walk_matches_local_simulation(spark):
         for r in walk_distributed(spark, edges, start, steps, seed).collect()
     ]
     assert got == want
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """Merged per-day HLL sketches must estimate within 3σ (3·1.04/√2^12)
+    of the exact distinct count per event_type."""
+    from ecostream.queries.sketches import (
+        k2_distinct_exact,
+        k2_hll_sketch_mergeable,
+    )
+    from .conftest import SF_SMOKE
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in k2_distinct_exact(spark, SF_SMOKE).collect()
+    }
+    rel = 3 * 1.04 / (2**12) ** 0.5
+    for r in k2_hll_sketch_mergeable(spark, SF_SMOKE).collect():
+        want = exact[r["event_type"]]
+        assert abs(r["n_users_est"] - want) <= max(2, rel * want * 3), (r, want)
