@@ -203,3 +203,84 @@ def test_stateful_running_sketch_stream_equals_batch(spark, tmp_path):
         assert final[k]["n"] == expected[k]["n"], k
         assert abs(final[k]["total"] - expected[k]["total"]) < 1e-6, k
         assert list(final[k]["sig"]) == list(expected[k]["sig"]), k
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T1 semantics pin, against MEASURED Spark behavior: the
+    late-record filter evaluates against the previous batch's watermark
+    (it lags state eviction by one micro-batch), so a 2-hours-late row
+    in the first batch after the frontier advanced is still admitted —
+    but the same late row one batch later is dropped
+    (numRowsDroppedByWatermark), and append mode never re-emits a
+    finalized window.  The reference's analog drops late rows from its
+    window counters immediately (consumer.py:79-83) while keeping them
+    in the store — our deviation to uniform watermark semantics is
+    documented at SURVEY T1/T2."""
+    import pandas as pd
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        # Coerce to µs: pandas defaults to TIMESTAMP(NANOS), which the
+        # session's nanosAsLong conf (set by load_table) reads as INT64.
+        pd.DataFrame(
+            {
+                "species": [r[0] for r in rows],
+                "event_ts": [r[1] for r in rows],
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+
+    # Batch 0: frontier 12:00 -> watermark becomes 11:00 for eviction.
+    write("f1.parquet", [("ant", base), ("bee", base), ("mark", base + pd.Timedelta("2h"))])
+    time.sleep(1.1)  # file-source orders batches by modification time
+    # Batch 1: spider 2h late; admitted (filter still at batch-0 wm).
+    write("f2.parquet", [("spider", base - pd.Timedelta("1h")), ("mark", base + pd.Timedelta("3h"))])
+    time.sleep(1.1)
+    # Batch 2: the SAME late row again; now filtered by the 11:00 wm.
+    write("f3.parquet", [("spider", base - pd.Timedelta("1h")), ("mark", base + pd.Timedelta("4h"))])
+
+    schema = T.StructType(
+        [
+            T.StructField("species", T.StringType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    counts = (
+        stream.withWatermark("event_ts", "1 hour")
+        .groupBy(F.window("event_ts", "1 hour").alias("w"), "species")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "species", "cnt")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    q.stop()
+    q.awaitTermination(60)
+    rows = {}
+    for r in spark.table("late_drop").collect():
+        rows[(r["ws"], r["species"])] = rows.get((r["ws"], r["species"]), 0) + r["cnt"]
+    late_key = ((base - pd.Timedelta("1h")).to_pydatetime(), "spider")
+    # Batch 2's repeat of the late row was dropped by the watermark...
+    assert dropped == 1, (dropped, rows)
+    # ...so the finalized 09:00 window counts the admitted copy exactly
+    # once — append mode never re-emits or double-counts it.
+    assert rows.get(late_key) == 1, rows
+    # On-time windows finalized with correct counts.
+    assert rows.get((base.to_pydatetime(), "ant")) == 1, rows
+    assert rows.get((base.to_pydatetime(), "bee")) == 1, rows
