@@ -205,3 +205,43 @@ def a9_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_est"),
     )
+
+
+# --- C1: cohort retention (real-workload analytic shape) --------------------
+
+
+@query(
+    "c1_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT epoch_us(cohort_day) AS cohort_day_us,
+           CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS BIGINT)
+               AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE date_diff('day', cohort_day, date_trunc('day', ts)) BETWEEN 0 AND 7
+    GROUP BY cohort_day, 2
+    """,
+)
+def c1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    actives per day offset 0..7 — the canonical product-analytics
+    self-join.  The firsts side pre-aggregates to |users| rows before
+    the join (shuffle on user_id both sides — co-partitioned), then a
+    two-key distinct aggregation."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    joined = ev.join(firsts, "user_id").withColumn(
+        "day_offset", F.datediff(day, F.col("cohort_day")).cast("long")
+    )
+    return (
+        joined.where(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.unix_micros("cohort_day").alias("cohort_day_us"), "day_offset"
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -204,3 +204,36 @@ def g2_walk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     start_row = edges.select(F.least("src", "dst").alias("h")).orderBy("h").limit(1).collect()
     start = start_row[0]["h"]
     return walk_distributed(spark, edges, start, steps=10, seed=42)
+
+
+# --- G1b: first-seen node coordinates (strict reference semantics) ----------
+
+
+@query(
+    "g1b_first_seen_nodes",
+    oracle="""
+    SELECT event_type AS habitat,
+           ROUND(value, 6) AS first_value,
+           event_id AS first_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def g1b_first_seen_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict reference parity for G1's node attributes: the FIRST-seen
+    value per habitat (random_walk_utils.py:12-19 keeps the first
+    arrival's coordinates).  Arrival order is made explicit as
+    (ts, event_id); the argmin is one min(struct) hash-agg — partial
+    aggregation keeps it map-side, no window shuffle of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(F.col("event_type").alias("habitat")).agg(
+        F.min(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+        ).alias("m")
+    )
+    return m.select(
+        "habitat",
+        F.round(F.col("m.value"), 6).alias("first_value"),
+        F.col("m.event_id").alias("first_event_id"),
+    )
