@@ -245,3 +245,84 @@ def c1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# --- C2: funnel conversion (ordered event-sequence analytics) ---------------
+
+
+@query(
+    "c2_funnel_conversion",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM stages
+    """,
+)
+def c2_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel view→click→purchase: per-user first-touch times via
+    conditional min aggregates (ONE scan, no joins — the conditional-
+    aggregation formulation of sequence matching), then ordered-stage
+    counts.  NULL comparisons propagate per ANSI so a missing stage
+    never counts as converted."""
+    ev = _events(spark, sf_dir)
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
+        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after_view"),
+        F.sum(converted.cast("int")).cast("long").alias("n_converted"),
+    )
+
+
+# --- A10: numeric statistics aggregates -------------------------------------
+
+
+@query(
+    "a10_numeric_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 6) AS sd,
+           ROUND(var_samp(value), 6) AS var,
+           ROUND(corr(value, user_id % 97), 6) AS corr_vu,
+           ROUND(covar_samp(value, user_id % 97), 6) AS cov_vu
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/
+    covariance) — single-pass, mergeable partial states (Welford-style),
+    so they scale like count/sum.  Rounded after aggregation; the
+    partial-merge order difference between engines sits ~1e-12 relative,
+    far inside round(6)."""
+    ev = _events(spark, sf_dir)
+    u = (F.col("user_id") % 97).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("cov_vu"),
+    )
