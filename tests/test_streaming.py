@@ -284,3 +284,78 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # On-time windows finalized with correct counts.
     assert rows.get((base.to_pydatetime(), "ant")) == 1, rows
     assert rows.get((base.to_pydatetime(), "bee")) == 1, rows
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks and a time-range
+    condition (clicks joined to purchases within 1 hour after) must
+    equal the same join computed in batch — capability the reference's
+    single-stream store cannot express at all."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    cd, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cd.mkdir(); pdir.mkdir()
+    clicks = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "click_ts": [
+                base,
+                base + pd.Timedelta("30min"),
+                base,
+                base + pd.Timedelta("2h"),
+            ],
+        }
+    )
+    purchases = pd.DataFrame(
+        {
+            "p_user_id": [1, 2, 3],
+            "purchase_ts": [
+                base + pd.Timedelta("45min"),   # joins both user-1 clicks
+                base + pd.Timedelta("90min"),   # outside 1h of user-2 click
+                base + pd.Timedelta("2h30min"), # joins user-3 click
+            ],
+        }
+    )
+    clicks.to_parquet(cd / "c.parquet", coerce_timestamps="us")
+    purchases.to_parquet(pdir / "p.parquet", coerce_timestamps="us")
+
+    cs = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("click_ts", T.TimestampType())]
+    )
+    ps = T.StructType(
+        [T.StructField("p_user_id", T.LongType()), T.StructField("purchase_ts", T.TimestampType())]
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    c_stream = (
+        spark.readStream.schema(cs).parquet(str(cd)).withWatermark("click_ts", "2 hours")
+    )
+    p_stream = (
+        spark.readStream.schema(ps).parquet(str(pdir)).withWatermark("purchase_ts", "2 hours")
+    )
+    joined = c_stream.join(p_stream, cond, "inner").select(
+        "user_id", "click_ts", "purchase_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .start()
+    )
+    _wait(q)
+    got = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in spark.table("ss_join").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in spark.createDataFrame(clicks)
+        .join(spark.createDataFrame(purchases), cond, "inner")
+        .select("user_id", "click_ts", "purchase_ts")
+        .collect()
+    )
+    assert got == want and len(got) == 3, (got, want)
