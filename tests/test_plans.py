@@ -122,3 +122,19 @@ def test_sim4_assignment_partial_aggregates(spark):
     p = plan(ivf_assign(emb, cent))
     assert "partial_max" in p, p
     assert "Window" not in p, p
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Policy guard (SURVEY §2.12): zero row-at-a-time Python UDFs in
+    the package — the only Python on data paths is Arrow-batched
+    (mapInPandas / applyInPandas / applyInPandasWithState)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "ecostream"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text().replace("pandas_udf", "")
+        if re.search(r"(?<![\w.])udf\s*\(|@udf\b|\.udf\s*\(", src):
+            offenders.append(str(py))
+    assert not offenders, offenders

@@ -359,3 +359,52 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 3, (got, want)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark): re-deliveries of the same event_id
+    across micro-batches inside the watermark are suppressed; state is
+    evicted beyond it.  This is the streaming face of the d1 dedup
+    family — at-least-once delivery (the reference's consume loop,
+    SURVEY T7) becomes effectively-once."""
+    import pandas as pd
+
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "event_ts": [r[1] for r in rows],
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+
+    write("f1.parquet", [(1, base), (2, base), (1, base)])          # in-batch dup
+    time.sleep(1.1)
+    write("f2.parquet", [(1, base), (3, base + pd.Timedelta("10min"))])  # re-delivery
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    _wait(q)
+    ids = sorted(r["event_id"] for r in spark.table("dedup_stream").collect())
+    assert ids == [1, 2, 3], ids
