@@ -379,3 +379,56 @@ def j9_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("m.p").cast("double"), 6).alias("min_price"),
         )
     )
+
+
+# --- J10: conditional-aggregate ratio with LIKE (TPC-H Q14 shape) -----------
+
+
+@query(
+    "j10_promo_revenue_ratio",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type LIKE 'STANDARD%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+             6) AS standard_revenue_pct,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def j10_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from one part family in a
+    month — LIKE-prefix predicate inside a conditional DECIMAL
+    aggregate over a broadcast lineitem⋈part join.  The date filter
+    pushes to the scan; the ratio divides two exact DECIMAL sums so
+    only the final division is floating."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    std = F.when(F.col("p_type").like("STANDARD%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(std).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("standard_revenue_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
