@@ -432,3 +432,46 @@ def j10_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# --- J11: filter-only aggregate with BETWEEN (TPC-H Q6 shape) ---------------
+
+
+@query(
+    "j11_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS revenue_delta,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def j11_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — every predicate
+    (date range, BETWEEN on discount, quantity bound) pushes to the
+    parquet scan, so the whole query is one codegen'd scan stage with
+    a scalar DECIMAL sum.  The canonical 'is pushdown working' probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ).cast("double"),
+                6,
+            ).alias("revenue_delta"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
