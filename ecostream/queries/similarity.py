@@ -234,20 +234,15 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return best.select("vec_id", "v", (-F.col("m.neg_cent")).alias("cell"))
 
 
-@query("sim4_ivf_ann")
-def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic coarse quantizer (centroids = the first 8
-    vectors), corpus partitioned into cells by nearest centroid, each
-    query probes its nprobe=2 closest cells and scores exact cosine
-    only within them — candidates ≈ 2/8 of the corpus instead of all
-    of it.  At 100 TB the cells become the storage partitioning
-    (cluster-by cell at write), so a probe reads only its cells'
-    files.  rows-only (recall vs sim1 is property-tested); at real
-    scale train centroids with k-means sampling instead of first-K."""
-    emb = _emb(spark, sf_dir)
-    centroids = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
-    )
+def ivf_ann_topk(
+    emb: DataFrame, centroids: DataFrame, nprobe: int = 2, k: int = 10
+) -> DataFrame:
+    """IVF probe: corpus partitioned into cells by nearest centroid,
+    each query probes its ``nprobe`` closest cells and scores exact
+    cosine only within them — candidates ≈ nprobe/|cells| of the
+    corpus instead of all of it.  At 100 TB the cells become the
+    storage partitioning (cluster-by cell at write), so a probe reads
+    only its cells' files."""
     assigned = ivf_assign(emb, centroids)
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -264,7 +259,7 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("query_id").orderBy(F.desc("cent_sim"), "cent_id")
     probes = (
         probe_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 2)
+        .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", F.col("cent_id").alias("cell"))
     )
     scored = (
@@ -283,6 +278,71 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         ["query_id"],
         [F.desc("cos_sim"), F.col("match_id")],
-        k=10,
+        k=k,
         salt_col=F.col("match_id"),
     )
+
+
+@query("sim4_ivf_ann")
+def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic coarse quantizer (centroids = the
+    first 8 vectors) and nprobe=2.  rows-only (recall vs sim1 is
+    property-tested); sim5 is the k-means-trained variant."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    return ivf_ann_topk(emb, centroids)
+
+
+# --- SIM5: k-means-trained IVF ------------------------------------------------
+
+
+def kmeans_centroids(
+    spark: SparkSession, emb: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Train IVF centroids with distributed Lloyd's iterations.
+
+    Init: the k hash-lowest vec_ids — deterministic and spread across
+    the corpus, found by a per-partition top-k merge (TakeOrdered),
+    never a global sort.  Each iteration assigns via :func:`ivf_assign`
+    (broadcast centroids, map-side argmax collapse) and recomputes each
+    cell's centroid as ``dim`` element-wise ``F.avg`` aggregates in ONE
+    groupBy — partial aggregation sums map-side, so the exchange
+    carries |cells| × dim doubles per input partition, never exploded
+    rows.  The k × dim model round-trips through the driver between
+    iterations (it IS the model, not data — the same shape MLlib's
+    k-means uses).  Empty cells keep their previous centroid."""
+    init = (
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cur = [(cid, list(r["v"])) for cid, r in enumerate(init)]
+    dim = len(cur[0][1])
+    schema = "cent_id long, cv_cent array<double>"
+    for _ in range(iters):
+        centroids = spark.createDataFrame(cur, schema)
+        means = {
+            int(r["cell"]): list(r["cv"])
+            for r in ivf_assign(emb, centroids)
+            .groupBy("cell")
+            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
+            .collect()
+        }
+        cur = [(cid, means.get(cid, cv)) for cid, cv in cur]
+    return spark.createDataFrame(cur, schema)
+
+
+@query("sim5_ivf_kmeans_ann")
+def sim5_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over k-means-trained centroids (k=8, 3 Lloyd
+    iterations): the full scale path — trained cells balance the
+    inverted lists far better than first-K seeding, which is what
+    keeps per-probe candidate counts bounded at 100 TB.  rows-only:
+    float-sum ordering inside the distributed avg makes exact centroid
+    bits run-dependent; structure is pinned by the probed-cell
+    equality test and the quantization-objective test."""
+    emb = _emb(spark, sf_dir)
+    return ivf_ann_topk(emb, kmeans_centroids(spark, emb, k=8, iters=3))

@@ -112,3 +112,72 @@ def test_sim2_signlsh_equals_bruteforce_within_buckets(spark, vectors):
         ]
         want = _topk(ids, cos[qpos], qid, candidates)
         assert by_query.get(qid, []) == want, f"query {qid}"
+
+
+def test_sim5_kmeans_ivf_equals_bruteforce_within_probed_cells(spark, vectors):
+    """sim5's probe must equal brute-force top-k restricted to the
+    cells its trained quantizer probes.  Centroids come from the Spark
+    trainer (float-sum ordering makes their exact bits run-dependent,
+    so they are fetched, not re-derived); assignment, probing, and
+    ranking are reproduced independently from those values."""
+    from ecostream.queries.similarity import (
+        _emb,
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    ids, mat = vectors
+    cos = _cosine_matrix(mat)
+    emb = _emb(spark, SF_SMOKE)
+    cents_df = kmeans_centroids(spark, emb, k=8, iters=3)
+    cents = sorted(
+        ((r["cent_id"], np.array(r["cv_cent"])) for r in cents_df.collect())
+    )
+    cmat = np.stack([cv for _, cv in cents])
+    cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim_to_cent = np.round(unit @ cunit.T, 12)  # [n, k]
+    cell = np.argmax(sim_to_cent, axis=1)  # ties -> lowest cent_id
+
+    got = ivf_ann_topk(emb, cents_df).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rnk"])):
+        by_query.setdefault(r["query_id"], []).append(
+            (r["match_id"], round(r["cos_sim"], 6))
+        )
+    assert sorted(by_query) == [0, 1, 2, 3, 4]
+    for qid in range(5):
+        qpos = int(np.where(ids == qid)[0][0])
+        probe_order = sorted(range(8), key=lambda c: (-sim_to_cent[qpos, c], c))
+        probed = set(probe_order[:2])
+        candidates = [i for i in range(len(ids)) if cell[i] in probed]
+        want = _topk(ids, cos[qpos], qid, candidates)
+        assert by_query[qid] == want, f"query {qid}"
+
+
+def test_kmeans_improves_quantization_objective(spark, vectors):
+    """Lloyd's iterations must not worsen the quantizer: spherical
+    k-means (cosine assignment + mean update — centroid norm cancels
+    in the cosine) has a monotone non-decreasing objective, so the
+    mean max-cosine to the nearest centroid after training is >= the
+    same objective at the trainer's own init (iters=0), up to float
+    noise."""
+    from ecostream.queries.similarity import _emb, kmeans_centroids
+
+    ids, mat = vectors
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def objective(cents_df) -> float:
+        cmat = np.stack(
+            [
+                np.array(r["cv_cent"])
+                for r in sorted(cents_df.collect(), key=lambda r: r["cent_id"])
+            ]
+        )
+        cunit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        return float(np.max(unit @ cunit.T, axis=1).mean())
+
+    emb = _emb(spark, SF_SMOKE)
+    seed_obj = objective(kmeans_centroids(spark, emb, k=8, iters=0))
+    trained_obj = objective(kmeans_centroids(spark, emb, k=8, iters=3))
+    assert trained_obj >= seed_obj - 1e-9
