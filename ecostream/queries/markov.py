@@ -198,3 +198,84 @@ def m4_dtmc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "state string, class string, period int, scc int"
     )
+
+
+# --- M4b: DTMC classification, distributed SCC (scale path) ------------------
+
+
+@query("m4b_dtmc_classification_distributed")  # no oracle: graph algorithm
+def m4b_dtmc_classification_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same classification as m4 but with SCCs, closedness, and BFS
+    levels computed as dataflow (functions/scc.py — Orzan coloring),
+    for state spaces that do not fit the driver.  Only SCC-count-sized
+    metadata ever reaches the driver: the distinct per-SCC level
+    differences (for the period gcd) and the representative list (for
+    the dense scc index); per-state labels stay distributed and the
+    metadata joins back via broadcast.  Tested equal to the Tarjan
+    path on the same matrix and on random digraphs."""
+    from math import gcd
+
+    from ..functions.scc import distributed_scc, scc_bfs_levels
+
+    edges = _pairs_per_user(spark, sf_dir).select(
+        F.col("cur").alias("src"), F.col("nxt").alias("dst")
+    ).distinct()
+    vertices = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    lab = distributed_scc(vertices, edges)  # (state, scc)
+    src_lab = lab.select(F.col("state").alias("src"), F.col("scc").alias("s_scc"))
+    dst_lab = lab.select(F.col("state").alias("dst"), F.col("scc").alias("d_scc"))
+    open_sccs = (
+        edges.join(src_lab, "src")
+        .join(dst_lab, "dst")
+        .where(F.col("s_scc") != F.col("d_scc"))
+        .select(F.col("s_scc").alias("scc"))
+        .distinct()
+    )
+    members = lab.select(F.col("state").alias("v"), "scc")
+    levels = scc_bfs_levels(members, edges)
+    diffs = (
+        edges.join(
+            levels.select(F.col("v").alias("src"), "scc", "level"), "src"
+        )
+        .join(
+            levels.select(
+                F.col("v").alias("dst"),
+                F.col("scc").alias("dscc"),
+                F.col("level").alias("dlevel"),
+            ),
+            "dst",
+        )
+        .where(F.col("scc") == F.col("dscc"))
+        .select("scc", (F.col("level") + 1 - F.col("dlevel")).alias("d"))
+        .distinct()
+        .collect()
+    )
+    period_of: dict[str, int] = {}
+    for r in diffs:
+        period_of[r["scc"]] = gcd(period_of.get(r["scc"], 0), abs(r["d"]))
+    reps = sorted(r["scc"] for r in lab.select("scc").distinct().collect())
+    meta = spark.createDataFrame(
+        [(rep, i, period_of.get(rep, 0)) for i, rep in enumerate(reps)],
+        "scc string, scc_idx int, closed_period int",
+    )
+    return (
+        lab.join(open_sccs.withColumn("is_open", F.lit(True)), "scc", "left")
+        .join(F.broadcast(meta), "scc")
+        .select(
+            "state",
+            F.when(F.col("is_open"), F.lit("transient"))
+            .otherwise(F.lit("recurrent"))
+            .alias("class"),
+            F.when(F.col("is_open"), F.lit(0))
+            .otherwise(F.col("closed_period"))
+            .alias("period"),
+            F.col("scc_idx").alias("scc"),
+        )
+        .orderBy("state")
+    )
