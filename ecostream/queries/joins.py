@@ -475,3 +475,185 @@ def j11_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# --- J12: TPC-H Q4 shape — EXISTS semi join with a non-equi residual ---------
+
+
+@query(
+    "j12_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def j12_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority that have at least one
+    lineitem shipped after the order date — an EXISTS, expressed as a
+    left-semi join whose condition carries a non-equi residual
+    (l_shipdate > o_orderdate) on top of the orderkey equi key.  The
+    semi join never duplicates orders, so no post-join distinct is
+    needed; the date-range filter on orders pushes to its scan and
+    shrinks the build side before the shuffle."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- J13: TPC-H Q18 shape — HAVING-filtered agg joined back to dims ----------
+
+
+@query(
+    "j13_big_order_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_name, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 6) AS total_price, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def j13_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate lineitem per order, HAVING-filter to
+    the heavy tail (sum qty > 250 ≈ top 1–2%), then join back to orders
+    and customer for enrichment, top-100 by price.  The HAVING runs
+    BEFORE the joins, so the join input is the filtered ~1% — the
+    aggregate-then-join ordering is the whole point at scale (joining
+    first would shuffle the full fact table twice).  DECIMAL sum keeps
+    the HAVING threshold exact under any partial-agg order."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey", F.round(F.col("q").cast("double"), 6).alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- J14: TPC-H Q12 shape — join + two conditional aggregates ----------------
+
+
+@query(
+    "j14_returnflag_priority_mix",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def j14_returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: shipped lineitems in a year joined to orders,
+    counting high- vs low-priority lines per return flag with two
+    conditional sums in ONE pass (no second scan, no pivot).  The date
+    filter prunes lineitem at the scan; the join shuffles both sides on
+    orderkey (fact-fact SMJ under AQE) and the conditional aggregation
+    is codegen'd CASE arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- J15: correlated scalar subquery, decorrelated as a window ---------------
+
+
+@query(
+    "j15_above_brand_avg",
+    oracle="""
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 6) AS retail_price,
+           ROUND(brand_avg, 6) AS brand_avg
+    FROM (
+        SELECT p_partkey, p_brand, p_retailprice,
+               AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+        FROM part
+    )
+    WHERE p_retailprice > 1.01 * brand_avg
+    ORDER BY p_partkey
+    """,
+)
+def j15_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape ('parts priced far above their
+    brand average', threshold 1%), decorrelated into a single window aggregate — one
+    shuffle on p_brand instead of the naive agg + re-join (two shuffles
+    + a join).  This is the rewrite Catalyst applies to correlated
+    scalar subqueries; declaring it directly keeps the plan explicit."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .where(F.col("p_retailprice") > 1.01 * F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 6).alias("retail_price"),
+            F.round("brand_avg", 6).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
