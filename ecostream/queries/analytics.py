@@ -326,3 +326,46 @@ def a10_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
         F.round(F.covar_samp(F.col("value"), u), 6).alias("cov_vu"),
     )
+
+
+# --- W3: gap-based sessionization -------------------------------------------
+
+
+@query(
+    "w3_gap_sessionize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_events, SUM(new_sess) AS n_sessions
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w3_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes (lag + conditional flag; the
+    session count per user is just the flag sum, no second windowing
+    pass).  Partitioned by user_id, so the sort is per-user within
+    shuffle partitions — no global ordering anywhere, which is what
+    makes this safe at 100 TB (contrast t4_session_windows, the
+    built-in session_window aggregation form of the same op)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts") - prev
+    new_sess = F.when(
+        prev.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("new_sess").alias("n_sessions"))
+        .orderBy("user_id")
+    )

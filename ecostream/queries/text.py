@@ -430,3 +430,57 @@ def t8_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(fp.alias("fingerprint")).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
     )
+
+
+# --- T9: benchmark-contamination detection -----------------------------------
+
+
+@query(
+    "t9_contamination_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+            i -> list_aggregate(string_split(text, ' ')[i:i+7],
+                                'string_agg', ' ')
+        ))) AS g
+        FROM documents
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+    SELECT s.doc_id, count(DISTINCT s.g) AS n_shared
+    FROM sh s JOIN bench b ON s.g = b.g
+    WHERE s.source <> 'src0'
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def t9_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents that
+    share any exact 8-gram with a held-out benchmark set (source
+    'src0' stands in for the eval suite).  The benchmark's distinct
+    8-gram set is tiny relative to the corpus — broadcast it, so the
+    100 TB side joins with NO shuffle (scan → explode → broadcast-hash
+    semi-ish join → partial agg).  8-grams (vs bigrams) make exact
+    overlap a high-precision contamination signal: only genuinely
+    copied passages collide."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
