@@ -369,3 +369,175 @@ def w3_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.sum("new_sess").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+# --- PROF1: single-scan table profile ----------------------------------------
+
+
+@query(
+    "prof1_profile_events",
+    oracle="""
+    SELECT 'event_type' AS col, count(*) AS n_rows,
+           count(*) - count(event_type) AS n_null,
+           count(DISTINCT event_type) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           min(event_type) AS min_str, max(event_type) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           ROUND(min(user_id), 6), ROUND(max(user_id), 6), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           ROUND(min(value), 6), ROUND(max(value), 6), NULL, NULL
+    FROM events
+    ORDER BY col
+    """,
+)
+def prof1_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/null/distinct counts and
+    min/max, computed in ONE scan (every per-column statistic is an
+    aggregate expression of the same pass; the long per-column shape
+    comes from stacking the one-row result, not from re-scanning).
+    The oracle's UNION ALL form is the semantic spec; the Spark form is
+    the 100 TB execution shape.  Exact count(DISTINCT) here exercises
+    Spark's Expand-based multi-distinct plan; swap for
+    approx_count_distinct at petabyte scale (k2 family)."""
+    ev = _events(spark, sf_dir)
+    row = ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("event_type")).alias("et_null"),
+        F.count_distinct("event_type").alias("et_dist"),
+        F.min("event_type").alias("et_min"),
+        F.max("event_type").alias("et_max"),
+        (F.count("*") - F.count("user_id")).alias("u_null"),
+        F.count_distinct("user_id").alias("u_dist"),
+        F.round(F.min("user_id").cast("double"), 6).alias("u_min"),
+        F.round(F.max("user_id").cast("double"), 6).alias("u_max"),
+        (F.count("*") - F.count("value")).alias("v_null"),
+        F.count_distinct("value").alias("v_dist"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    profiles = F.array(
+        F.struct(
+            F.lit("event_type").alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("et_null").cast("long").alias("n_null"),
+            F.col("et_dist").cast("long").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col("et_min").alias("min_str"),
+            F.col("et_max").alias("max_str"),
+        ),
+        F.struct(
+            F.lit("user_id").alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("u_null").cast("long").alias("n_null"),
+            F.col("u_dist").cast("long").alias("n_distinct"),
+            F.col("u_min").alias("min_num"),
+            F.col("u_max").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        ),
+        F.struct(
+            F.lit("value").alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("v_null").cast("long").alias("n_null"),
+            F.col("v_dist").cast("long").alias("n_distinct"),
+            F.col("v_min").alias("min_num"),
+            F.col("v_max").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        ),
+    )
+    return (
+        row.select(F.explode(profiles).alias("p"))
+        .select("p.*")
+        .orderBy("col")
+    )
+
+
+# --- DQ1: declarative constraint checks --------------------------------------
+
+
+@query(
+    "dq1_constraint_violations",
+    oracle="""
+    SELECT 'pk_orders_unique' AS rule,
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+               AS n_violations
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'fk_lineitem_part',
+           (SELECT count(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'orders_without_lineitems',
+           (SELECT count(*) FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           (SELECT count(*) FROM events WHERE value < 0)
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           (SELECT count(*) FROM documents WHERE n_chars <> len(text))
+    ORDER BY rule
+    """,
+)
+def dq1_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: declarative constraints (pk uniqueness,
+    referential integrity both directions, range and derived-column
+    consistency) evaluated as violation counts — the pre-ingest check a
+    training pipeline runs before accepting a drop.  Integrity rules
+    are anti joins (broadcast when the key side is small); value rules
+    are pushed-down filter counts.  Each rule is a one-row aggregate;
+    the union is of six scalar results, so the plan is six independent
+    scans that run concurrently — no cross-rule dependency."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ev = _events(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"), F.col("n_violations").cast("long")
+        )
+
+    pk = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations")
+    )
+    fk_oc = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    fk_lp = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    no_li = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+    )
+    val = ev.where(F.col("value") < 0).agg(F.count("*").alias("n_violations"))
+    nch = docs.where(F.col("n_chars") != F.length("text")).agg(
+        F.count("*").alias("n_violations")
+    )
+    return (
+        one("pk_orders_unique", pk)
+        .unionAll(one("fk_orders_customer", fk_oc))
+        .unionAll(one("fk_lineitem_part", fk_lp))
+        .unionAll(one("orders_without_lineitems", no_li))
+        .unionAll(one("events_value_nonnegative", val))
+        .unionAll(one("documents_nchars_consistent", nch))
+        .orderBy("rule")
+    )
