@@ -126,3 +126,73 @@ def batch_sketch(
         .groupBy("event_type")
         .applyInPandas(agg, schema=OUTPUT_SCHEMA)
     )
+
+
+# --- transformWithState (Spark 4.x) variant ----------------------------------
+
+TWS_OUTPUT_SCHEMA = "event_type string, n bigint, total double"
+
+
+class RunningTotalsProcessor:
+    """Spark 4 ``transformWithStateInPandas`` processor: per-key running
+    (count, sum) in a ``ValueState``, optionally TTL'd.
+
+    This is the modern successor of the ``applyInPandasWithState`` op
+    above: typed state handles (value/list/map) with per-state TTL
+    replace the single state tuple + timeout conf, which maps directly
+    onto the reference's TTL'd keyed store (consumer.py:119-148) —
+    state the engine expires per key instead of a hand-rolled purge
+    loop over 7 dicts.  RocksDB state store required (the provider the
+    scale path would run anyway: state spills off-heap, snapshots to
+    the checkpoint).  Environment note: the TWS Python driver worker
+    imports protobuf; containers without ``google.protobuf`` can import
+    and construct this module but not run the query (test skips)."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n BIGINT, total DOUBLE", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._totals.exists():
+            prev = self._totals.get()
+            n, total = int(prev[0]), float(prev[1])
+        else:
+            n, total = 0, 0.0
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total": [total]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(keyed_events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Streaming keyed running totals via ``transformWithStateInPandas``.
+
+    ``keyed_events``: streaming DataFrame with (event_type, value).
+    Emits one row per key per micro-batch with the cumulative totals.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Subclass at call time so the module imports even on Spark < 4.
+    proc_cls = type(
+        "_RunningTotalsTWS", (StatefulProcessor,), dict(RunningTotalsProcessor.__dict__)
+    )
+    return keyed_events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=proc_cls(ttl_ms),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

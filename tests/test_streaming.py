@@ -408,3 +408,62 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _wait(q)
     ids = sorted(r["event_id"] for r in spark.table("dedup_stream").collect())
     assert ids == [1, 2, 3], ids
+
+
+def test_transform_with_state_stream_equals_batch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-key running totals over 3
+    micro-batches converge to the batch groupBy exactly.  Runs on the
+    RocksDB state store (the only provider supporting transformWithState,
+    and the scale-path provider regardless).  The TWS driver worker
+    needs the python protobuf package — skip where absent."""
+    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+    from ecostream.schema import load_table
+    from ecostream.streaming.stateful import running_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, SF_SMOKE, "events").select("event_type", "value")
+        src_dir = tmp_path / "tws_src"
+        events.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+        )
+        q = (
+            running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+        emitted = spark.sql("SELECT * FROM tws_totals").collect()
+        assert len(emitted) > 5, "expected emissions across micro-batches"
+        final = {}
+        for r in emitted:
+            if r["event_type"] not in final or r["n"] > final[r["event_type"]]["n"]:
+                final[r["event_type"]] = r
+        expected = {
+            r["event_type"]: r
+            for r in events.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert set(final) == set(expected)
+        for k, exp in expected.items():
+            assert final[k]["n"] == exp["n"]
+            assert abs(final[k]["total"] - exp["total"]) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
