@@ -484,3 +484,47 @@ def t9_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("g").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+# --- D5: dedup clusters (pairs -> components -> keep list) -------------------
+
+
+@query("d5_dedup_clusters")
+def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup grouping: exact-duplicate pairs (same content
+    hash) unioned with MinHash-LSH near-dup candidate pairs, closed
+    into clusters by distributed connected components (hash-min label
+    propagation, functions/cc.py), keeping min(doc_id) per cluster.
+    Emits only docs in non-trivial clusters: (doc_id, cluster, keep).
+    This is the operator a 100 TB dedup actually ships — d1/d3 find
+    the evidence, this turns it into a drop decision even when
+    similarity is only transitive (A~B~C with no A~C pair).  rows-only:
+    deterministic but hash-family-specific (same reason as d3)."""
+    docs = _docs(spark, sf_dir)
+    exact = d1_exact_dedup(spark, sf_dir)
+    exact_pairs = (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .join(
+            exact.where(F.col("n_copies") > 1).select("content_hash", "keep_id"),
+            "content_hash",
+        )
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    near_pairs = minhash_lsh_candidates(docs, max_bucket_size=64).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    pairs = exact_pairs.unionByName(near_pairs)
+    verts = (
+        pairs.select(F.col("src").alias("v"))
+        .unionByName(pairs.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    from ..functions.cc import connected_components
+
+    labels = connected_components(verts, pairs)
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("v") == F.col("component")).alias("keep"),
+    ).orderBy("doc_id")

@@ -1,0 +1,101 @@
+"""Connected components (functions/cc.py): equality with a local
+union-find on random graphs, and the d5 dedup-cluster pipeline's
+invariants over the real documents table."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _local_components(vertices, edges):
+    uf = _UnionFind()
+    for v in vertices:
+        uf.find(v)
+    for s, d in edges:
+        uf.union(s, d)
+    return {v: uf.find(v) for v in vertices}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    from ecostream.functions.cc import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        verts = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 80))
+        ]
+        expected = _local_components(verts, edges)
+        vdf = spark.createDataFrame([(v,) for v in verts], "v long")
+        edf = spark.createDataFrame(
+            [(s, d) for s, d in edges] or [(0, 0)], "src long, dst long"
+        )
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(vdf, edf).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_d5_dedup_clusters_invariants(spark):
+    """d5 over the real table: every cluster's keeper is its min doc_id,
+    labels agree with a local union-find over the SAME pair set, and
+    every emitted doc appears in exactly one cluster."""
+    from ecostream.queries.text import (
+        d1_exact_dedup,
+        d5_dedup_clusters,
+        minhash_lsh_candidates,
+    )
+    from ecostream.schema import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    near = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_candidates(docs, max_bucket_size=64).collect()
+    }
+    exact = d1_exact_dedup(spark, SF_SMOKE)
+    dup_hashes = exact.where(F.col("n_copies") > 1).select("content_hash", "keep_id")
+    exact_pairs = {
+        (r["keep_id"], r["doc_id"])
+        for r in docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .join(dup_hashes, "content_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .collect()
+    }
+    pairs = near | exact_pairs
+    verts = sorted({x for p in pairs for x in p})
+    expected = _local_components(verts, pairs)
+
+    rows = d5_dedup_clusters(spark, SF_SMOKE).collect()
+    got = {r["doc_id"]: r["cluster"] for r in rows}
+    assert got == expected
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
