@@ -138,3 +138,64 @@ def test_no_row_at_a_time_python_udfs():
         if re.search(r"(?<![\w.])udf\s*\(|@udf\b|\.udf\s*\(", src):
             offenders.append(str(py))
     assert not offenders, offenders
+
+
+def test_t9_broadcasts_benchmark_side(spark):
+    """Contamination check: the benchmark 8-gram set must broadcast so
+    the corpus side joins without a shuffle."""
+    p = plan(QUERIES["t9_contamination_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_j13_aggregates_before_joining(spark):
+    """Q18 shape: the HAVING aggregation must sit BELOW the joins in
+    the plan (filter the fact side first, then enrich)."""
+    p = plan(QUERIES["j13_big_order_customers"](spark, SF_SMOKE), mode="simple")
+    # the lineitem aggregate appears deeper (later in text) than the joins
+    first_join = p.find("Join")
+    agg_on_lineitem = p.rfind("HashAggregate")
+    assert first_join != -1 and agg_on_lineitem > first_join, p
+
+
+def test_j12_semi_join_with_residual(spark):
+    """Q4 shape: EXISTS compiles to a LeftSemi join carrying the
+    non-equi residual, not an inner join + distinct."""
+    p = plan(QUERIES["j12_priority_exists"](spark, SF_SMOKE), mode="simple")
+    assert "LeftSemi" in p, p
+    assert "Distinct" not in p, p
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Scale feature: Spark injects a bloom-filter predicate on the big
+    probe side of a selective SMJ (runtime row filtering — the
+    engine-level analog of the reference's Bloom membership test, K1).
+    Thresholds forced down so the injection triggers at test scale."""
+    from ecostream.schema import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in plan(j), "bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
