@@ -55,3 +55,59 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def zorder_value(cols, bits: int = 16):
+    """Z-order (Morton) key over ``cols`` as ONE codegen'd expression:
+    bit j of column k lands at interleaved position ``j * n_cols + k``.
+
+    Inputs must already be non-negative ints < 2**bits, SCALED TO FILL
+    the bit range (rank / bucket / min-max-scale upstream, e.g.
+    ``F.ntile``): a dimension that only uses low bits is out-interleaved
+    by the other dimensions' high bits and gets no clustering (the
+    test demonstrates this).
+    The interleave is ~bits × n_cols shift/and/or ops, all inside
+    whole-stage codegen — no UDF.
+
+    Why: sorting by (a, b) clusters a perfectly and b not at all; a
+    parquet predicate on b alone prunes nothing.  Sorting by the
+    interleaved key gives every dimension locality, so row-group
+    min/max statistics prune on ANY subset of the z-ordered columns —
+    the standard multi-dimensional clustering trick for 100 TB scans
+    (the same layout Delta's OPTIMIZE ZORDER BY produces).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    zv = F.lit(0).cast("long")
+    for k, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        for j in range(bits):
+            bit = F.shiftright(col.cast("long"), j).bitwiseAND(F.lit(1))
+            zv = zv.bitwiseOR(F.shiftleft(bit, j * n + k))
+    return zv
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` clustered by the z-order key of ``zcols``:
+    range-partition on the key (contiguous z-ranges per file), sort
+    within partitions (contiguous z-ranges per row group), drop the
+    helper column.  Every output file then covers a small hyper-rectangle
+    of the z-ordered dimensions, so min/max footer stats prune scans on
+    any of them."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_zv", zorder_value(zcols, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("_zv"))
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

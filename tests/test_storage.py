@@ -64,3 +64,72 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def _interleave_py(vals, bits):
+    zv = 0
+    n = len(vals)
+    for k, v in enumerate(vals):
+        for j in range(bits):
+            zv |= ((v >> j) & 1) << (j * n + k)
+    return zv
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    from ecostream.storage import zorder_value
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 4095)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r["zv"]
+        for r in df.select(zorder_value(["a", "b"]).alias("zv"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    expected = [
+        _interleave_py([a, b], 16) for a, b in sorted(rows, key=lambda r: (r[1], r[0]))
+    ]
+    expected = [
+        _interleave_py([a, b], 16) for a, b in sorted(rows)
+    ]
+    assert got == expected
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, tmp_path):
+    """Z-ordered layout must give EVERY file a narrower min/max range on
+    BOTH dimensions than the unsorted layout — that range narrowing IS
+    the mechanism by which footer stats prune multi-dimensional scans."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from ecostream.schema import load_table
+    from ecostream.storage import write_zordered
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        # scale BOTH dims to fill the 16-bit range: a dim that uses
+        # only low bits gets out-interleaved by the other's high bits
+        F.least(F.lit(65535), (F.col("event_id") * 65).cast("long")).alias("u"),
+        F.least(
+            F.lit(65535), (F.col("value") * 650).cast("long")
+        ).alias("v"),
+    )
+    zpath, plainpath = str(tmp_path / "z"), str(tmp_path / "plain")
+    write_zordered(ev, zpath, ["u", "v"], n_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(plainpath)
+
+    def avg_span(path, col):
+        spans = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    for col in ("u", "v"):
+        z, plain = avg_span(zpath, col), avg_span(plainpath, col)
+        assert z < plain * 0.7, (col, z, plain)
