@@ -116,3 +116,56 @@ def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("new_w", T.IntegerType(), True),
+        T.StructField("new_h", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    decoded_with_content: DataFrame, max_w: int = 320, max_h: int = 240
+) -> DataFrame:
+    """Aspect-preserving resize-to-fit as a mapInPandas stage.
+
+    The geometry (integer-exact aspect-fit, so every engine agrees
+    bit-for-bit) is real; the pixel resample is the stubbed codec part
+    — the emitted ``thumb`` is a deterministic byte-truncation stand-in
+    sized to the new dims.  Input needs (media_id, width, height,
+    content).  Map-only: no shuffle, Arrow both directions, and the
+    binary column never leaves the executor."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            # height-limited iff w*max_h <= h*max_w; all-integer math
+            height_limited = w * max_h <= h * max_w
+            new_h_hl = h.clip(upper=max_h)
+            new_w_hl = (w * new_h_hl // h).clip(lower=1)
+            new_w_wl = w.clip(upper=max_w)
+            new_h_wl = (h * new_w_wl // w).clip(lower=1)
+            new_w = new_w_hl.where(height_limited, new_w_wl)
+            new_h = new_h_hl.where(height_limited, new_h_wl)
+            thumb_len = (new_w * new_h // 256).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "new_w": new_w.astype("int32"),
+                    "new_h": new_h.astype("int32"),
+                    "thumb": [
+                        (b or b"")[:n] for b, n in zip(pdf["content"], thumb_len)
+                    ],
+                }
+            )
+
+    return decoded_with_content.mapInPandas(_resize, schema=RESIZED_SCHEMA)

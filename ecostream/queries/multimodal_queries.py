@@ -87,3 +87,61 @@ def mm2_decode_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f0_byte"),
         )
     )
+
+
+@query(
+    "mm3_resize_dims",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS bl
+        FROM documents
+    ),
+    d AS (
+        SELECT media_id,
+               bl % 640 + 1 AS w,
+               bl % 480 + 1 AS h
+        FROM m
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN w * 240 <= h * 320
+                     THEN greatest(1, w * least(h, 240) // h)
+                     ELSE least(w, 320) END AS INT) AS new_w,
+           CAST(CASE WHEN w * 240 <= h * 320
+                     THEN least(h, 240)
+                     ELSE greatest(1, h * least(w, 320) // w) END AS INT) AS new_h,
+           CAST(greatest(1, (CASE WHEN w * 240 <= h * 320
+                     THEN greatest(1, w * least(h, 240) // h)
+                     ELSE least(w, 320) END)
+                * (CASE WHEN w * 240 <= h * 320
+                     THEN least(h, 240)
+                     ELSE greatest(1, h * least(w, 320) // w) END) // 256)
+               AS BIGINT) AS thumb_len
+    FROM d
+    """,
+)
+def mm3_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage end-to-end: fake-decode dims from the payload, then
+    the aspect-preserving fit-to-(320,240) in mapInPandas
+    (multimodal.resize_media).  The oracle re-derives the geometry in
+    pure integer SQL — proving the Arrow batch plumbing computes
+    exactly the declared transform; the pixel resample inside is the
+    stubbed codec part."""
+    from ..multimodal import decode_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs_as_media(docs)
+    decoded = decode_media(media).select("media_id", "width", "height")
+    with_content = decoded.join(
+        media.select("media_id", "content"), "media_id"
+    )
+    resized = resize_media(with_content)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "new_w",
+        "new_h",
+        F.octet_length("thumb").cast("long").alias("thumb_len"),
+    )
