@@ -467,3 +467,107 @@ def test_transform_with_state_stream_equals_batch(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: an unmatched left row must emit
+    with nulls — but only once the watermark passes the end of its join
+    range (until then the engine must hold it as potentially matching).
+    Two micro-batches: batch 1 carries the data, batch 2 carries a
+    late-clock row that advances the watermark and flushes the
+    unmatched rows."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    cd, pdir = tmp_path / "clicks2", tmp_path / "purch2"
+    cd.mkdir(); pdir.mkdir()
+    clicks = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "click_ts": [base, base + pd.Timedelta("10min")],
+        }
+    )
+    # user 1 purchases within the hour; user 2 never does
+    purchases1 = pd.DataFrame(
+        {
+            "p_user_id": [1],
+            "purchase_ts": [base + pd.Timedelta("30min")],
+        }
+    )
+    # batch 2: far-future rows on BOTH sides — the global watermark is
+    # the MIN across inputs, so each side must advance past user 2's
+    # join window before the unmatched row can flush
+    purchases2 = pd.DataFrame(
+        {
+            "p_user_id": [99],
+            "purchase_ts": [base + pd.Timedelta("12h")],
+        }
+    )
+    clicks2 = pd.DataFrame(
+        {
+            "user_id": [98],
+            "click_ts": [base + pd.Timedelta("12h")],
+        }
+    )
+    clicks.to_parquet(cd / "c.parquet", coerce_timestamps="us")
+    purchases1.to_parquet(pdir / "p1.parquet", coerce_timestamps="us")
+
+    cs = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("click_ts", T.TimestampType())]
+    )
+    ps = T.StructType(
+        [T.StructField("p_user_id", T.LongType()), T.StructField("purchase_ts", T.TimestampType())]
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    c_stream = (
+        spark.readStream.schema(cs)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(cd))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    p_stream = (
+        spark.readStream.schema(ps)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(pdir))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = c_stream.join(p_stream, cond, "leftOuter").select(
+        "user_id", "click_ts", "purchase_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {
+        (r["user_id"], r["purchase_ts"])
+        for r in spark.sql("SELECT * FROM ss_left_join").collect()
+    }
+    # before the watermark advances, user 2 must NOT have emitted a
+    # null row (its join window is still open)
+    assert (2, None) not in first
+
+    purchases2.to_parquet(pdir / "p2.parquet", coerce_timestamps="us")
+    clicks2.to_parquet(cd / "c2.parquet", coerce_timestamps="us")
+    q.processAllAvailable()
+    # one more empty-input cycle lets the state-eviction batch run
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    rows = {
+        (r["user_id"], r["purchase_ts"])
+        for r in spark.sql("SELECT * FROM ss_left_join").collect()
+    }
+    assert (1, base + pd.Timedelta("30min")) in rows
+    assert (2, None) in rows, rows
+    # the watermark-advancing rows themselves are unmatched lefts too,
+    # but user 98's window is still open — it must NOT have emitted
+    assert (98, None) not in rows
