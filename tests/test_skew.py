@@ -44,3 +44,32 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's rows on a
+    skewed input (90% of the big side on one key), while splitting the
+    hot key across salt partitions."""
+    from ecostream.functions.salt import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3 % 97).alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("label")
+    )
+    plain = big.join(small, "k", "inner").select("id", "k", "payload", "label")
+    salted = salted_join(
+        big, small, key="k", salt_src=F.col("id"), n_salt=8
+    ).select("id", "k", "payload", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    # the salt really spreads the hot key: >1 distinct salt for k=1
+    bs = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int")
+    )
+    n_salts = bs.where(F.col("k") == 1).select("_salt").distinct().count()
+    assert n_salts > 4
