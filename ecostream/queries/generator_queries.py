@@ -59,3 +59,36 @@ def s2_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim", "val")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "s3_datasource_stats",
+    oracle=f"""
+    WITH gen AS ({GENERATOR_ORACLE_SQL})
+    SELECT species, event, count(*) AS cnt,
+           SUM(CAST(ecologicalImpact AS BIGINT)) AS sum_impact
+    FROM gen
+    GROUP BY species, event
+    ORDER BY species, event
+    """,
+)
+def s3_datasource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same generated events read through the Spark 4 Python
+    DataSource (``spark.read.format("insect_events")``, sources.py) —
+    the t2 gate then exercises the pluggable source end-to-end: its
+    partition planning, Arrow row transport, and bit-exact agreement
+    with the expression generator the oracle derives from."""
+    from pyspark.sql import functions as F
+
+    from ..sources import register
+
+    register(spark)
+    ds = spark.read.format("insect_events").option("n", 1000).load()
+    return (
+        ds.groupBy("species", "event")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("ecologicalImpact").cast("long")).alias("sum_impact"),
+        )
+        .orderBy("species", "event")
+    )

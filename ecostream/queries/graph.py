@@ -237,3 +237,31 @@ def g1b_first_seen_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m.value"), 6).alias("first_value"),
         F.col("m.event_id").alias("first_event_id"),
     )
+
+
+@query("g5_pagerank_habitats")
+def g5_pagerank_habitats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE PageRank over the habitat graph — the algorithm the
+    reference's pageRank.py *names* but does not implement (it computes
+    a per-species weighted score with no graph; that faithful scoring
+    is a7_weighted_species_score).  Directed edges = habitat pairs
+    within threshold (both orientations, so the chain degenerates to
+    the undirected case on this graph); power iteration with damping
+    0.85 in dataflow (functions/pagerank.py), numpy-verified in
+    tests/test_pagerank.py.  rows-only: iterative fixpoint, not
+    SQL-expressible; ranks rounded for stability."""
+    from ..functions.pagerank import pagerank
+
+    edges = habitat_edges(spark, sf_dir).select(
+        F.col("src").alias("src"), F.col("dst").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = (
+        sym.select(F.col("src").alias("v"))
+        .union(sym.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    ranks = pagerank(verts, sym, damping=0.85, max_iter=30)
+    return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
