@@ -53,3 +53,7 @@ try:
     from . import streaming_queries  # noqa: F401  (declared streaming T1/T2/T6)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import tpch_more  # noqa: F401  (remaining TPC-H shapes J16-J27)
+except ImportError:  # pragma: no cover
+    pass
