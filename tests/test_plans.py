@@ -199,3 +199,55 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _scan_count(p: str) -> int:
+    return len(
+        [
+            line
+            for line in p.splitlines()
+            if line.startswith("(") and "Scan parquet" in line
+        ]
+    )
+
+
+def test_j16_no_cartesian_all_dims_broadcast(spark):
+    """Q7's two-sided nation join with an OR'd pair predicate must stay
+    hash joins (dims broadcast) — an OR across the two nation columns
+    must NOT degrade to a cartesian/nested-loop plan."""
+    p = plan(QUERIES["j16_volume_shipping"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_j21_not_in_is_broadcast_anti_join(spark):
+    """Q16's NOT IN must plan as a broadcast left-anti hash join (the
+    blacklist keys are provably non-null), never a null-aware nested
+    loop over the fact."""
+    p = plan(QUERIES["j21_parts_supplier_count"](spark, SF_SMOKE))
+    assert "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_j23_decorrelation_bounds_lineitem_scans(spark):
+    """Q21 decorrelated: the classic double-EXISTS would self-join raw
+    lineitem three ways; our dual-aggregation form reads lineitem at
+    most twice (per-supplier max + per-order max) and never explodes a
+    lineitem×lineitem join."""
+    p = plan(QUERIES["j23_waiting_orders"](spark, SF_SMOKE))
+    assert _scan_count(p) <= 4, p  # lineitem×2 + orders + supplier
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_j25_agg_of_agg_reuses_exchange(spark):
+    """Q11's share-of-total threshold computes the global total FROM the
+    per-part aggregate; AQE must reuse the partial-agg exchange so
+    lineitem is physically scanned once, not once per subtree."""
+    df = QUERIES["j25_important_parts"](spark, SF_SMOKE)
+    df.collect()
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ReusedExchange" in p, p
