@@ -57,3 +57,7 @@ try:
     from . import tpch_more  # noqa: F401  (remaining TPC-H shapes J16-J27)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import window_fns  # noqa: F401  (lag/lead, ntile, pct_rank, frames)
+except ImportError:  # pragma: no cover
+    pass
