@@ -61,3 +61,7 @@ try:
     from . import window_fns  # noqa: F401  (lag/lead, ntile, pct_rank, frames)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import seriesops  # noqa: F401  (gap-fill, fuzzy match, regex)
+except ImportError:  # pragma: no cover
+    pass

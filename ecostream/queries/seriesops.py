@@ -1,0 +1,201 @@
+"""Time-series densification and fuzzy string matching (training-data
+pipeline extensions, BASELINE.json north star).
+
+ts1: gap-fill / densify — the warehouse op behind every dashboard and
+feature-store timeline: build the complete day × type grid from the
+data's own bounds, left-join the observed aggregates, zero-fill counts
+and forward-fill measures.  The reference's window buffers
+(consumer.py:32-37) simply skip empty windows; a training pipeline
+needs the explicit dense grid.
+
+str1/str2: fuzzy matching and regex extraction — edit-distance
+candidate pairs under a blocking key (the classic record-linkage plan:
+block first so the quadratic comparison runs per-block, never globally)
+and regex-based token extraction (X-family scalar coverage).
+
+Determinism: the grid is fully determined by the data bounds; rounding
+happens on the per-day aggregate BEFORE forward-filling so the carried
+value is bit-identical in both engines; levenshtein is identically
+defined (unit-cost edits) in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- TS1: gap-fill / densification ------------------------------------------
+
+
+@query(
+    "ts1_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               count(*) AS cnt,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM daily
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS d
+        FROM bounds
+    ), grid AS (
+        SELECT spine.d, t.event_type
+        FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT epoch_us(grid.d) AS day_us, grid.event_type,
+           COALESCE(cnt, 0) AS cnt,
+           COALESCE(
+               LAST_VALUE(sum_value IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               -1.0) AS filled_sum_value
+    FROM grid LEFT JOIN daily
+      ON grid.d = daily.d AND grid.event_type = daily.event_type
+    ORDER BY grid.event_type, day_us
+    """,
+)
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify the daily event series: a generated day spine (from the
+    data's own min/max — F.sequence + explode) crossed with the
+    distinct event types, left-joined to the observed daily aggregates;
+    counts zero-fill, the daily sum forward-fills via last-non-null
+    over an ever-growing frame (-1 before the first observation).
+    Scale shape: the fact is reduced to |days|×|types| rows FIRST; the
+    spine/grid/ffill all operate on the tiny aggregate, and the grid
+    join broadcasts the spine."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(spine).crossJoin(types)
+    w = (
+        Window.partitionBy(grid.event_type)
+        .orderBy(grid.d)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(
+        daily,
+        (grid.d == daily.d) & (grid.event_type == daily.event_type),
+        "left",
+    )
+    return joined.select(
+        F.unix_micros(grid.d.cast("timestamp")).alias("day_us"),
+        grid.event_type,
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce(
+            F.last("sum_value", ignorenulls=True).over(w), F.lit(-1.0)
+        ).alias("filled_sum_value"),
+    ).orderBy("event_type", "day_us")
+
+
+# --- STR1: blocked edit-distance fuzzy join ---------------------------------
+
+
+@query(
+    "str1_fuzzy_part_match",
+    oracle="""
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+      AND a.p_name <> b.p_name
+    ORDER BY partkey_a, partkey_b
+    LIMIT 200
+    """,
+)
+def str1_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names by edit distance ≤ 2 — the
+    record-linkage pattern: equi-join on a blocking key (p_type) so the
+    quadratic levenshtein comparison runs within blocks only, with
+    a.key < b.key deduplicating the symmetric pairs.  At 100 TB the
+    blocking key is the whole plan: the join shuffles on p_type and
+    each block's cross-pairing stays partition-local; a skewed block
+    is handled by salting or a cheap length-band second key."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("type_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("type_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("type_a") == F.col("type_b"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
+        .where(
+            (F.levenshtein("name_a", "name_b") <= 2)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .select(
+            "partkey_a",
+            "partkey_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .orderBy("partkey_a", "partkey_b")
+        .limit(200)
+    )
+
+
+# --- STR2: regex extraction (X-family scalar coverage) -----------------------
+
+
+@query(
+    "str2_name_prefix_counts",
+    oracle="""
+    SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS name_prefix,
+           count(*) AS n_parts,
+           count(DISTINCT p_brand) AS n_brands
+    FROM part
+    GROUP BY 1
+    ORDER BY n_parts DESC, name_prefix
+    """,
+)
+def str2_name_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction as a grouping key: first lowercase word of each
+    part name (regexp_extract group 1 — identical semantics in Spark
+    and DuckDB), with a distinct-brand rollup.  The regex evaluates
+    JVM-side inside codegen; one shuffle for the group-by."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("name_prefix")
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.count_distinct("p_brand").alias("n_brands"),
+        )
+        .orderBy(F.desc("n_parts"), "name_prefix")
+    )
