@@ -528,3 +528,68 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster"),
         (F.col("v") == F.col("component")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- PIPELINE1: composed corpus-cleaning funnel ------------------------------
+
+
+@query(
+    "pipeline1_clean_corpus",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_canonical,
+           CAST(SUM(CASE WHEN doc_id = keep_id AND n_tokens >= 20
+                          AND n_distinct * 10 >= n_tokens * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM hashed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pre-training cleaning funnel in ONE dataflow: exact
+    dedup (keep-min doc per content hash, via a window MIN over the
+    hash — no self-join) feeding token-count and type-token-ratio
+    quality gates, reported as a per-source survival funnel
+    (total → canonical → kept).  The TTR threshold 0.3 is the
+    cross-multiplied integer inequality 10·distinct ≥ 3·tokens, so no
+    float decides membership.  Scale shape: one shuffle on the content
+    hash (window), one tiny group-by on source; the gates are map-side
+    expressions."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    toks = F.split("text", " ")
+    w = Window.partitionBy(F.md5("text"))
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.min("doc_id").over(w).alias("keep_id"),
+    )
+    canonical = F.col("doc_id") == F.col("keep_id")
+    kept = (
+        canonical
+        & (F.col("n_tokens") >= 20)
+        & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(canonical, 1).otherwise(0)).cast("long").alias("n_canonical"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
