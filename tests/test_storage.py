@@ -133,3 +133,43 @@ def test_zorder_write_narrows_per_file_ranges(spark, tmp_path):
     for col in ("u", "v"):
         z, plain = avg_span(zpath, col), avg_span(plainpath, col)
         assert z < plain * 0.7, (col, z, plain)
+
+
+def test_compaction_reduces_files_preserving_rows(spark, tmp_path):
+    """Small-file compaction: 32 tiny files → few files sized to the
+    byte target, same rows; the clustered variant restores per-file
+    min/max selectivity on the cluster key."""
+    import glob
+
+    from ecostream.storage import compact, dir_bytes
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "fragmented")
+    ev.repartition(32).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small == 32
+
+    total = dir_bytes(spark, src)
+    dst = str(tmp_path / "compacted")
+    n_target = compact(spark, src, dst, target_file_bytes=total // 2 + 1)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n_target <= 2
+    assert spark.read.parquet(dst).count() == ev.count()
+
+    # Clustered compaction: files cover disjoint-ish user_id ranges, so
+    # a point predicate's min/max pruning touches few files.
+    dst2 = str(tmp_path / "compacted_clustered")
+    compact(spark, src, dst2, target_file_bytes=total // 4 + 1,
+            cluster_cols=["user_id"])
+    spans = []
+    for f in sorted(glob.glob(f"{dst2}/part-*.parquet")):
+        stats = (
+            spark.read.parquet(f)
+            .agg(F.min("user_id"), F.max("user_id"))
+            .collect()[0]
+        )
+        spans.append((stats[0], stats[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans  # range partitioning → non-overlapping
+    assert spark.read.parquet(dst2).count() == ev.count()
