@@ -583,3 +583,101 @@ def v1_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- ARR1: ordered array aggregation (behavioral sequences) ------------------
+
+
+@query(
+    "arr1_user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           count(*) AS n_events
+    FROM events
+    WHERE user_id < 200
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def arr1_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequence — the array-aggregation op
+    behind behavioral/session features for sequence models.
+    collect_list gives NO deterministic order after a shuffle, so the
+    canonical pattern is collect structs → sort_array (lexicographic on
+    (ts, event_id) — a unique order) → transform out the payload.  One
+    shuffle on user_id; the per-user sort is partition-local on already
+    grouped data, never a global sort."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 200)
+    item = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    seq = F.transform(
+        F.sort_array(F.collect_list(item)), lambda s: s.event_type
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(seq, ">").alias("seq"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- B1: percentile-cut bucketing (the no-global-sort ntile) -----------------
+
+
+@query(
+    "b1_value_quartile_buckets",
+    oracle="""
+    WITH c AS (
+        SELECT quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM events
+    )
+    SELECT CASE WHEN value <= q1 THEN 1
+                WHEN value <= q2 THEN 2
+                WHEN value <= q3 THEN 3
+                ELSE 4 END AS bucket,
+           count(*) AS n_events,
+           ROUND(CAST(MIN(value) AS DOUBLE), 6) AS v_min,
+           ROUND(CAST(MAX(value) AS DOUBLE), 6) AS v_max
+    FROM events, c
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def b1_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing WITHOUT a global sort: compute the three cut
+    points as one aggregate, broadcast them over the fact, and assign
+    buckets with plain comparisons — the scale path that w5's global
+    ntile window documents (an ntile over 100 TB funnels everything
+    through one task; three broadcast doubles don't).  Both engines
+    evaluate the same interpolation formula on the same doubles, so
+    boundary membership is bit-identical."""
+    ev = _events(spark, sf_dir)
+    cuts = ev.agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.50)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value").cast("double"), 6).alias("v_min"),
+            F.round(F.max("value").cast("double"), 6).alias("v_max"),
+        )
+        .orderBy("bucket")
+    )
