@@ -118,3 +118,54 @@ def st2_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("n").alias("n"))
     )
+
+
+@query(
+    "st3_stream_sliding_counts",
+    oracle="""
+    SELECT epoch_us(date_trunc('day', ts) - (i * INTERVAL '1 day')) AS win_us,
+           event_type, count(*) AS cnt
+    FROM events, (SELECT unnest([0, 1]) AS i)
+    GROUP BY 1, 2
+    """,
+)
+def st3_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows on a real stream: 2-day windows
+    sliding by 1 day, so every event lands in exactly two windows (the
+    reference's overlapping 1/5/15/60-min counters, consumer.py:86-110,
+    are this shape).  The oracle unrolls the slide arithmetic: the two
+    windows containing ts start at day(ts) and day(ts)−1 — Spark's
+    epoch-aligned window() produces exactly those starts.  Complete-mode
+    drain of the bounded stream equals the batch answer; unbounded, the
+    watermark caps how many open windows each key holds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    name = f"st3_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
