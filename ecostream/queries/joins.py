@@ -657,3 +657,48 @@ def j15_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --- SK1: explicit salted join, oracle-checked against the plain join --------
+
+
+@query(
+    "sk1_salted_cohort_revenue",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events
+    )
+    SELECT cohort, count(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS total_value
+    FROM events JOIN dim USING (user_id)
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def sk1_salted_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit salted join (functions/salt.py) run through the
+    correctness gate: events (big side, salted 8-way on event_id) joined
+    to a user→cohort dim (small side, replicated per salt), aggregated
+    per cohort.  The oracle is the PLAIN join — salting must be
+    invisible in the result.  This is the skew weapon where AQE can't
+    reach (streaming joins, stateful keys); the big side's hot keys
+    spread across 8 reducers instead of one."""
+    from ..functions.salt import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("cohort", F.col("user_id") % 10)
+    )
+    joined = salted_join(ev, dim, "user_id", salt_src=F.col("event_id"), n_salt=8)
+    return (
+        joined.groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("cohort")
+    )

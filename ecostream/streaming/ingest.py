@@ -170,3 +170,81 @@ def store_with_ttl(
         events.writeStream.foreachBatch(_upsert)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def incremental_agg_store(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Incremental materialized-view maintenance: a per-key aggregate
+    (count + DECIMAL sum) kept up to date by merging each micro-batch's
+    partial aggregate into the stored totals — the streaming upsert the
+    reference's counter dicts (consumer.py:32-48) approximate in memory.
+
+    Each batch: aggregate the batch (tiny — |keys| rows), full-outer
+    merge with the current stored totals, write a new version directory
+    ``v=<n>`` and retire older versions (versioned swap ≙ poor-man's
+    ACID; at real scale this exact loop is Delta/Iceberg ``MERGE INTO``
+    and the versioning comes from the table format).  Merge cost is
+    O(|keys|) per batch, never a rescan of history.
+    """
+    from pathlib import Path
+
+    store = Path(store_dir)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(key_col).agg(
+            F.count("*").alias("d_cnt"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("d_sum"),
+        )
+        versions = sorted(
+            int(p.name.split("=", 1)[1]) for p in store.glob("v=*")
+        )
+        if versions:
+            cur = spark.read.parquet(str(store / f"v={versions[-1]}"))
+            merged = (
+                cur.join(delta, key_col, "full_outer")
+                .select(
+                    key_col,
+                    (
+                        F.coalesce("cnt", F.lit(0))
+                        + F.coalesce("d_cnt", F.lit(0))
+                    ).alias("cnt"),
+                    (
+                        F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,2)"))
+                        + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))
+                    ).cast("decimal(18,2)").alias("total"),
+                )
+            )
+        else:
+            merged = delta.select(
+                key_col,
+                F.col("d_cnt").alias("cnt"),
+                F.col("d_sum").cast("decimal(18,2)").alias("total"),
+            )
+        merged.write.mode("overwrite").parquet(str(store / f"v={batch_id}"))
+        for v in versions[:-1]:  # keep previous version for readers mid-swap
+            shutil.rmtree(store / f"v={v}", ignore_errors=True)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def read_agg_store(spark, store_dir: str) -> DataFrame:
+    """Read the latest version of an ``incremental_agg_store``."""
+    from pathlib import Path
+
+    versions = sorted(
+        int(p.name.split("=", 1)[1]) for p in Path(store_dir).glob("v=*")
+    )
+    if not versions:
+        raise FileNotFoundError(f"no versions in {store_dir}")
+    return spark.read.parquet(f"{store_dir}/v={versions[-1]}")

@@ -571,3 +571,43 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     # the watermark-advancing rows themselves are unmatched lefts too,
     # but user 98's window is still open — it must NOT have emitted
     assert (98, None) not in rows
+
+
+def test_incremental_agg_store_equals_batch(spark, tmp_path):
+    """The merged per-key store after draining a multi-batch stream
+    equals the one-shot batch aggregate (materialized-view maintenance
+    correctness across merges)."""
+    from ecostream.schema import load_table
+    from ecostream.streaming.ingest import incremental_agg_store, read_agg_store
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "value")
+    src = tmp_path / "src"
+    # 4 input files → maxFilesPerTrigger=1 forces 4 separate merges.
+    ev.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        incremental_agg_store(
+            stream, str(tmp_path / "store"), str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_agg_store(spark, str(tmp_path / "store")).orderBy("event_type")
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
