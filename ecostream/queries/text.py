@@ -593,3 +593,73 @@ def pipeline1_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- PE1: positional tokenization (posexplode) -------------------------------
+
+
+@query(
+    "pe1_token_positions",
+    oracle="""
+    SELECT doc_id, g.i - 1 AS pos, string_split(text, ' ')[g.i] AS tok
+    FROM documents,
+         LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) g
+    WHERE doc_id < 20
+    ORDER BY doc_id, pos
+    """,
+)
+def pe1_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token stream WITH positions (posexplode) — the tokenizer output
+    shape for span-level work (n-gram windows, position-aware
+    filtering).  Map-only: explode happens without any shuffle; the
+    ORDER BY is presentation-only on the bounded doc subset."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 20)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# --- NORM1: text normalization funnel ----------------------------------------
+
+
+@query(
+    "norm1_normalized_vocab",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                   ' +')) AS tok
+        FROM documents
+    )
+    SELECT source, count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_vocab
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def norm1_normalized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pipeline (lowercase → strip non-alphanumerics →
+    collapse whitespace → tokenize) feeding per-source token/vocab
+    counts — the standard cleaning pass before token statistics.  All
+    regex work is JVM-side codegen; one shuffle for the per-source
+    distinct aggregation."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
+    )
+    toks = docs.select(
+        "source", F.explode(F.split(norm, r" +")).alias("tok")
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("tok").alias("n_vocab"),
+        )
+        .orderBy("source")
+    )
