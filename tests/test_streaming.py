@@ -611,3 +611,65 @@ def test_incremental_agg_store_equals_batch(spark, tmp_path):
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in want.collect()
     ]
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Stopping a stream and restarting from the same checkpoint must
+    continue from the committed offset: files processed before the stop
+    are NOT re-merged (exactly-once across restarts), and the final
+    store equals the batch aggregate over everything."""
+    from ecostream.schema import load_table
+    from ecostream.streaming.ingest import incremental_agg_store, read_agg_store
+
+    # Split deterministically into two file batches.
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).drop("event_id")
+    b = ev.where(F.col("event_id") % 2 == 1).drop("event_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    a.coalesce(1).write.mode("append").parquet(str(src))
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    schema = a.schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = incremental_agg_store(stream, store, ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # processes only file-batch A
+    got_a = {
+        r["event_type"]: r["cnt"]
+        for r in read_agg_store(spark, store).collect()
+    }
+    want_a = {
+        r["event_type"]: r["cnt"]
+        for r in a.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got_a == want_a
+
+    b.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()  # restart: must merge ONLY the new file
+
+    got = read_agg_store(spark, store).orderBy("event_type")
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
