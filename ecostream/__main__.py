@@ -41,6 +41,19 @@ def _build_parser() -> argparse.ArgumentParser:
         p.add_argument("--limit", type=int, default=20, help="max rows to print")
     p = sub.add_parser("stats", help="the reference's stats screen (menu 1)")
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p = sub.add_parser(
+        "compact", help="compact a fragmented parquet directory"
+    )
+    p.add_argument("src", help="source parquet directory")
+    p.add_argument("dst", help="destination parquet directory")
+    p.add_argument(
+        "--target-file-mb", type=int, default=128, help="target file size (MiB)"
+    )
+    p.add_argument(
+        "--cluster-by",
+        default=None,
+        help="comma-separated columns to range-cluster while compacting",
+    )
     return ap
 
 
@@ -62,6 +75,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"ecostream-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        if args.cmd == "compact":
+            from ecostream.storage import compact
+
+            n = compact(
+                spark,
+                args.src,
+                args.dst,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                cluster_cols=args.cluster_by.split(",") if args.cluster_by else None,
+            )
+            print(f"compacted {args.src} -> {args.dst} ({n} files)")
+            return 0
         if args.cmd == "stats":
             QUERIES["a2_group_counts"](spark, args.sf_dir).orderBy(
                 "dim", "val"
