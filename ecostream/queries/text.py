@@ -663,3 +663,58 @@ def norm1_normalized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- D6: MinHashLSH library form (SURVEY K4 option b) ------------------------
+
+
+@query("d6_ml_minhash_lsh_pairs")
+def d6_ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via the pyspark.ml pipeline —
+    the 'library form' twin of d3's expression-form LSH (SURVEY K4
+    option b): HashingTF (binary term presence; fixed feature space, no
+    vocabulary fit needed) → MinHashLSH → approxSimilarityJoin at
+    Jaccard distance ≤ 0.5.  Seeded, so deterministic for the driver's
+    rows-only check; tests/test_lsh.py-style recall against the exact
+    n-gram Jaccard pairs is covered by the d2/d3 property tests.
+
+    Scale note: approxSimilarityJoin explodes each row per hash table
+    and self-joins on (table, hash) — the same band-bucket shuffle d3
+    builds explicitly; both avoid the all-pairs product."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    # Same set space as d2/d3: distinct word 2-gram shingles (unigrams
+    # are useless here — the synthetic vocabulary is so small that most
+    # doc pairs share nearly all words).
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda s: F.size(F.split(s, " ")) == 2,
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", shingles.alias("toks"))
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=16, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=0.5, distCol="jaccard_dist"
+    )
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("a_id", "b_id")
+    )

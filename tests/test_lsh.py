@@ -61,3 +61,28 @@ def test_stop_bucket_guard_keeps_planted_pairs(spark):
     for i in range(10):
         assert (i, 100 + i) in cands, f"planted pair {i} dropped by guard"
     assert not any(a >= 1000 for a, _ in cands), "boilerplate bucket not excluded"
+
+
+def test_ml_minhash_lsh_recall_vs_exact(spark):
+    """The library-form LSH (d6) must recover the exact 2-gram Jaccard
+    pairs at similarity ≥ 0.5 (its join threshold) on the shared
+    doc_id < 200 domain — approxSimilarityJoin filters candidates by
+    EXACT distance, so misses can come only from band-bucketing, and 16
+    tables at J ≥ 0.5 make those vanishingly rare on this data."""
+    from ecostream.queries.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["d2_ngram_jaccard_pairs"](spark, SF_SMOKE).collect()
+        if r["jaccard"] >= 0.5
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["d6_ml_minhash_lsh_pairs"](spark, SF_SMOKE).collect()
+        if r["a_id"] < 200 and r["b_id"] < 200
+    }
+    assert exact, "exact pair set unexpectedly empty"
+    missed = exact - got
+    assert not missed, f"LSH missed exact pairs: {sorted(missed)[:10]}"
