@@ -248,3 +248,43 @@ def t4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+# --- CAL1: calendar profile (hour-of-day / day-of-week seasonality) ----------
+
+
+@query(
+    "cal1_hourly_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(dayofweek(ts) AS BIGINT) AS day_of_week,
+           event_type,
+           count(*) AS cnt,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def cal1_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: counts and value by hour-of-day ×
+    day-of-week × type — the calendar-bucketing shape behind traffic
+    dashboards and anomaly baselines.  DuckDB's dayofweek (0=Sunday)
+    differs from Spark's dayofweek (1=Sunday); Spark side subtracts 1
+    to pin the same convention.  Single scan, one small shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            (F.dayofweek("ts") - 1).cast("long").alias("day_of_week"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("hour_of_day", "day_of_week", "event_type")
+    )
