@@ -342,7 +342,8 @@ def a10_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, count(*) AS n_events, SUM(new_sess) AS n_sessions
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions
     FROM seq GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -551,10 +552,11 @@ def dq1_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                    THEN 1 ELSE 0 END) AS n_high
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events
     GROUP BY event_type
     ORDER BY event_type

@@ -66,7 +66,7 @@ def s2_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH gen AS ({GENERATOR_ORACLE_SQL})
     SELECT species, event, count(*) AS cnt,
-           SUM(CAST(ecologicalImpact AS BIGINT)) AS sum_impact
+           CAST(SUM(ecologicalImpact) AS BIGINT) AS sum_impact
     FROM gen
     GROUP BY species, event
     ORDER BY species, event

@@ -162,7 +162,7 @@ def str1_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey_b",
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
         )
         .orderBy("partkey_a", "partkey_b")
         .limit(200)

@@ -17,6 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schema import events_stream
 from .registry import query
 
 
@@ -38,17 +39,9 @@ def st1_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields exactly the batch answer — the equivalence the oracle
     checks.  At scale this same plan runs unbounded: the watermark
     bounds state, and partial aggregation happens per micro-batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # File-stream sources take a directory; pathGlobFilter narrows the
-    # listing to the events table within the shared sf_dir.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # File-stream source over the shared sf_dir (pathGlobFilter narrows
+    # the listing to the events table); ts normalized as in load_table.
+    stream = events_stream(spark, sf_dir)
     counts = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -94,13 +87,7 @@ def st2_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that replaces the reference's unbounded dict growth."""
     from ..streaming.stateful import running_sketch
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     sketched = running_sketch(stream.select("event_type", "user_id", "value"))
     name = f"st2_{uuid.uuid4().hex[:12]}"
     q = (
@@ -138,15 +125,7 @@ def st3_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-aligned window() produces exactly those starts.  Complete-mode
     drain of the bounded stream equals the batch answer; unbounded, the
     watermark caps how many open windows each key holds."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf_dir)
     counts = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")

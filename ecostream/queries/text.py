@@ -616,8 +616,9 @@ def pe1_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 20)
     return (
         docs.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
         )
+        .select("doc_id", F.col("pos0").cast("long").alias("pos"), "tok")
         .orderBy("doc_id", "pos")
     )
 

@@ -63,7 +63,7 @@ def w4_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
                 F.lit(-1),
-            ).alias("gap_days"),
+            ).cast("long").alias("gap_days"),
             F.coalesce(
                 F.unix_micros(F.lead("o_orderdate").over(w).cast("timestamp")),
                 F.lit(-1),
@@ -104,7 +104,9 @@ def w5_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     bal = F.col("c_acctbal").cast("decimal(18,2)")
     return (
-        cust.select(bal.alias("bal"), F.ntile(4).over(w).alias("quartile"))
+        cust.select(
+            bal.alias("bal"), F.ntile(4).over(w).cast("long").alias("quartile")
+        )
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -188,7 +190,7 @@ def w7_order_shipping_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("l_partkey").over(w).alias("last_partkey"),
             F.datediff(
                 F.last("l_shipdate").over(w), F.first("l_shipdate").over(w)
-            ).alias("span_days"),
+            ).cast("long").alias("span_days"),
         )
         .distinct()
         .orderBy("l_orderkey")

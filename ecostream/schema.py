@@ -113,9 +113,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events table's ``ts`` to zoned TimestampType.
+
+    Two parquet encodings appear in testdata: TIMESTAMP(NANOS) (read as
+    raw int64 under nanosAsLong — integer-divide to µs) and
+    timestamp[us] without isAdjustedToUTC (read as TIMESTAMP_NTZ in
+    Spark 4 — the session zone is UTC, so a cast relabels the same
+    instant as zoned TIMESTAMP, required by unix_micros, windows, and
+    streaming event-time, without shifting values).  Works on batch and
+    streaming DataFrames alike.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet (explicit schema — no
+    inference in streaming), with ``ts`` normalized exactly as
+    ``load_table`` does so stream and batch twins agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events_ts(stream)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
