@@ -33,7 +33,19 @@ def salted_join(
     the same key (a unique id is ideal); the salt is a deterministic
     hash of it, so results are reproducible.  Output columns = the
     plain join's (salt columns are dropped).
+
+    ``how`` is restricted to the join types the salting construction
+    preserves: unmatched SMALL-side rows would be replicated once per
+    salt value under right/full outer, so those are rejected.
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "semi",
+            "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — the replicated "
+            "small side breaks right/full outer semantics; use one of "
+            f"{sorted(safe)}"
+        )
     bs = big.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int")
     )

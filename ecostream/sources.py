@@ -15,9 +15,16 @@ assert bit-equality between the DataSource and the expression form, and
 the expression form is itself DuckDB-oracle-checked (s1).  Partitions
 split the index range, so output is identical at any parallelism.
 
-Scale note: each partition generates its own index slice — no shuffle,
-no skew, linear in rows-per-partition; the streaming reader's offset is
-just the next index, so recovery from a checkpoint replays exactly.
+Scale note: each batch-read partition generates its own index slice —
+no shuffle, no skew, linear in rows-per-partition.  The STREAM reader
+uses ``SimpleDataSourceStreamReader``: its ``read(start)`` receives the
+checkpoint-restored offset, so the planned range is always
+``[start, start+rowsPerBatch)`` — monotone across restarts by API
+construction (a ``DataSourceStreamReader`` whose ``latestOffset`` is
+seeded from in-memory state can regress behind the committed offset
+after a restart and replay committed ranges).  The driver-side read is
+fine here: this is a bounded synthetic generator (rowsPerBatch rows per
+trigger), not a throughput path.
 """
 
 from __future__ import annotations
@@ -28,8 +35,8 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from .schema import EVENTS, HABITATS, ROLES, SPECIES
@@ -89,34 +96,29 @@ class InsectEventsReader(DataSourceReader):
             yield _row(i)
 
 
-class InsectEventsStreamReader(DataSourceStreamReader):
+class InsectEventsStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch source: the offset IS the next row index; each
     trigger advances by ``rowsPerBatch`` until ``n`` (then idles).
-    Checkpoint replay of [start, end) regenerates identical rows."""
+    ``read(start)`` derives the batch from the (checkpoint-restored)
+    start offset, so restart resumes exactly where the committed offset
+    left off — no in-memory offset state to regress."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n", 1000))
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
-        self._latest = 0
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
-    def latestOffset(self) -> dict:
-        self._latest = min(self.n, self._latest + self.rows_per_batch)
-        return {"i": self._latest}
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["i"]
+        hi = min(self.n, lo + self.rows_per_batch)
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
 
-    def partitions(self, start: dict, end: dict):
-        return [_Range(start["i"], end["i"])]
-
-    def read(self, partition: _Range) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([_row(i) for i in range(start["i"], end["i"])])
 
     def commit(self, end: dict) -> None:
-        pass
-
-    def stop(self) -> None:
         pass
 
 
@@ -131,7 +133,7 @@ class InsectEventsDataSource(DataSource):
     def reader(self, schema) -> InsectEventsReader:
         return InsectEventsReader(self.options)
 
-    def streamReader(self, schema) -> InsectEventsStreamReader:
+    def simpleStreamReader(self, schema) -> InsectEventsStreamReader:
         return InsectEventsStreamReader(self.options)
 
 

@@ -190,6 +190,14 @@ def incremental_agg_store(
     ACID; at real scale this exact loop is Delta/Iceberg ``MERGE INTO``
     and the versioning comes from the table format).  Merge cost is
     O(|keys|) per batch, never a rescan of history.
+
+    Idempotent under foreachBatch's at-least-once replay: the merge
+    base is always the newest version STRICTLY OLDER than ``batch_id``,
+    and a pre-existing ``v=<batch_id>`` (a replayed or partially
+    written attempt) is discarded and rebuilt — so re-running a batch
+    after a mid-write crash produces the same totals, never a
+    double-count.  This is the standard idempotent foreachBatch write
+    pattern (batch_id as the version key).
     """
     from pathlib import Path
 
@@ -206,6 +214,11 @@ def incremental_agg_store(
         versions = sorted(
             int(p.name.split("=", 1)[1]) for p in store.glob("v=*")
         )
+        if batch_id in versions:
+            # at-least-once replay (or partial write from a crash):
+            # rebuild deterministically from the pre-batch base.
+            shutil.rmtree(store / f"v={batch_id}", ignore_errors=True)
+        versions = [v for v in versions if v < batch_id]
         if versions:
             cur = spark.read.parquet(str(store / f"v={versions[-1]}"))
             merged = (

@@ -73,3 +73,18 @@ def test_salted_join_equals_plain_join(spark):
     )
     n_salts = bs.where(F.col("k") == 1).select("_salt").distinct().count()
     assert n_salts > 4
+
+
+def test_salted_join_rejects_outer_small_side(spark):
+    """right/full outer would replicate unmatched small-side rows once
+    per salt value — salted_join must refuse rather than silently break
+    its 'output = plain join' contract."""
+    import pytest
+
+    from ecostream.functions.salt import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", F.col("k"), n_salt=4, how=how)

@@ -87,9 +87,6 @@ def test_zorder_value_matches_python_interleave(spark):
         .collect()
     ]
     expected = [
-        _interleave_py([a, b], 16) for a, b in sorted(rows, key=lambda r: (r[1], r[0]))
-    ]
-    expected = [
         _interleave_py([a, b], 16) for a, b in sorted(rows)
     ]
     assert got == expected

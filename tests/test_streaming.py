@@ -18,7 +18,9 @@ from .conftest import SF_SMOKE
 RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        # timestamp[us] without isAdjustedToUTC reads as NTZ in Spark 4;
+        # normalize_events_ts relabels it zoned (same instants, UTC zone).
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -46,8 +48,10 @@ def test_stream_batch_equivalence(spark, events_stream_dir, tmp_path):
     stream equals the same agg over the batch table."""
     from ecostream.streaming import file_stream_source, windowed_counts
 
+    from ecostream.schema import normalize_events_ts
+
     stream = file_stream_source(spark, events_stream_dir, RAW_EVENTS_SCHEMA)
-    stream = stream.withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(stream).withColumn("event_ts", F.col("ts"))
     counts = windowed_counts(
         stream, window="6 hours", watermark="1 hour", keys=("event_type",)
     )
@@ -414,11 +418,14 @@ def test_transform_with_state_stream_equals_batch(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: per-key running totals over 3
     micro-batches converge to the batch groupBy exactly.  Runs on the
     RocksDB state store (the only provider supporting transformWithState,
-    and the scale-path provider regardless).  The TWS driver worker
-    needs the python protobuf package — skip where absent."""
-    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf")
+    and the scale-path provider regardless).  The TWS workers need the
+    python protobuf package — installed or the vendored runtime
+    (ecostream/_vendor); skip only if neither resolves."""
     from ecostream.schema import load_table
-    from ecostream.streaming.stateful import running_totals_tws
+    from ecostream.streaming.stateful import ensure_protobuf, running_totals_tws
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf available (installed or vendored)")
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -664,6 +671,64 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     want = (
         load_table(spark, SF_SMOKE, "events")
         .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.collect()
+    ]
+
+
+def test_agg_store_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that wrote its version
+    directory but crashed before the checkpoint commit is REPLAYED with
+    the same batch_id on restart.  Simulate by deleting the last commit
+    log entry and restarting — the merge must rebuild from the
+    pre-batch base, not double-count the delta."""
+    from ecostream.schema import load_table
+    from ecostream.streaming.ingest import incremental_agg_store, read_agg_store
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0).drop("event_id")
+    b = ev.where(F.col("event_id") % 2 == 1).drop("event_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    a.coalesce(1).write.mode("append").parquet(str(src))
+    b.coalesce(1).write.mode("append").parquet(str(src))
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    schema = a.schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = incremental_agg_store(stream, store, ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_once()  # batches 0 and 1 both committed
+    commits = sorted((Path(ckpt) / "commits").glob("[0-9]*"))
+    assert len(commits) >= 2
+    commits[-1].unlink()  # crash between store write and commit
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():  # stale checksum would fail the rewrite's rename
+        crc.unlink()
+    run_once()  # replays the last batch with the same batch_id
+
+    got = read_agg_store(spark, store).orderBy("event_type")
+    want = (
+        ev.groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
