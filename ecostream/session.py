@@ -24,6 +24,13 @@ def get_spark(
     On a real cluster ``master``/memory come from spark-submit; here we
     default to ``local[$SPARK_GRAFT_CPUS]`` per the test environment.
     """
+    # Export the vendored-protobuf PYTHONPATH BEFORE the JVM launches so
+    # the transformWithState driver worker (spawned with the JVM's env)
+    # can import google.protobuf.  No-op when protobuf is installed.
+    from .streaming.stateful import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(cpus)

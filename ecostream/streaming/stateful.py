@@ -133,6 +133,60 @@ def batch_sketch(
 TWS_OUTPUT_SCHEMA = "event_type string, n bigint, total double"
 
 
+def ensure_protobuf(spark=None) -> bool:
+    """Make ``google.protobuf`` importable for the TWS state protocol.
+
+    Prefers an installed protobuf; falls back to the vendored
+    pure-Python runtime in ``ecostream/_vendor`` (see its README).  When
+    ``spark`` is given, the vendor tree is also zipped and shipped via
+    ``addPyFile`` so the Python *workers* (where the TWS state server
+    runs) can import it too.  Returns False if neither is available.
+
+    The TWS *driver worker* is a separate process the JVM spawns with
+    the JVM's own PYTHONPATH — addPyFile does not reach it.  We export
+    PYTHONPATH here as well, which covers any JVM launched afterwards;
+    for a session that already exists, call this BEFORE
+    ``SparkSession.builder...getOrCreate()`` (``ecostream.session.
+    get_spark`` does).
+    """
+    import importlib
+    import os
+    import shutil as _sh
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    vendored = False
+    try:
+        importlib.import_module("google.protobuf")
+    except ImportError:
+        vendor = Path(__file__).resolve().parent.parent / "_vendor"
+        if not (vendor / "google" / "protobuf").is_dir():
+            return False
+        sys.path.insert(0, str(vendor))
+        importlib.invalidate_caches()
+        try:
+            importlib.import_module("google.protobuf")
+        except ImportError:
+            return False
+        vendored = True
+        existing = os.environ.get("PYTHONPATH", "")
+        if str(vendor) not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                str(vendor) + (os.pathsep + existing if existing else "")
+            )
+    if spark is not None and vendored:
+        zip_base = os.path.join(tempfile.gettempdir(), "ecostream_protobuf_vendor")
+        zip_path = zip_base + ".zip"
+        if not os.path.exists(zip_path):
+            _sh.make_archive(zip_base, "zip", str(vendor))
+        try:
+            spark.sparkContext.addPyFile(zip_path)
+        except Exception:
+            pass  # already added in this context
+    return True
+
+
 class RunningTotalsProcessor:
     """Spark 4 ``transformWithStateInPandas`` processor: per-key running
     (count, sum) in a ``ValueState``, optionally TTL'd.
