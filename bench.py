@@ -36,8 +36,11 @@ HEADLINE = [
     "k4_minhash_jaccard",         # 128-perm MinHash signature aggregation
     "d1_exact_dedup",             # exact dedup over documents
     "d3_minhash_lsh_candidates",  # MinHash+LSH near-dup candidate pairs
+    "d5_dedup_clusters",          # connected-components dedup clustering
     "sim1_cosine_topk",           # brute-force cosine top-k ANN baseline
+    "sim5_ivf_kmeans_ann",        # k-means-trained IVF ANN probe
     "t7_token_counts",            # text analysis over documents
+    "t9_contamination_overlap",   # n-gram blocked contamination check
 ]
 
 

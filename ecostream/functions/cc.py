@@ -30,8 +30,46 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _local_union_find(
+    spark, vertices: DataFrame, sym: DataFrame
+) -> DataFrame:
+    """Driver-side path-compressed union-find for SMALL graphs.
+
+    Below ``local_threshold`` the edge set is model-sized (for dedup:
+    LSH candidate pairs, orders of magnitude smaller than the corpus),
+    and a driver pass is hundreds of Spark jobs cheaper than iterating
+    label propagation.  Same collect-a-model shape as the bloom bitset
+    and k-means centroid round-trips (sanctioned, SURVEY §2.7/§7).
+
+    Only EDGE-TOUCHED vertices round-trip through the driver (≤ 2·|E|,
+    bounded by the threshold); the possibly-huge vertex set stays
+    distributed — isolated vertices get their own id via a left join.
+    """
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in sym.collect():
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(v, find(v)) for v in parent]
+    labels = spark.createDataFrame(rows or [(None, None)], "v long, component long")
+    return vertices.join(labels, "v", "left").select(
+        "v", F.coalesce("component", "v").alias("component")
+    )
+
+
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = 64
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 64,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Component labels for an undirected graph held as DataFrames.
 
@@ -40,10 +78,23 @@ def connected_components(
     ``(v, component)`` where ``component`` is the MIN vertex id of the
     component — a deterministic canonical representative, which is
     exactly the "keep the lowest doc_id" dedup rule.
+
+    Size-adaptive: the symmetrized edge list is materialized once
+    (required anyway — every round joins it); if it holds fewer than
+    ``local_threshold`` edges, a driver union-find finishes in one
+    pass instead of diameter-many distributed rounds.  Set
+    ``local_threshold=0`` to force the distributed path.
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the symmetrized edge list ONCE: every round joins it,
+    # and without this the full upstream lineage (for dedup: the whole
+    # LSH candidate pipeline) would re-execute per round.
+    sym = _ckpt(
+        edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
+    if local_threshold and sym.count() < local_threshold:
+        return _local_union_find(vertices.sparkSession, vertices, sym)
     labels = _ckpt(vertices.select("v", F.col("v").alias("component")))
     for _ in range(max_rounds):
         nbr_min = (

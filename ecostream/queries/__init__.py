@@ -65,3 +65,7 @@ try:
     from . import seriesops  # noqa: F401  (gap-fill, fuzzy match, regex)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import storage_queries  # noqa: F401  (S6 write side: compaction)
+except ImportError:  # pragma: no cover
+    pass

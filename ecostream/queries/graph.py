@@ -126,6 +126,69 @@ def g2_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_step_index(cur: str, step: int, degree: int) -> int:
+    """Deterministic neighbor index: ascii of the first md5 hex digit of
+    ``"{cur}:{step}"`` mod degree — reproducible in ANSI SQL
+    (``ascii(substring(md5(...),1,1)) % degree``), so the walk itself is
+    oracle-checkable, unlike a seeded PRNG."""
+    import hashlib
+
+    return ord(hashlib.md5(f"{cur}:{step}".encode()).hexdigest()[0]) % degree
+
+
+@query(
+    "g2_hash_walk",
+    oracle=f"""
+    WITH RECURSIVE
+    nodes AS ({_NODES_SQL}),
+    e AS (
+        SELECT a.habitat AS src, b.habitat AS dst
+        FROM nodes a JOIN nodes b ON a.habitat <> b.habitat
+        WHERE ROUND({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) <= 15000.0
+    ),
+    nbrs AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+               count(*) OVER (PARTITION BY src) AS deg
+        FROM e
+    ),
+    walk(step, habitat) AS (
+        SELECT 0, (SELECT min(habitat) FROM nodes)
+        UNION ALL
+        SELECT w.step + 1, n.dst
+        FROM walk w
+        JOIN nbrs n ON n.src = w.habitat
+         AND n.rnk = ascii(substring(md5(w.habitat || ':' ||
+                                         CAST(w.step AS VARCHAR)), 1, 1))
+                     % n.deg
+        WHERE w.step < 10
+    )
+    SELECT CAST(step AS INT) AS step, habitat FROM walk
+    """,
+)
+def g2_hash_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 with a fully oracle-checkable walk: the neighbor choice is a
+    deterministic hash of (current node, step) over the
+    lexicographically-ranked neighbor list, replacing the seeded PRNG of
+    ``g2_random_walk`` (kept for reference parity,
+    random_walk_utils.py:33-47).  The DuckDB oracle replays the SAME
+    walk with a recursive CTE — graph construction, neighbor ranking,
+    hash choice, and sink early-stop all verified end to end."""
+    adj = _adjacency(spark, sf_dir)
+    start = sorted(adj)[0]
+    path = [start]
+    cur = start
+    for step in range(10):
+        nbrs = adj.get(cur, [])
+        if not nbrs:
+            break
+        cur = nbrs[_hash_step_index(cur, step, len(nbrs))][0]
+        path.append(cur)
+    return spark.createDataFrame(
+        [(i, h) for i, h in enumerate(path)], "step int, habitat string"
+    )
+
+
 @query("g3_walk_frequencies")
 def g3_walk_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 walk-frequency analysis (consultas.py:258-287): R=100 seeded

@@ -215,11 +215,21 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     so partial aggregation collapses the |centroids| scored rows per
     vector map-side — the exchange carries one row per vector, unlike
     a row_number window which would shuffle and sort all of them."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    # argmax_c cos(v, c) = argmax_c dot(v, c)/|c|: the vector's own norm
+    # is constant per row, so it is dropped from the score (saves a
+    # |centroids|-times-redundant O(dim) norm per row), and |c| is
+    # precomputed on the tiny centroid side before the broadcast.
+    # greatest(.., 1e-12) guards the degenerate all-zeros centroid —
+    # under ANSI mode a 0 divisor is fatal, and a zero centroid should
+    # simply never win the argmax (its dot is 0 anyway).
+    cents = centroids.withColumn(
+        "cent_norm", F.greatest(norm(F.col("cv_cent")), F.lit(1e-12))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
         "cent_id",
-        (dot(F.col("v"), F.col("cv_cent")) / (norm(F.col("v")) * norm(F.col("cv_cent")))).alias(
+        (dot(F.col("v"), F.col("cv_cent")) / F.col("cent_norm")).alias(
             "cent_sim"
         ),
     )
@@ -306,13 +316,26 @@ def kmeans_centroids(
     Init: the k hash-lowest vec_ids — deterministic and spread across
     the corpus, found by a per-partition top-k merge (TakeOrdered),
     never a global sort.  Each iteration assigns via :func:`ivf_assign`
-    (broadcast centroids, map-side argmax collapse) and recomputes each
-    cell's centroid as ``dim`` element-wise ``F.avg`` aggregates in ONE
-    groupBy — partial aggregation sums map-side, so the exchange
-    carries |cells| × dim doubles per input partition, never exploded
-    rows.  The k × dim model round-trips through the driver between
-    iterations (it IS the model, not data — the same shape MLlib's
-    k-means uses).  Empty cells keep their previous centroid."""
+    (broadcast centroids, map-side argmax collapse) and recomputes the
+    cell means as ONE narrow ``(cell, pos) → avg`` aggregate over
+    ``posexplode(v)`` — partial aggregation collapses each input
+    partition to ≤ |cells|·dim rows before the exchange, and the plan
+    stays O(1) wide (a dim-wide ``F.avg`` array aggregate re-pays
+    whole-stage codegen compilation on every iteration's new centroid
+    literals — measured 3× slower at dim=64).  The k × dim model
+    round-trips through the driver between iterations (it IS the
+    model, not data — the same shape MLlib's k-means uses).  Empty
+    cells keep their previous centroid."""
+    # One materialization feeds all Lloyd passes (init + iters scans);
+    # without it every iteration re-runs the scan + array parse.  The
+    # checkpoint also right-sizes partitioning for the per-iteration
+    # jobs: ~1M vectors per partition keeps task count proportional to
+    # data instead of inheriting the scan's layout (at bench scale the
+    # whole training set is a handful of partitions, so the 3×
+    # iteration loop pays 3 small jobs, not 3×32 near-empty tasks).
+    n_vec = emb.count()
+    target_parts = max(1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1))
+    emb = emb.coalesce(target_parts).localCheckpoint(eager=True)
     init = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(k)
@@ -324,13 +347,15 @@ def kmeans_centroids(
     schema = "cent_id long, cv_cent array<double>"
     for _ in range(iters):
         centroids = spark.createDataFrame(cur, schema)
-        means = {
-            int(r["cell"]): list(r["cv"])
-            for r in ivf_assign(emb, centroids)
-            .groupBy("cell")
-            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
+        means: dict[int, list] = {}
+        for r in (
+            ivf_assign(emb, centroids)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
             .collect()
-        }
+        ):
+            means.setdefault(int(r["cell"]), [0.0] * dim)[r["pos"]] = r["m"]
         cur = [(cid, means.get(cid, cv)) for cid, cv in cur]
     return spark.createDataFrame(cur, schema)
 

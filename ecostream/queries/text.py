@@ -514,7 +514,10 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_pairs = minhash_lsh_candidates(docs, max_bucket_size=64).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
-    pairs = exact_pairs.unionByName(near_pairs)
+    # Materialize the candidate pairs once: both the vertex derivation
+    # and every CC round consume them, and their lineage (the LSH
+    # banding pipeline) is the expensive part.
+    pairs = exact_pairs.unionByName(near_pairs).localCheckpoint(eager=True)
     verts = (
         pairs.select(F.col("src").alias("v"))
         .unionByName(pairs.select(F.col("dst").alias("v")))

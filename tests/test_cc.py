@@ -52,11 +52,20 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         edf = spark.createDataFrame(
             [(s, d) for s, d in edges] or [(0, 0)], "src long, dst long"
         )
+        # both execution paths: driver union-find (small-graph default)
+        # and forced distributed label propagation must agree
         got = {
             r["v"]: r["component"]
             for r in connected_components(vdf, edf).collect()
         }
-        assert got == expected, f"trial {trial}"
+        assert got == expected, f"trial {trial} (local path)"
+        got_dist = {
+            r["v"]: r["component"]
+            for r in connected_components(
+                vdf, edf, local_threshold=0
+            ).collect()
+        }
+        assert got_dist == expected, f"trial {trial} (distributed path)"
 
 
 def test_d5_dedup_clusters_invariants(spark):
