@@ -69,3 +69,7 @@ try:
     from . import storage_queries  # noqa: F401  (S6 write side: compaction)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import llm_pipeline  # noqa: F401  (chunk/split/shuffle/pack)
+except ImportError:  # pragma: no cover
+    pass
