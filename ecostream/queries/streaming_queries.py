@@ -148,3 +148,131 @@ def st3_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "st4_stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def st4_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 as a REAL stream: the built-in ``session_window`` aggregation
+    (30-minute gap) over the file-streamed events table, drained in
+    complete mode.  The oracle replays the identical semantics as the
+    classic lag/cumsum gap-sessionization in SQL (session start = first
+    event, duration = last − first; ``session_window.end`` includes the
+    trailing gap, so start/duration are derived from min/max event
+    time).  Unbounded, the watermark seals sessions whose gap has
+    passed and drops their state — the reference's hand-rolled window
+    buffers (consumer.py:32-44) never could."""
+    stream = events_stream(spark, sf_dir)
+    sessions = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "n_events",
+            (F.col("session_end_us") - F.col("session_start_us")).alias(
+                "duration_us"
+            ),
+        )
+    )
+    name = f"st4_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "st5_stream_stream_join",
+    oracle="""
+    SELECT p.user_id, count(*) AS n_pairs
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                            AND epoch_us(p.ts)
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.user_id
+    """,
+)
+def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — purchases matched to the same
+    user's clicks in the preceding hour (attribution join).  Both sides
+    are watermarked and the join carries an event-time range predicate,
+    which is exactly what lets Spark bound join state: a click's state
+    can be dropped once the watermark passes its ts + 1h.  The bounded
+    stream drains every match, so the batch self-join oracle sees the
+    identical pair set; the per-user count is the declared (narrow)
+    result.  Nothing in the reference joins streams at all — this is
+    engine surface the re-spec adds."""
+    stream = events_stream(spark, sf_dir)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    name = f"st5_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
