@@ -1,0 +1,115 @@
+"""Training-data preparation operators (queries/llm_pipeline.py):
+semantic invariants the oracle hash can't express directly, plus the
+plan shapes that decide 100 TB behavior."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_chunk1_covers_every_token_with_fixed_overlap(spark):
+    """Chunk windows must tile each document completely: first chunk
+    starts at 0, consecutive chunks overlap by len-stride tokens, and
+    summed coverage equals n_tokens + overlap·(n_chunks−1)."""
+    from ecostream.queries.llm_pipeline import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        chunk1_token_windows,
+        _docs,
+    )
+
+    chunks = chunk1_token_windows(spark, SF_SMOKE)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("covered"),
+            F.min("chunk_idx").alias("first_idx"),
+            F.max("chunk_idx").alias("last_idx"),
+        )
+        .collect()
+    )
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in _docs(spark, SF_SMOKE)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert per_doc and len(per_doc) == len(n_tok)
+    for r in per_doc:
+        n = n_tok[r["doc_id"]]
+        assert r["first_idx"] == 0
+        assert r["n_chunks"] == (n + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
+        assert r["last_idx"] == r["n_chunks"] - 1
+        expected_cover = sum(
+            min(_CHUNK_LEN, n - s) for s in range(0, n, _CHUNK_STRIDE)
+        )
+        assert r["covered"] == expected_cover
+        assert r["covered"] >= n  # complete coverage
+
+
+def test_chunk1_no_shuffle(spark):
+    """Chunking is embarrassingly parallel — the plan must contain NO
+    exchange (map-side Generate only)."""
+    from ecostream.queries.llm_pipeline import chunk1_token_windows
+
+    p = _plan(chunk1_token_windows(spark, SF_SMOKE))
+    assert "Exchange" not in p, p
+
+
+def test_split1_deterministic_and_disjoint(spark):
+    """Every doc lands in exactly one split, repeat runs are identical,
+    and proportions are within a loose band of 90/5/5."""
+    from ecostream.queries.llm_pipeline import split1_train_val_test
+
+    a = {r["split"]: r for r in split1_train_val_test(spark, SF_SMOKE).collect()}
+    b = {r["split"]: r for r in split1_train_val_test(spark, SF_SMOKE).collect()}
+    assert set(a) == {"train", "val", "test"}
+    assert {k: (v["n_docs"], v["total_chars"]) for k, v in a.items()} == {
+        k: (v["n_docs"], v["total_chars"]) for k, v in b.items()
+    }
+    total = sum(v["n_docs"] for v in a.values())
+    assert 0.80 <= a["train"]["n_docs"] / total <= 0.97
+
+
+def test_shuffle1_no_global_sort_materialized(spark):
+    """The bounded training-order slice must plan as a top-k
+    (TakeOrderedAndProject), not a full global Sort of the corpus."""
+    from ecostream.queries.llm_pipeline import shuffle1_training_order
+
+    p = _plan(shuffle1_training_order(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_pack1_bins_are_contiguous_and_budgeted(spark):
+    """Bin ids must be a gapless 0..B-1 range and every bin except the
+    last must hold ≥ the budget once its straddling doc is counted
+    (each bin ends with the doc that crosses the boundary)."""
+    from ecostream.queries.llm_pipeline import (
+        _PACK_BUDGET,
+        pack1_sequence_packing,
+    )
+
+    rows = sorted(
+        pack1_sequence_packing(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bin"],
+    )
+    bins = [r["bin"] for r in rows]
+    assert bins == list(range(len(bins)))
+    # cumulative totals must cross each bin boundary in order
+    cum = 0
+    for r in rows[:-1]:
+        cum += r["n_tokens"]
+        assert cum >= (r["bin"] + 1) * _PACK_BUDGET
