@@ -464,14 +464,21 @@ def t9_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap a high-precision contamination signal: only genuinely
     copied passages collide."""
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
+    # Tokenize ONCE per row into a column: a split() referenced inside
+    # the transform() lambda would re-split the document for every
+    # 8-gram position (no common-subexpression elimination across
+    # lambda invocations).
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    grams = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"
+                    "transform(sequence(1, greatest(size(toks) - 7, 1)),"
+                    " i -> concat_ws(' ', slice(toks, i, 8)))"
                 )
             )
         ).alias("g"),
