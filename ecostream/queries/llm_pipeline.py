@@ -237,3 +237,173 @@ def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- SAMP1: deterministic stratified sampling --------------------------------
+
+
+@query(
+    "samp1_stratified_sample",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN ((ascii(substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 31
+                         + ascii(substring(md5(CAST(event_id AS VARCHAR)), 2, 1))) % 100)
+                         < 10
+                    THEN 1 ELSE 0 END AS in_sample
+        FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
+           count(*) AS n_total,
+           ROUND(CAST(SUM(in_sample) AS DOUBLE) / count(*), 6) AS sample_rate
+    FROM flagged
+    GROUP BY event_type
+    """,
+)
+def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample per class: membership is a
+    pure md5-bucket function of event_id (the portable-hash device of
+    split1), so the SAME rows are sampled on every run, engine, and
+    partitioning — what `df.sampleBy` (seeded Bernoulli per stratum)
+    cannot promise once data moves.  Output reports per-class sampled /
+    total / realized-rate; the class-conditional rates concentrate
+    around 10% because the hash is independent of event_type.  One scan,
+    map-side membership, single aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "pmod(ascii(substring(md5(cast(event_id as string)), 1, 1)) * 31 "
+        "+ ascii(substring(md5(cast(event_id as string)), 2, 1)), 100)"
+    )
+    flagged = ev.select(
+        "event_type", (bucket < 10).cast("int").alias("in_sample")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum("in_sample").cast("long").alias("n_sampled"),
+            F.count("*").alias("n_total"),
+        )
+        .select(
+            "event_type",
+            "n_sampled",
+            "n_total",
+            F.round(
+                F.col("n_sampled").cast("double") / F.col("n_total"), 6
+            ).alias("sample_rate"),
+        )
+    )
+
+
+# --- PIPELINE2: end-to-end training-set manifest -----------------------------
+
+
+@query(
+    "pipeline2_training_manifest",
+    oracle=f"""
+    WITH kept AS (
+        -- exact dedup: keep the lowest doc_id per content hash
+        SELECT doc_id, text, lang, n_chars
+        FROM (
+            SELECT doc_id, text, lang, n_chars,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    quality AS (
+        -- quality gate: t6's thresholds (token count + type-token ratio)
+        SELECT doc_id, text, n_chars,
+               len(string_split(text, ' ')) AS n_tok
+        FROM kept
+        WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) > 0.1
+    ),
+    assigned AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN {_BUCKET_DUCK} < 90 THEN 'train'
+                    WHEN {_BUCKET_DUCK} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM quality
+    ),
+    packed AS (
+        SELECT split, n_tok,
+               SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS cum_before
+        FROM assigned
+    )
+    SELECT split,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY split, 2
+    """,
+)
+def pipeline2_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-set build: exact dedup (keep-min per
+    content hash) → quality gate (t6's token-count + type-token-ratio
+    thresholds) → deterministic split assignment → per-split sequence
+    packing.  One declared query exercising the whole preparation
+    funnel so the driver pins every stage boundary at once (a row lost
+    in dedup, mis-gated on quality, mis-bucketed, or packed into the
+    wrong bin all flip the manifest hash).
+
+    Plan shape at 100 TB: one shuffle for the dedup window
+    (hash(md5(text))), map-side gating and split assignment, one
+    range-sort per split for packing — each stage's output feeds the
+    next without re-scanning the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    toks = F.split("text", " ")
+    quality = kept.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+    ).where(
+        F.col("n_tok").between(10, 1000) & (F.col("ttr") > 0.1)
+    )
+    bucket = F.expr(_BUCKET_SPARK)
+    assigned = quality.select(
+        "doc_id",
+        "n_tok",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    wp = (
+        W.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = assigned.select(
+        "split",
+        "n_tok",
+        (F.sum("n_tok").over(wp) - F.col("n_tok")).alias("cum_before"),
+    )
+    return (
+        packed.select(
+            "split",
+            F.floor(F.col("cum_before") / _PACK_BUDGET)
+            .cast("long")
+            .alias("bin"),
+            "n_tok",
+        )
+        .groupBy("split", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
