@@ -95,18 +95,51 @@ def k1_membership_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K1 true sketch (rows-only: hash-dependent, deterministic) --------------
 
 
-@query("k1_bloom_probe")
+@query(
+    "k1_bloom_probe",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT {_KEY_SQL} AS key FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ), probe AS (
+        SELECT DISTINCT {_KEY_SQL} AS key FROM events
+    )
+    SELECT p.key,
+           (b.key IS NOT NULL) AS is_member,
+           TRUE AS no_false_negative
+    FROM probe p LEFT JOIN build b ON p.key = b.key
+    """,
+)
 def k1_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Bloom probe with the reference's p=0.03 budget
-    (consultas.py:127): no false negatives, FP ≈ 3%.  Deterministic
-    (xxhash64) but not DuckDB-expressible → rows-only check; accuracy
-    is property-tested against the exact twin."""
+    (consultas.py:127).  The bitset is hash-family-specific, so the
+    oracle-checkable claim is the Bloom INVARIANT: a member key must
+    always probe "possibly present" (no false negatives) —
+    ``no_false_negative = possibly_present OR NOT is_member`` must be
+    TRUE for every key, with exact membership recomputed independently
+    on both engines.  The ≈p false-positive rate stays property-tested
+    (it depends on the hash family, which DuckDB can't replay)."""
     ev = _events(spark, sf_dir)
     build = ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
-    n = max(16, build.select(_key().alias("k")).distinct().count())
+    build_keys = build.select(_key().alias("key")).distinct()
+    n = max(16, build_keys.count())
     probe = ev.select(_key().alias("key")).distinct()
     out = bloom_probe_df(build, _key(), probe, F.col("key"), n=n, p=0.03)
-    return out.orderBy("key")
+    return (
+        out.join(
+            F.broadcast(build_keys.withColumn("is_member", F.lit(True))),
+            "key",
+            "left",
+        )
+        .select(
+            "key",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            (
+                F.col("possibly_present") | ~F.coalesce("is_member", F.lit(False))
+            ).alias("no_false_negative"),
+        )
+        .orderBy("key")
+    )
 
 
 # --- K2: HLL distinct count — approx + built-in HLL sketch -------------------
@@ -130,15 +163,33 @@ def k2_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k2_distinct_approx")
+@query(
+    "k2_distinct_approx",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_3rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def k2_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct estimate at the reference's accuracy budget
     (b=12 → rsd=1.625%, hyperloglog.py:5-8).  Mergeable across
-    partitions — the property that makes it work at 100 TB.  Rows-only:
-    estimates are engine-specific; the 3σ bound is property-tested."""
+    partitions — the property that makes it work at 100 TB.  The raw
+    estimate is engine-specific, so the oracle-checkable claim is the
+    ERROR BOUND: the estimate must sit within 3·rsd of the exact
+    distinct count (which the oracle recomputes exactly).  A drifting
+    estimator flips the boolean and fails the hash."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", HLL_RSD).alias("n_users_est"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", HLL_RSD)
+                - F.countDistinct("user_id")
+            )
+            <= 3 * HLL_RSD * F.countDistinct("user_id")
+        ).alias("within_3rsd"),
     )
 
 
@@ -208,12 +259,41 @@ def k4_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("k4_minhash_jaccard")
+@query(
+    "k4_minhash_jaccard",
+    oracle="""
+    WITH sets AS (
+        SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 30
+    ), users AS (
+        SELECT DISTINCT user_id FROM sets
+    ), sizes AS (
+        SELECT user_id, count(*) AS sz FROM sets GROUP BY user_id
+    ), inter AS (
+        SELECT a.user_id AS a_id, b.user_id AS b_id, count(*) AS n_inter
+        FROM sets a JOIN sets b
+          ON a.event_type = b.event_type AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    )
+    SELECT ua.user_id AS a_id, ub.user_id AS b_id,
+           ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE),
+                 6) AS jaccard_exact,
+           TRUE AS within_4sigma
+    FROM users ua JOIN users ub ON ua.user_id < ub.user_id
+    JOIN sizes sa ON sa.user_id = ua.user_id
+    JOIN sizes sb ON sb.user_id = ub.user_id
+    LEFT JOIN inter i ON i.a_id = ua.user_id AND i.b_id = ub.user_id
+    """,
+)
 def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-permutation MinHash Jaccard estimate between per-user sets
     (reference signature semantics: slot = min over set of seeded hash,
-    minwisehashing.py:13-25).  Deterministic but hash-family-specific →
-    rows-only; the σ ≤ 0.0442 bound is property-tested."""
+    minwisehashing.py:13-25).  The estimate is hash-family-specific, so
+    the oracle-checkable claims are the exact Jaccard (recomputed
+    independently by both engines) and the ERROR BOUND: every pair's
+    estimate must sit within 4·σ_max = 4·0.0442 of exact (σ_max at
+    J=0.5 with 128 perms; the per-J 3σ bound is property-tested).  Any
+    signature-pipeline regression flips booleans and fails the hash."""
     ev = _events(spark, sf_dir)
     sets = (
         ev.where(F.col("user_id") < 30).select("user_id", "event_type").distinct()
@@ -222,9 +302,51 @@ def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         sets, ["user_id"], F.col("event_type"), num_perm=128
     )
     est = minhash_jaccard(sigs, sigs, "user_id", num_perm=128)
-    return est.select(
-        "a_id", "b_id", F.round("jaccard_est", 6).alias("jaccard_est")
-    ).orderBy("a_id", "b_id")
+
+    users = sets.select("user_id").distinct()
+    sizes = sets.groupBy("user_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("a_id"), F.col("b.user_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    pairs = (
+        users.alias("ua")
+        .join(users.alias("ub"), F.col("ua.user_id") < F.col("ub.user_id"))
+        .select(
+            F.col("ua.user_id").alias("a_id"), F.col("ub.user_id").alias("b_id")
+        )
+        .join(sizes.withColumnRenamed("user_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
+        .join(sizes.withColumnRenamed("user_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
+        .join(inter, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("sza") + F.col("szb") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jx"),
+        )
+    )
+    return (
+        pairs.join(est, ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.round("jx", 6).alias("jaccard_exact"),
+            (F.abs(F.col("jaccard_est") - F.col("jx")) <= 4 * 0.0442).alias(
+                "within_4sigma"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
 
 
 # --- K5: representative sampling ---------------------------------------------

@@ -94,19 +94,19 @@ def test_random_walk_paths(spark):
 
 
 def test_bloom_probe_query_no_false_negatives(spark):
-    """Declared k1_bloom_probe vs its exact twin on real testdata:
-    every exactly-present key must be flagged possibly_present."""
+    """Declared k1_bloom_probe vs its exact twin on real testdata: the
+    independently-joined is_member flag must agree with the exact twin,
+    and no_false_negative must hold for every key (the Bloom
+    invariant the oracle asserts)."""
     from ecostream.queries import QUERIES
 
     exact = {
         r["key"] for r in QUERIES["k1_membership_present"](spark, SF_SMOKE).collect()
     }
-    probe = {
-        r["key"]: r["possibly_present"]
-        for r in QUERIES["k1_bloom_probe"](spark, SF_SMOKE).collect()
-    }
-    missing = [k for k in exact if not probe.get(k, False)]
-    assert not missing, missing
+    rows = QUERIES["k1_bloom_probe"](spark, SF_SMOKE).collect()
+    assert all(r["no_false_negative"] for r in rows)
+    got_members = {r["key"] for r in rows if r["is_member"]}
+    assert got_members == exact
 
 
 def test_minhash_wide_and_long_forms_agree(spark):
