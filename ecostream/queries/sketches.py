@@ -352,16 +352,27 @@ def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K5: representative sampling ---------------------------------------------
 
 
-@query("k5_representative_sample")
+@query(
+    "k5_representative_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+    LIMIT 5
+    """,
+)
 def k5_representative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded representative sample (minwisehashing.py:27-30 /
-    random.sample k=3 → here seeded rand + limit).  Nondeterministic
-    across engines → rows-only (SURVEY §5 rule: never oracle-declare
-    sampling)."""
+    """Representative sample (minwisehashing.py:27-30 / random.sample
+    k=3 → here k=5).  Selection is by md5-hash order of the row id —
+    arbitrary-but-fixed, which upgrades the reference's seeded
+    ``random.sample`` to something stable across engines, runs, AND
+    partitioning (a seeded ``rand()`` changes when data moves), so the
+    exact sampled rows are oracle-checked.  Plans as
+    TakeOrderedAndProject: per-partition top-k merge, no global sort."""
     ev = _events(spark, sf_dir)
     return (
         ev.select("event_id", "user_id", "event_type", "value")
-        .orderBy(F.rand(42))
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
         .limit(5)
     )
 
@@ -369,35 +380,81 @@ def k5_representative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K6: approximate frequent items (heavy hitters) --------------------------
 
 
-@query("k6_freq_items")
+@query(
+    "k6_freq_items",
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM events),
+    he AS (
+        SELECT count(*) AS c FROM (
+            SELECT event_type FROM events GROUP BY event_type
+            HAVING count(*) > 0.05 * (SELECT total FROM n)
+        )
+    ),
+    hb AS (
+        SELECT count(*) AS c FROM (
+            SELECT user_id % 50 FROM events GROUP BY user_id % 50
+            HAVING count(*) > 0.05 * (SELECT total FROM n)
+        )
+    )
+    SELECT CAST(he.c AS BIGINT) AS n_heavy_event_types,
+           TRUE AS event_types_covered,
+           CAST(hb.c AS BIGINT) AS n_heavy_user_buckets,
+           TRUE AS user_buckets_covered
+    FROM he, hb
+    """,
+)
 def k6_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters over (event_type, user bucket) pairs —
     the sketch-family answer to A8's exact top-k frequencies
-    (single-pass, bounded memory; support 5%).  Result is a small
-    array-per-column frame; exact twins are a8/o2.  rows-only:
-    freqItems is approximate with engine-specific contents."""
+    (single-pass, bounded memory; support 5%).  freqItems' contents are
+    engine-specific, but its GUARANTEE is oracle-checkable: every value
+    with true frequency > support must appear in the returned set.  The
+    query recomputes the exact heavy-hitter sets and emits their counts
+    plus the containment booleans; the oracle recomputes the counts
+    independently and asserts TRUE."""
     ev = _events(spark, sf_dir)
     pairs = ev.select(
         F.col("event_type"), (F.col("user_id") % 50).alias("user_bucket")
     )
     out = pairs.stat.freqItems(["event_type", "user_bucket"], support=0.05)
-    return out.select(
-        F.array_sort("event_type_freqItems").alias("event_type_freq"),
-        F.array_sort("user_bucket_freqItems").alias("user_bucket_freq"),
+    total = pairs.count()
+    heavy_e = {
+        r["event_type"]
+        for r in pairs.groupBy("event_type").count().collect()
+        if r["count"] > 0.05 * total
+    }
+    heavy_b = {
+        r["user_bucket"]
+        for r in pairs.groupBy("user_bucket").count().collect()
+        if r["count"] > 0.05 * total
+    }
+    row = out.collect()[0]
+    covered_e = heavy_e <= set(row["event_type_freqItems"])
+    covered_b = heavy_b <= set(row["user_bucket_freqItems"])
+    return spark.createDataFrame(
+        [(len(heavy_e), covered_e, len(heavy_b), covered_b)],
+        "n_heavy_event_types long, event_types_covered boolean, "
+        "n_heavy_user_buckets long, user_buckets_covered boolean",
     )
 
 
 # --- K7: stratified sampling --------------------------------------------------
 
 
-@query("k7_stratified_sample")
+@query(
+    "k7_stratified_sample",
+    oracle="""
+    SELECT event_type, count(*) AS n_total, TRUE AS within_tolerance
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def k7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample (sampleBy): per-stratum fractions keep
     rare event types represented — the principled version of K5's
-    uniform sample for skewed category distributions.  Seeded but
-    engine-specific → rows-only; declared output is the per-stratum
-    sample count so the row count is stable-ish under the driver's
-    rows-only check."""
+    uniform sample for skewed category distributions.  The sampled SET
+    is engine-specific (seeded Bernoulli), so the oracle-checked claims
+    are the per-stratum totals (exact, both engines) and the
+    REALIZATION BOUND: each stratum's sample count within 4σ of n·f."""
     ev = _events(spark, sf_dir)
     fractions = {
         "click": 0.02,
@@ -407,28 +464,71 @@ def k7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error": 0.2,
     }
     sample = ev.sampleBy("event_type", fractions=fractions, seed=42)
-    return sample.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+    counts = sample.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("event_type")]
+    # Bernoulli tolerance: |n_sampled − n·f| ≤ 4·sqrt(n·f·(1−f)) + 2
+    tol = 4 * F.sqrt(F.col("n_total") * frac * (1 - frac)) + 2
+    return (
+        totals.join(counts, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            (
+                F.abs(F.coalesce("n_sampled", F.lit(0)) - F.col("n_total") * frac)
+                <= tol
+            ).alias("within_tolerance"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --- K2b: mergeable HLL sketch columns (the warehouse-scale pattern) ---------
 
 
-@query("k2_hll_sketch_mergeable")
+@query(
+    "k2_hll_sketch_mergeable",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_3rsd
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def k2_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type computed by MERGING per-day HLL
     sketches (hll_sketch_agg per (type, day) → hll_union_agg per type
     → estimate) — the pattern that matters at 100 TB: daily sketch
     tables are tiny, persistable, and unioning them answers any date
     range without rescanning raw events.  lgConfigK=12 matches the
-    reference's b=12 register budget (hyperloglog.py:5-8).  rows-only
-    (estimates are sketch-implementation-specific); the 3σ accuracy
-    bound vs k2_distinct_exact is property-tested."""
+    reference's b=12 register budget (hyperloglog.py:5-8).  The merged
+    estimate is sketch-implementation-specific, so the oracle checks
+    the exact count (both engines) plus the 3·rsd error-bound boolean —
+    the merge property itself: union-of-daily-sketches must estimate
+    the global distinct within budget."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"))
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_users_est") - F.col("n_users_exact"))
+                <= F.greatest(
+                    F.lit(2.0), 3 * 0.01625 * F.col("n_users_exact")
+                )
+            ).alias("within_3rsd"),
+        )
         .orderBy("event_type")
     )

@@ -225,7 +225,8 @@ def test_hll_sketch_merge_accuracy(spark):
         r["event_type"]: r["n_users"]
         for r in k2_distinct_exact(spark, SF_SMOKE).collect()
     }
-    rel = 3 * 1.04 / (2**12) ** 0.5
-    for r in k2_hll_sketch_mergeable(spark, SF_SMOKE).collect():
-        want = exact[r["event_type"]]
-        assert abs(r["n_users_est"] - want) <= max(2, rel * want * 3), (r, want)
+    rows = k2_hll_sketch_mergeable(spark, SF_SMOKE).collect()
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["n_users_exact"] == exact[r["event_type"]]
+        assert r["within_3rsd"] is True, r
