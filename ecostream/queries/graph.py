@@ -189,18 +189,68 @@ def g2_hash_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g3_walk_frequencies")
+@query(
+    "g3_walk_frequencies",
+    oracle=f"""
+    WITH RECURSIVE
+    nodes AS ({_NODES_SQL}),
+    e AS (
+        SELECT a.habitat AS src, b.habitat AS dst
+        FROM nodes a JOIN nodes b ON a.habitat <> b.habitat
+        WHERE ROUND({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}, 3) <= 15000.0
+    ),
+    nbrs AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+               count(*) OVER (PARTITION BY src) AS deg
+        FROM e
+    ),
+    walk(r, step, habitat) AS (
+        SELECT u.r, 0, (SELECT min(habitat) FROM nodes)
+        FROM unnest(generate_series(0, 99)) AS u(r)
+        UNION ALL
+        SELECT w.r, w.step + 1, n.dst
+        FROM walk w
+        JOIN nbrs n ON n.src = w.habitat
+         AND n.rnk = ascii(substring(md5(w.habitat || ':' ||
+                                         CAST(w.step AS VARCHAR) || ':' ||
+                                         CAST(w.r AS VARCHAR)), 1, 1))
+                     % n.deg
+        WHERE w.step < 10
+    ),
+    counts AS (
+        SELECT habitat, count(*) AS visits FROM walk GROUP BY habitat
+    )
+    SELECT habitat, visits,
+           ROUND(CAST(visits AS DOUBLE)
+                 / (SELECT SUM(visits) FROM counts) * 100, 6) AS pct
+    FROM counts
+    ORDER BY visits DESC, habitat
+    """,
+)
 def g3_walk_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3 walk-frequency analysis (consultas.py:258-287): R=100 seeded
-    walks → per-habitat visit count + percentage, most-common order.
-    The Counter/pct math is the A8 frequency shape; the walk simulation
-    itself is driver-local over the vocabulary-sized graph."""
+    """G3 walk-frequency analysis (consultas.py:258-287): R=100 walks →
+    per-habitat visit count + percentage, most-common order.  The
+    Counter/pct math is the A8 frequency shape; the walk simulation is
+    driver-local over the vocabulary-sized graph.  Walk r's neighbor
+    choice hashes (node, step, r) — the same portable-determinism
+    upgrade as g2_hash_walk, so the DuckDB oracle replays ALL 100 walks
+    with one recursive CTE and checks the full frequency table."""
+    import hashlib
+
     adj = _adjacency(spark, sf_dir)
     start = sorted(adj)[0]
     visits: list[tuple[str]] = []
     for r in range(100):
-        for h in random_walk(adj, start, steps=10, seed=1000 + r):
-            visits.append((h,))
+        cur = start
+        visits.append((cur,))
+        for step in range(10):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            h = hashlib.md5(f"{cur}:{step}:{r}".encode()).hexdigest()
+            cur = nbrs[ord(h[0]) % len(nbrs)][0]
+            visits.append((cur,))
     vdf = spark.createDataFrame(visits, "habitat string")
     from pyspark.sql import Window as W
 

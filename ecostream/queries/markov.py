@@ -279,3 +279,62 @@ def m4b_dtmc_classification_distributed(
         )
         .orderBy("state")
     )
+
+
+# --- M4c: recurrence classification, oracle-checked --------------------------
+
+
+@query(
+    "m4c_dtmc_recurrence",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT cur, nxt FROM ({_PAIRS_SQL}) WHERE nxt IS NOT NULL
+    ),
+    states AS (
+        -- explicit DISTINCT: under WITH RECURSIVE, DuckDB evaluates
+        -- this UNION without deduplicating across the two branches
+        SELECT DISTINCT s FROM (
+            SELECT cur AS s FROM edges UNION ALL SELECT nxt FROM edges
+        )
+    ),
+    reach(src, dst) AS (
+        SELECT cur, nxt FROM edges
+        UNION
+        SELECT r.src, e.nxt FROM reach r JOIN edges e ON e.cur = r.dst
+    )
+    SELECT s.s AS state,
+           NOT EXISTS (
+               SELECT 1 FROM reach r
+               WHERE r.src = s.s
+                 AND NOT EXISTS (
+                     SELECT 1 FROM reach r2
+                     WHERE r2.src = r.dst AND r2.dst = s.s
+                 )
+           ) AS is_recurrent
+    FROM states s
+    ORDER BY state
+    """,
+)
+def m4c_dtmc_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurrent/transient half of M4, oracle-checked end to end: a
+    state is recurrent iff its communicating class is closed — every
+    state it can reach can reach it back.  The engine classifies via
+    Tarjan SCC over the transition matrix (same path as m4); the DuckDB
+    oracle derives the SAME answer independently from first principles
+    with a recursive-CTE transitive closure over the positive-transition
+    edges.  (Periods stay rows-only in m4/m4b: cycle-length gcds are not
+    reasonably SQL-expressible.)"""
+    from ..markov_analysis import classify_states
+
+    mat = m3_transition_matrix(spark, sf_dir)
+    rows = mat.collect()
+    probs = {
+        r["cur"]: {s: r[f"p_{s}"] for s in EVENT_TYPES} for r in rows
+    }
+    result = classify_states(probs)
+    out_rows = [
+        (state, info["class"] == "recurrent")
+        for state, info in sorted(result.items())
+    ]
+    return spark.createDataFrame(out_rows, "state string, is_recurrent boolean")
