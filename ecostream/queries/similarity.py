@@ -103,21 +103,25 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SIM2: sign-LSH (random hyperplane) bucketed ANN -------------------------
 
 
+def plane_weight(p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1] for
+    plane ``p``, dimension ``i`` — md5-derived so it is a plain NUMBER
+    both engines share (the weights are inlined as literals into the
+    Spark expression AND the DuckDB oracle, making the whole sign-LSH
+    pipeline oracle-checkable)."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+    return (int(h[:4], 16) % 2001) / 1000.0 - 1.0
+
+
 def signlsh_buckets(emb: DataFrame, n_planes: int = 16, dim: int = 64) -> DataFrame:
     """Hash each vector to an n_planes-bit sign signature against
     deterministic pseudo-random hyperplanes (plane p, dim i weight =
-    hash-derived uniform in [-1, 1]).  Vectors in the same bucket are
-    ANN candidates — the shuffle is on the bucket id, never pairwise."""
+    :func:`plane_weight`).  Vectors in the same bucket are ANN
+    candidates — the shuffle is on the bucket id, never pairwise."""
     planes = [
-        F.array(
-            *[
-                (
-                    F.pmod(F.xxhash64(F.lit(p * 1024 + i)), F.lit(2001)) / 1000.0
-                    - 1.0
-                )
-                for i in range(dim)
-            ]
-        )
+        F.array(*[F.lit(plane_weight(p, i)) for i in range(dim)])
         for p in range(n_planes)
     ]
     bucket = F.lit(0).cast("long")
@@ -128,11 +132,35 @@ def signlsh_buckets(emb: DataFrame, n_planes: int = 16, dim: int = 64) -> DataFr
     return emb.withColumn("bucket", bucket)
 
 
-@query("sim2_signlsh_buckets")
+def _planes_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression computing the same bucket id as
+    :func:`signlsh_buckets` over a DOUBLE[] column ``v``."""
+    terms = []
+    for p in range(n_planes):
+        arr = ", ".join(repr(plane_weight(p, i)) for i in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "sim2_signlsh_buckets",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT CAST({{bucket}} AS BIGINT) AS bucket, count(*) AS n_vectors
+    FROM emb GROUP BY 1 ORDER BY bucket
+    """.format(bucket=_planes_sql(8)),
+)
 def sim2_signlsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared sign-LSH bucketing (rows-only: hash-specific).  Bucket
-    sizes show the partition balance; ANN recall vs sim1 is
-    property-tested."""
+    """Declared sign-LSH bucketing — oracle-checked: the hyperplane
+    weights are shared literals (:func:`plane_weight`), so DuckDB
+    recomputes every vector's 8-bit sign signature and the full bucket
+    histogram must hash-match.  Bucket sizes show the partition
+    balance; ANN recall vs sim1 is property-tested."""
     emb = _emb(spark, sf_dir)
     return (
         signlsh_buckets(emb, n_planes=8)
@@ -142,11 +170,38 @@ def sim2_signlsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim2_signlsh_ann")
+@query(
+    "sim2_signlsh_ann",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v, CAST({{bucket}} AS BIGINT) AS bucket FROM emb
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket
+        FROM bucketed WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS match_id,
+               ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        FROM bucketed c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, match_id, cos_sim, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """.format(bucket=_planes_sql(4)),
+)
 def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: exact cosine only within shared LSH buckets —
     the IVF-style scale path (candidates ≈ corpus/2^planes per query).
-    rows-only; recall vs the brute-force baseline is property-tested.
+    Oracle-checked end to end (shared hyperplane literals → DuckDB
+    replays bucketing, candidate generation, scoring, and the top-10);
+    recall vs the brute-force baseline is property-tested.
     4 planes ⇒ 16 coarse cells at test scale; at real scale raise
     planes with corpus size to keep cells ≈ thousands of vectors."""
     emb = signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
@@ -293,11 +348,59 @@ def ivf_ann_topk(
     )
 
 
-@query("sim4_ivf_ann")
+@query(
+    "sim4_ivf_ann",
+    oracle="""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM queries q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS match_id,
+               ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, match_id, cos_sim, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a deterministic coarse quantizer (centroids = the
-    first 8 vectors) and nprobe=2.  rows-only (recall vs sim1 is
-    property-tested); sim5 is the k-means-trained variant."""
+    first 8 vectors) and nprobe=2.  FULLY oracle-checked: DuckDB's
+    list_dot_product / list_cosine_similarity replay the entire IVF
+    pipeline — cell assignment (dot/|c| argmax, lowest-id ties), probe
+    selection (top-2 cells by cosine), in-cell exact scoring, and the
+    per-query top-10 — so the driver hash pins the ANN structure
+    end to end, not just row counts.  sim5 (k-means-trained) stays
+    rows-only: its centroids depend on distributed float-sum order."""
     emb = _emb(spark, sf_dir)
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
