@@ -213,13 +213,13 @@ def d3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D4: SimHash fingerprint --------------------------------------------------
 
 
-def simhash63(hash_col: str = "th") -> F.Column:
-    """63-bit SimHash from a 64-bit token hash column: per bit, sign of
+def simhash63(hash_col: str = "th", n_bits: int = 63) -> F.Column:
+    """n_bits-bit SimHash from a token hash column: per bit, sign of
     the (+1/-1) vote sum across tokens.  Pure aggregate expressions —
-    63 conditional sums recombined into one BIGINT — no UDF.  63 bits
-    (not 64) so the fingerprint stays positive under ANSI arithmetic."""
+    n_bits conditional sums recombined into one BIGINT — no UDF.  ≤63
+    bits so the fingerprint stays positive under ANSI arithmetic."""
     out = F.lit(0).cast("long")
-    for i in range(63):
+    for i in range(n_bits):
         vote = F.sum(
             F.when(F.expr(f"CAST(shiftright({hash_col}, {i}) & 1 AS INT)") == 1, 1)
             .otherwise(-1)
@@ -228,17 +228,166 @@ def simhash63(hash_col: str = "th") -> F.Column:
     return out
 
 
-@query("d4_simhash")
+@query(
+    "d4_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS th
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ),
+    votes AS (
+        SELECT doc_id,
+               SUM(CASE WHEN (th >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+               SUM(CASE WHEN (th >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+               SUM(CASE WHEN (th >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+               SUM(CASE WHEN (th >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+               SUM(CASE WHEN (th >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+               SUM(CASE WHEN (th >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+               SUM(CASE WHEN (th >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+               SUM(CASE WHEN (th >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+               SUM(CASE WHEN (th >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+               SUM(CASE WHEN (th >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+               SUM(CASE WHEN (th >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+               SUM(CASE WHEN (th >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+               SUM(CASE WHEN (th >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+               SUM(CASE WHEN (th >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+               SUM(CASE WHEN (th >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+               SUM(CASE WHEN (th >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+               SUM(CASE WHEN (th >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+               SUM(CASE WHEN (th >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+               SUM(CASE WHEN (th >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+               SUM(CASE WHEN (th >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+               SUM(CASE WHEN (th >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+               SUM(CASE WHEN (th >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+               SUM(CASE WHEN (th >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+               SUM(CASE WHEN (th >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+               SUM(CASE WHEN (th >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+               SUM(CASE WHEN (th >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+               SUM(CASE WHEN (th >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+               SUM(CASE WHEN (th >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+               SUM(CASE WHEN (th >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+               SUM(CASE WHEN (th >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+               SUM(CASE WHEN (th >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+               SUM(CASE WHEN (th >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+               SUM(CASE WHEN (th >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+               SUM(CASE WHEN (th >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+               SUM(CASE WHEN (th >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+               SUM(CASE WHEN (th >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+               SUM(CASE WHEN (th >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+               SUM(CASE WHEN (th >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+               SUM(CASE WHEN (th >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+               SUM(CASE WHEN (th >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+               SUM(CASE WHEN (th >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+               SUM(CASE WHEN (th >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+               SUM(CASE WHEN (th >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+               SUM(CASE WHEN (th >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+               SUM(CASE WHEN (th >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+               SUM(CASE WHEN (th >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+               SUM(CASE WHEN (th >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+               SUM(CASE WHEN (th >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+               SUM(CASE WHEN (th >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+               SUM(CASE WHEN (th >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+               SUM(CASE WHEN (th >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+               SUM(CASE WHEN (th >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+               SUM(CASE WHEN (th >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+               SUM(CASE WHEN (th >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+               SUM(CASE WHEN (th >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+               SUM(CASE WHEN (th >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+               SUM(CASE WHEN (th >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+               SUM(CASE WHEN (th >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+               SUM(CASE WHEN (th >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+               SUM(CASE WHEN (th >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v32 > 0 THEN CAST(4294967296 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v33 > 0 THEN CAST(8589934592 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v34 > 0 THEN CAST(17179869184 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v35 > 0 THEN CAST(34359738368 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v36 > 0 THEN CAST(68719476736 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v37 > 0 THEN CAST(137438953472 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v38 > 0 THEN CAST(274877906944 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v39 > 0 THEN CAST(549755813888 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v40 > 0 THEN CAST(1099511627776 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v41 > 0 THEN CAST(2199023255552 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v42 > 0 THEN CAST(4398046511104 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v43 > 0 THEN CAST(8796093022208 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v44 > 0 THEN CAST(17592186044416 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v45 > 0 THEN CAST(35184372088832 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v46 > 0 THEN CAST(70368744177664 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v47 > 0 THEN CAST(140737488355328 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v48 > 0 THEN CAST(281474976710656 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v49 > 0 THEN CAST(562949953421312 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v50 > 0 THEN CAST(1125899906842624 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v51 > 0 THEN CAST(2251799813685248 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v52 > 0 THEN CAST(4503599627370496 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v53 > 0 THEN CAST(9007199254740992 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v54 > 0 THEN CAST(18014398509481984 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v55 > 0 THEN CAST(36028797018963968 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v56 > 0 THEN CAST(72057594037927936 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v57 > 0 THEN CAST(144115188075855872 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v58 > 0 THEN CAST(288230376151711744 AS BIGINT) ELSE 0 END)
+         + (CASE WHEN v59 > 0 THEN CAST(576460752303423488 AS BIGINT) ELSE 0 END)
+           AS simhash
+    FROM votes ORDER BY doc_id
+    """,
+)
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc SimHash (near-dup fingerprint; hamming-close docs are
     near-dups — compare with bit_count(simhash_a ^ simhash_b)).
     Computed as token-explode → per-bit vote sums → recombine — one
-    shuffle on doc_id.  rows-only (hash-specific)."""
+    shuffle on doc_id.  The token hash is the first 60 bits of
+    md5(token) — portable across engines, so the oracle replays the
+    ENTIRE fingerprint (every bit vote of every doc) and the driver
+    hash pins it exactly."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("th"))
-    agg = toks.groupBy("doc_id").agg(simhash63().alias("simhash"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("th"),
+    )
+    agg = toks.groupBy("doc_id").agg(
+        simhash63(n_bits=60).alias("simhash")
+    )
     return agg.orderBy("doc_id")
 
 
