@@ -93,3 +93,55 @@ def s6_cluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_cols=["user_id"],
     )
     return _agg(spark.read.parquet(clustered))
+
+
+@query(
+    "s7_bucketed_join",
+    oracle="""
+    SELECT o.o_custkey AS custkey, count(*) AS n_orders,
+           ROUND(CAST(SUM(o.o_totalprice) AS DOUBLE), 2) AS total_spend,
+           max(c.c_name) AS c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing: both sides are
+    written bucketed on the join key (8 buckets, sorted), then joined —
+    with bucketed scans Spark plans NO exchange on either side (the
+    plan property tests/test_storage.py asserts; here the driver checks
+    the DATA: the bucketed join must equal the plain join the oracle
+    runs).  At 100 TB this is the difference between re-shuffling two
+    huge tables per join and reading co-located buckets."""
+    import shutil
+    from pathlib import Path
+
+    from ..storage import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS s7_orders_b")
+    spark.sql("DROP TABLE IF EXISTS s7_customer_b")
+    # DROP TABLE is a no-op for a table this session never registered,
+    # but a previous process may have left the managed location behind —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("s7_orders_b", "s7_customer_b"):
+        shutil.rmtree(Path(warehouse) / t, ignore_errors=True)
+    write_bucketed(orders, "s7_orders_b", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed(cust, "s7_customer_b", ["c_custkey"], 8, ["c_custkey"])
+    o = spark.table("s7_orders_b")
+    c = spark.table("s7_customer_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum("o_totalprice").cast("double"), 2
+            ).alias("total_spend"),
+            F.max("c_name").alias("c_name"),
+        )
+    )

@@ -276,3 +276,58 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "st6_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the events table is delivered TWICE
+    (an at-least-once source) and ``dropDuplicatesWithinWatermark`` on
+    event_id suppresses the re-deliveries, so the drained per-type
+    counts equal the exact single-copy counts the oracle computes.
+    State is bounded by the watermark — each id is remembered only
+    until the watermark passes its event time, which is what makes
+    streaming dedup viable at 100 TB (the reference's at-least-once
+    consume, consumer.py:398-423, has no such guard)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(tempfile.gettempdir()) / "ecostream_st6_src"
+    shutil.rmtree(src, ignore_errors=True)
+    src.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "copy_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "copy_b.parquet")
+
+    batch_schema = spark.read.parquet(str(src / "copy_a.parquet")).schema
+    from ..schema import normalize_events_ts
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(batch_schema).parquet(str(src))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name = f"st6_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
