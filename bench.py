@@ -41,6 +41,7 @@ HEADLINE = [
     "sim5_ivf_kmeans_ann",        # k-means-trained IVF ANN probe
     "t7_token_counts",            # text analysis over documents
     "t9_contamination_overlap",   # n-gram blocked contamination check
+    "pipeline2_training_manifest",  # composed dedup->gate->split->pack funnel
 ]
 
 

@@ -331,3 +331,49 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
+
+
+@query(
+    "st7_stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st7_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    (batch) customer dimension — the canonical streaming-ETL shape
+    Spark executes by re-planning the static side per micro-batch with
+    a broadcast hash join, NO stream state (unlike st5's stream-stream
+    join).  Complete-mode aggregated drain equals the batch join the
+    oracle runs.  At 100 TB the dimension refreshes by swapping the
+    static table between micro-batches — the slowly-changing-dimension
+    pattern."""
+    from ..schema import load_table
+
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+    name = f"st7_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
