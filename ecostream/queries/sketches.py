@@ -295,8 +295,14 @@ def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     J=0.5 with 128 perms; the per-J 3σ bound is property-tested).  Any
     signature-pipeline regression flips booleans and fails the hash."""
     ev = _events(spark, sf_dir)
+    # Materialize the tiny distinct set once: the signature pipeline,
+    # the exact-Jaccard verification joins, and the size/user branches
+    # all consume it — without this each branch rescans events.
     sets = (
-        ev.where(F.col("user_id") < 30).select("user_id", "event_type").distinct()
+        ev.where(F.col("user_id") < 30)
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     sigs = minhash_signature_long(
         sets, ["user_id"], F.col("event_type"), num_perm=128

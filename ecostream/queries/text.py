@@ -878,3 +878,94 @@ def d6_ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --- D3b: LSH banding with a portable hash family (oracle-checked) -----------
+
+
+@query(
+    "d3b_minhash_lsh_md5",
+    oracle="""
+    WITH shingles AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        coalesce(string_split(text, ' ')[i + 1], '')
+               ))) AS sh
+        FROM documents WHERE doc_id < 500
+    ),
+    hashes AS (
+        SELECT doc_id, u.p,
+               ('0x' || substr(md5(CAST(u.p AS VARCHAR) || ':' || sh), 1, 15))
+                   ::UBIGINT::BIGINT AS h
+        FROM shingles, unnest(generate_series(0, 31)) AS u(p)
+    ),
+    sig AS (
+        SELECT doc_id, p, min(h) AS mh FROM hashes GROUP BY doc_id, p
+    ),
+    bands AS (
+        SELECT doc_id, CAST(floor(p / 4) AS BIGINT) AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bkey
+        FROM sig GROUP BY doc_id, 2
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ORDER BY a_id, b_id
+    """,
+)
+def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding with a PORTABLE hash family — the
+    oracle-checked twin of d3: 32 md5-derived permutations, 8 bands of
+    4 rows, candidate pairs = docs sharing any band signature.  DuckDB
+    replays the whole pipeline (shingling, per-perm min-hash, band
+    keys, bucket self-join), so the driver hash pins the LSH banding
+    MECHANISM exactly; d3 keeps the faster xxhash64 family for the
+    production path (same structure, different hash — SURVEY §7.3's
+    sanctioned deviation, now with the mechanism independently
+    verified)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " coalesce(element_at(t, i + 1), '')))"
+                )
+            )
+        ).alias("sh"),
+    )
+    mh = lambda p: F.min(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("sh"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    ).alias(f"h{p}")
+    sigs = shingles.groupBy("doc_id").agg(*[mh(p) for p in range(32)])
+    band_keys = [
+        F.concat_ws(",", *[F.col(f"h{b * 4 + r}").cast("string") for r in range(4)])
+        for b in range(8)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "bkey"),
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
