@@ -412,7 +412,11 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_centroids(
-    spark: SparkSession, emb: DataFrame, k: int = 8, iters: int = 3
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    materialized: bool = False,
 ) -> DataFrame:
     """Train IVF centroids with distributed Lloyd's iterations.
 
@@ -436,9 +440,14 @@ def kmeans_centroids(
     # data instead of inheriting the scan's layout (at bench scale the
     # whole training set is a handful of partitions, so the 3×
     # iteration loop pays 3 small jobs, not 3×32 near-empty tasks).
-    n_vec = emb.count()
-    target_parts = max(1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1))
-    emb = emb.coalesce(target_parts).localCheckpoint(eager=True)
+    # ``materialized=True`` skips this when the caller already did it
+    # (sim5 shares one materialization between training and probe).
+    if not materialized:
+        n_vec = emb.count()
+        target_parts = max(
+            1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1)
+        )
+        emb = emb.coalesce(target_parts).localCheckpoint(eager=True)
     init = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(k)
@@ -473,4 +482,11 @@ def sim5_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits run-dependent; structure is pinned by the probed-cell
     equality test and the quantization-objective test."""
     emb = _emb(spark, sf_dir)
-    return ivf_ann_topk(emb, kmeans_centroids(spark, emb, k=8, iters=3))
+    # One shared materialization: training's 3 Lloyd passes AND the
+    # probe's assignment pass all read it (the probe otherwise re-runs
+    # the scan + array parse a 5th time).
+    n_vec = emb.count()
+    parts = max(1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1))
+    emb = emb.coalesce(parts).localCheckpoint(eager=True)
+    cents = kmeans_centroids(spark, emb, k=8, iters=3, materialized=True)
+    return ivf_ann_topk(emb, cents)
