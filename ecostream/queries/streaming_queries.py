@@ -377,3 +377,82 @@ def st7_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_ST8_SHINGLES = """list_distinct(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+    i -> string_split(text, ' ')[i] || ' ' ||
+         coalesce(string_split(text, ' ')[i + 1], '')
+))"""
+
+
+def _st8_slot_sql(p: int) -> str:
+    return (
+        f"CAST(list_aggregate(list_transform({_ST8_SHINGLES}, "
+        f"sh -> ('0x' || substr(md5('{p}:' || sh), 1, 15))"
+        f"::UBIGINT::BIGINT), 'min') AS BIGINT) AS h{p}"
+    )
+
+
+@query(
+    "st8_stream_signature_index",
+    oracle="SELECT doc_id, "
+    + ", ".join(_st8_slot_sql(p) for p in range(8))
+    + " FROM documents ORDER BY doc_id",
+)
+def st8_stream_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained dedup signature index: the documents
+    table streams through a MAP-ONLY MinHash signature computation
+    (8 md5-family slots as higher-order array expressions — no
+    aggregation, so append mode needs no watermark) into a parquet file
+    sink, whose commit log gives exactly-once appends.  The index read
+    back must equal the batch signature table the oracle computes — the
+    pattern that keeps a 100 TB near-dup index current as the corpus
+    grows, instead of re-signing the whole corpus per run.  New docs
+    cost O(new docs); the LSH bucket join (d3/d3b) then runs against
+    the stored signatures."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    work = Path(tempfile.gettempdir()) / "ecostream_st8"
+    shutil.rmtree(work, ignore_errors=True)
+    (work / "src").mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/documents.parquet", work / "src" / "docs.parquet")
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(work / "src"))
+
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 1, 1)),"
+        " i -> concat(element_at(split(text,' '), i), ' ',"
+        " coalesce(element_at(split(text,' '), i + 1), ''))))"
+    )
+    def _slot(p: int):
+        # NB: the inner lambda must take exactly ONE argument — pyspark
+        # interprets a two-arg lambda in F.transform as (element, index).
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda sh: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{p}:"), sh)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias(f"h{p}")
+
+    slots = [_slot(p) for p in range(8)]
+    sigs = stream.select("doc_id", *slots)
+    q = (
+        sigs.writeStream.format("parquet")
+        .option("path", str(work / "index"))
+        .option("checkpointLocation", str(work / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(str(work / "index")).orderBy("doc_id")

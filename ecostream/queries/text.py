@@ -969,3 +969,43 @@ def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+# --- PII1: entity redaction (scrubbing pass) ---------------------------------
+
+
+@query(
+    "pii1_entity_redaction",
+    oracle="""
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'customer', '')))
+                / length('customer') AS BIGINT) AS n_redactions,
+           md5(replace(text, 'customer', '[ENTITY]')) AS redacted_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pii1_entity_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction/scrubbing pass — the PII-removal shape of a training
+    pipeline: replace a target term everywhere (here the literal
+    'customer' stands in for a detected entity; the corpus has no real
+    PII patterns), count the replacements, and fingerprint the scrubbed
+    text.  Map-side only (no shuffle); the oracle replays the exact
+    replacement on every document, so the driver hash pins the scrubbed
+    CONTENT, not just counts.  At 100 TB the same plan holds with a
+    regex alternation of detected entities, still one scan."""
+    docs = _docs(spark, sf_dir)
+    term = "customer"
+    return (
+        docs.select(
+            "doc_id",
+            (
+                (F.length("text") - F.length(F.replace("text", F.lit(term))))
+                / len(term)
+            ).cast("long").alias("n_redactions"),
+            F.md5(
+                F.replace("text", F.lit(term), F.lit("[ENTITY]"))
+            ).alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
