@@ -113,3 +113,56 @@ def test_pack1_bins_are_contiguous_and_budgeted(spark):
     for r in rows[:-1]:
         cum += r["n_tokens"]
         assert cum >= (r["bin"] + 1) * _PACK_BUDGET
+
+
+def test_pipeline2_manifest_matches_python_recomputation(spark):
+    """Recompute the ENTIRE training manifest in plain Python over the
+    collected corpus (dedup keep-min → t6 gate → md5 split buckets →
+    per-split 512-token packing) and compare bin-for-bin — an
+    independent implementation, not a re-run of the Spark code."""
+    import hashlib
+    from collections import defaultdict
+
+    from ecostream.queries.llm_pipeline import (
+        _PACK_BUDGET,
+        pipeline2_training_manifest,
+        _docs,
+    )
+
+    rows = _docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+
+    # dedup: keep lowest doc_id per content hash
+    best = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        best.setdefault(h, r)
+    kept = sorted(best.values(), key=lambda r: r["doc_id"])
+
+    # quality gate: token count in [10, 1000], type-token ratio > 0.1
+    gated = []
+    for r in kept:
+        toks = r["text"].split(" ")
+        if 10 <= len(toks) <= 1000 and len(set(toks)) / len(toks) > 0.1:
+            gated.append((r["doc_id"], len(toks)))
+
+    # split assignment: two md5 hex digits of doc_id -> 0..99
+    def split_of(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        b = (ord(h[0]) * 31 + ord(h[1])) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    # per-split contiguous packing by doc_id order
+    expected = defaultdict(lambda: [0, 0])  # (split, bin) -> [docs, tokens]
+    cum = defaultdict(int)
+    for doc_id, n_tok in gated:  # already doc_id-ordered
+        sp = split_of(doc_id)
+        b = cum[sp] // _PACK_BUDGET
+        expected[(sp, b)][0] += 1
+        expected[(sp, b)][1] += n_tok
+        cum[sp] += n_tok
+
+    got = {
+        (r["split"], r["bin"]): [r["n_docs"], r["n_tokens"]]
+        for r in pipeline2_training_manifest(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expected)
