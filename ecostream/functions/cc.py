@@ -44,7 +44,11 @@ def _local_union_find(
     Only EDGE-TOUCHED vertices round-trip through the driver (≤ 2·|E|,
     bounded by the threshold); the possibly-huge vertex set stays
     distributed — isolated vertices get their own id via a left join.
+    The label schema is taken from ``vertices`` so non-long vertex ids
+    work the same as on the distributed path.
     """
+    from pyspark.sql import types as T
+
     parent: dict = {}
 
     def find(x):
@@ -59,7 +63,11 @@ def _local_union_find(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(v, find(v)) for v in parent]
-    labels = spark.createDataFrame(rows or [(None, None)], "v long, component long")
+    vtype = vertices.schema["v"].dataType
+    schema = T.StructType(
+        [T.StructField("v", vtype), T.StructField("component", vtype)]
+    )
+    labels = spark.createDataFrame(rows, schema)
     return vertices.join(labels, "v", "left").select(
         "v", F.coalesce("component", "v").alias("component")
     )
@@ -74,10 +82,14 @@ def connected_components(
     """Component labels for an undirected graph held as DataFrames.
 
     ``vertices``: one column ``v``; ``edges``: columns ``src``, ``dst``
-    (either orientation; symmetrized internally).  Returns
-    ``(v, component)`` where ``component`` is the MIN vertex id of the
-    component — a deterministic canonical representative, which is
-    exactly the "keep the lowest doc_id" dedup rule.
+    (either orientation; symmetrized internally).  Returns one row per
+    INPUT VERTEX: ``(v, component)`` where ``component`` is the MIN
+    vertex id of the component — a deterministic canonical
+    representative, which is exactly the "keep the lowest doc_id" dedup
+    rule.  Edge endpoints absent from ``vertices`` still CONDUCT
+    connectivity (A-X, X-B with X ∉ vertices puts A and B in one
+    component) but are not emitted — both execution paths agree on
+    this.
 
     Size-adaptive: the symmetrized edge list is materialized once
     (required anyway — every round joins it); if it holds fewer than
@@ -95,7 +107,15 @@ def connected_components(
     )
     if local_threshold and sym.count() < local_threshold:
         return _local_union_find(vertices.sparkSession, vertices, sym)
-    labels = _ckpt(vertices.select("v", F.col("v").alias("component")))
+    # Propagation runs over vertices ∪ edge endpoints so endpoints
+    # missing from `vertices` still conduct (matching the union-find
+    # path); the final projection restricts back to the input vertices.
+    all_verts = _ckpt(
+        vertices.select("v")
+        .unionByName(sym.select(F.col("src").alias("v")))
+        .distinct()
+    )
+    labels = _ckpt(all_verts.select("v", F.col("v").alias("component")))
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym.dst == labels.v)
@@ -116,4 +136,6 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    return labels
+    return vertices.select("v").join(labels, "v", "left").select(
+        "v", F.coalesce("component", "v").alias("component")
+    )

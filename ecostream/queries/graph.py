@@ -175,7 +175,11 @@ def g2_hash_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk with a recursive CTE — graph construction, neighbor ranking,
     hash choice, and sink early-stop all verified end to end."""
     adj = _adjacency(spark, sf_dir)
-    start = sorted(adj)[0]
+    # Start = min over ALL nodes (matching the oracle's min(habitat)
+    # FROM nodes) — not min over edge-touched nodes: an isolated first
+    # habitat yields a one-row walk, same as the oracle's recursive CTE
+    # finding no neighbors.
+    start = habitat_nodes(spark, sf_dir).agg(F.min("habitat")).collect()[0][0]
     path = [start]
     cur = start
     for step in range(10):
@@ -239,7 +243,9 @@ def g3_walk_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     adj = _adjacency(spark, sf_dir)
-    start = sorted(adj)[0]
+    # Same start convention as g2_hash_walk: min over ALL nodes, so the
+    # engine and the oracle agree even if that habitat has no edges.
+    start = habitat_nodes(spark, sf_dir).agg(F.min("habitat")).collect()[0][0]
     visits: list[tuple[str]] = []
     for r in range(100):
         cur = start

@@ -209,23 +209,18 @@ def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing: stream the corpus in doc_id order
     and cut a new bin every 512 tokens (concatenative
     pretraining batches; documents straddling a boundary belong to the
-    bin where they start).  The running total is a window cumulative
-    sum — at scale this is the one sort the pass needs, and it's a
-    range-partitioned sort on the already-sorted storage key, not a
-    single-partition window.  Each bin's doc count / token total is the
-    packing manifest the training loader consumes."""
+    bin where they start).  The running total is a DISTRIBUTED prefix
+    sum (functions/prefix.py): range-partition on doc_id, per-partition
+    local cumsum, driver-merged per-partition offsets — NOT a global
+    ``Window.orderBy``, which would move the whole corpus to one task.
+    Each bin's doc count / token total is the packing manifest the
+    training loader consumes."""
+    from ..functions.prefix import with_prefix_sum
+
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = docs.select(
-        "doc_id",
-        "n_tok",
-        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
-    )
+    run = with_prefix_sum(docs, ["doc_id"], "n_tok")
     return (
         run.select(
             F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("bin"),
@@ -352,10 +347,14 @@ def pipeline2_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong bin all flip the manifest hash).
 
     Plan shape at 100 TB: one shuffle for the dedup window
-    (hash(md5(text))), map-side gating and split assignment, one
-    range-sort per split for packing — each stage's output feeds the
-    next without re-scanning the corpus."""
+    (hash(md5(text))), map-side gating and split assignment, and a
+    distributed per-split prefix sum for packing (functions/prefix.py —
+    range partitions within each split, never a per-split
+    single-partition window) — each stage's output feeds the next
+    without re-scanning the corpus."""
     from pyspark.sql import Window as W
+
+    from ..functions.prefix import with_prefix_sum
 
     docs = _docs(spark, sf_dir)
     wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -383,15 +382,8 @@ def pipeline2_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    wp = (
-        W.partitionBy("split")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = assigned.select(
-        "split",
-        "n_tok",
-        (F.sum("n_tok").over(wp) - F.col("n_tok")).alias("cum_before"),
+    packed = with_prefix_sum(
+        assigned, ["doc_id"], "n_tok", partition_cols=["split"]
     )
     return (
         packed.select(

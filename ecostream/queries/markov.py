@@ -324,14 +324,19 @@ def m4c_dtmc_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives the SAME answer independently from first principles
     with a recursive-CTE transitive closure over the positive-transition
     edges.  (Periods stay rows-only in m4/m4b: cycle-length gcds are not
-    reasonably SQL-expressible.)"""
+    reasonably SQL-expressible.)
+
+    The adjacency comes from the RAW pair counts (cnt ≥ 1), not m3's
+    6-decimal-rounded probabilities — a rare transition whose empirical
+    probability rounds to 0.000000 is still an edge to the oracle, and
+    must be one to the engine too."""
     from ..markov_analysis import classify_states
 
-    mat = m3_transition_matrix(spark, sf_dir)
-    rows = mat.collect()
-    probs = {
-        r["cur"]: {s: r[f"p_{s}"] for s in EVENT_TYPES} for r in rows
-    }
+    pair_rows = m1_transition_pairs(spark, sf_dir).collect()
+    probs: dict[str, dict[str, float]] = {}
+    for r in pair_rows:
+        if r["nxt"] is not None:
+            probs.setdefault(r["cur"], {})[r["nxt"]] = 1.0  # positive weight
     result = classify_states(probs)
     out_rows = [
         (state, info["class"] == "recurrent")

@@ -411,6 +411,17 @@ def sim4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SIM5: k-means-trained IVF ------------------------------------------------
 
 
+def materialize_training_set(emb: DataFrame) -> DataFrame:
+    """Right-size and checkpoint an embedding set that iterative passes
+    will re-read: ~1M vectors per partition keeps task count
+    proportional to data instead of inheriting the scan's layout, and
+    the checkpoint stops every pass re-running the scan + array
+    parse."""
+    n_vec = emb.count()
+    parts = max(1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1))
+    return emb.coalesce(parts).localCheckpoint(eager=True)
+
+
 def kmeans_centroids(
     spark: SparkSession,
     emb: DataFrame,
@@ -443,11 +454,7 @@ def kmeans_centroids(
     # ``materialized=True`` skips this when the caller already did it
     # (sim5 shares one materialization between training and probe).
     if not materialized:
-        n_vec = emb.count()
-        target_parts = max(
-            1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1)
-        )
-        emb = emb.coalesce(target_parts).localCheckpoint(eager=True)
+        emb = materialize_training_set(emb)
     init = (
         emb.orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(k)
@@ -481,12 +488,9 @@ def sim5_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-sum ordering inside the distributed avg makes exact centroid
     bits run-dependent; structure is pinned by the probed-cell
     equality test and the quantization-objective test."""
-    emb = _emb(spark, sf_dir)
     # One shared materialization: training's 3 Lloyd passes AND the
     # probe's assignment pass all read it (the probe otherwise re-runs
     # the scan + array parse a 5th time).
-    n_vec = emb.count()
-    parts = max(1, min(emb.rdd.getNumPartitions(), n_vec // 1_000_000 + 1))
-    emb = emb.coalesce(parts).localCheckpoint(eager=True)
+    emb = materialize_training_set(_emb(spark, sf_dir))
     cents = kmeans_centroids(spark, emb, k=8, iters=3, materialized=True)
     return ivf_ann_topk(emb, cents)

@@ -121,10 +121,15 @@ def k1_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it depends on the hash family, which DuckDB can't replay)."""
     ev = _events(spark, sf_dir)
     build = ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
-    build_keys = build.select(_key().alias("key")).distinct()
+    # One materialized distinct-key set feeds the sizing count, the
+    # bloom build, AND the is_member join — otherwise each consumer
+    # rescans + re-distincts the filtered events.
+    build_keys = (
+        build.select(_key().alias("key")).distinct().localCheckpoint(eager=True)
+    )
     n = max(16, build_keys.count())
     probe = ev.select(_key().alias("key")).distinct()
-    out = bloom_probe_df(build, _key(), probe, F.col("key"), n=n, p=0.03)
+    out = bloom_probe_df(build_keys, F.col("key"), probe, F.col("key"), n=n, p=0.03)
     return (
         out.join(
             F.broadcast(build_keys.withColumn("is_member", F.lit(True))),

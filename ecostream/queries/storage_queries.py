@@ -44,9 +44,12 @@ def _agg(df: DataFrame) -> DataFrame:
 
 
 def _workdir(name: str) -> str:
-    """Stable per-process scratch dir (overwritten each run, so repeated
-    driver invocations don't accumulate tmp garbage)."""
-    return os.path.join(tempfile.gettempdir(), f"ecostream_{name}")
+    """Per-process scratch dir: stable within a process (repeated runs
+    overwrite instead of accumulating), pid-suffixed so concurrent
+    drivers on one host can't clobber each other's files mid-query."""
+    return os.path.join(
+        tempfile.gettempdir(), f"ecostream_{name}_{os.getpid()}"
+    )
 
 
 @query("s6_compact_roundtrip", oracle=_AGG_ORACLE)

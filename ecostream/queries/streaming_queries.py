@@ -298,7 +298,11 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    src = Path(tempfile.gettempdir()) / "ecostream_st6_src"
+    import os
+
+    # pid-suffixed scratch: concurrent drivers must not clobber each
+    # other's source/checkpoint dirs mid-query.
+    src = Path(tempfile.gettempdir()) / f"ecostream_st6_src_{os.getpid()}"
     shutil.rmtree(src, ignore_errors=True)
     src.mkdir(parents=True)
     shutil.copy(f"{sf_dir}/events.parquet", src / "copy_a.parquet")
@@ -415,7 +419,9 @@ def st8_stream_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    work = Path(tempfile.gettempdir()) / "ecostream_st8"
+    import os
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st8_{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     (work / "src").mkdir(parents=True)
     shutil.copy(f"{sf_dir}/documents.parquet", work / "src" / "docs.parquet")

@@ -178,7 +178,14 @@ def ensure_protobuf(spark=None) -> bool:
     if spark is not None and vendored:
         zip_base = os.path.join(tempfile.gettempdir(), "ecostream_protobuf_vendor")
         zip_path = zip_base + ".zip"
-        if not os.path.exists(zip_path):
+        # Rebuild when any vendored file is newer than the cached zip —
+        # an existence-only check would ship a stale runtime to workers
+        # forever after the vendor tree is patched.
+        newest = max(
+            (p.stat().st_mtime for p in vendor.rglob("*") if p.is_file()),
+            default=0.0,
+        )
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
             _sh.make_archive(zip_base, "zip", str(vendor))
         try:
             spark.sparkContext.addPyFile(zip_path)

@@ -108,3 +108,21 @@ def test_d5_dedup_clusters_invariants(spark):
         assert cid == min(m["doc_id"] for m in members)
         keepers = [m for m in members if m["keep"]]
         assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+
+
+def test_cc_paths_agree_on_foreign_endpoints(spark):
+    """Edges through endpoints NOT in the vertex set must conduct
+    connectivity identically on both execution paths, and the output
+    must contain exactly the input vertices."""
+    from ecostream.functions.cc import connected_components
+
+    vdf = spark.createDataFrame([(1,), (2,), (5,)], "v long")
+    # 1-3, 3-2: vertex 3 is foreign but joins 1 and 2; 5 is isolated
+    edf = spark.createDataFrame([(1, 3), (3, 2)], "src long, dst long")
+    want = {1: 1, 2: 1, 5: 5}
+    for thr in (1_000_000, 0):  # local union-find path, distributed path
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(vdf, edf, local_threshold=thr).collect()
+        }
+        assert got == want, (thr, got)
