@@ -55,26 +55,26 @@ def with_prefix_sum(
         .localCheckpoint(eager=True)  # pin range boundaries across jobs
     )
     # Phase 2: per-(group, partition) totals -> exclusive prefix offsets.
-    totals = (
-        ranged.groupBy(*partition_cols, _PID)
-        .agg(F.sum(value_col).alias("_t"))
-        .collect()
+    totals_df = ranged.groupBy(*partition_cols, _PID).agg(
+        F.sum(value_col).alias("_t")
     )
+    sum_type = totals_df.schema["_t"].dataType  # long/double/decimal...
+    totals = totals_df.collect()
     by_group: dict[tuple, list] = {}
     for r in totals:
         key = tuple(r[c] for c in partition_cols)
         by_group.setdefault(key, []).append((r[_PID], r["_t"]))
+    zero = type(totals[0]["_t"])(0) if totals else 0
     offset_rows = []
     for key, parts in by_group.items():
-        running = 0
+        running = zero
         for pid, t in sorted(parts):  # range partitions ascend with pid
             offset_rows.append((*key, pid, running))
-            running += t
+            if t is not None:  # a partition whose values are all null
+                running += t
     offsets = spark.createDataFrame(
         offset_rows,
-        ranged.select(*partition_cols, _PID).schema.add(_OFF, "double")
-        if _needs_double(totals)
-        else ranged.select(*partition_cols, _PID).schema.add(_OFF, "long"),
+        ranged.select(*partition_cols, _PID).schema.add(_OFF, sum_type),
     )
     # Phase 3: local running sum + broadcast offset join.
     w = (
@@ -88,7 +88,3 @@ def with_prefix_sum(
         .withColumn(out_col, local_cum + F.col(_OFF))
         .drop(_PID, _OFF)
     )
-
-
-def _needs_double(totals) -> bool:
-    return any(isinstance(r["_t"], float) for r in totals)

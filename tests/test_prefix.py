@@ -82,3 +82,35 @@ def test_prefix_sum_plan_has_no_single_partition_window(spark):
     assert "Window" in plan
     # a global window would show 'Exchange SinglePartition' feeding it
     assert "SinglePartition" not in plan, plan
+
+
+def test_prefix_sum_edge_cases(spark):
+    """Empty input, single row, decimal values, and more partitions
+    than rows all behave like the window form."""
+    from decimal import Decimal
+
+    from ecostream.functions.prefix import with_prefix_sum
+
+    # empty
+    empty = spark.createDataFrame([], "k long, x long")
+    assert with_prefix_sum(empty, ["k"], "x", num_partitions=4).count() == 0
+
+    # single row
+    one = spark.createDataFrame([(1, 10)], "k long, x long")
+    [r] = with_prefix_sum(one, ["k"], "x", num_partitions=4).collect()
+    assert r["cum_before"] == 0
+
+    # decimal values + more partitions than rows
+    dec = spark.createDataFrame(
+        [(i, Decimal(f"{i}.50")) for i in range(5)],
+        "k long, x decimal(10,2)",
+    )
+    got = {
+        r["k"]: r["cum_before"]
+        for r in with_prefix_sum(dec, ["k"], "x", num_partitions=16).collect()
+    }
+    run, want = Decimal("0"), {}
+    for i in range(5):
+        want[i] = run
+        run += Decimal(f"{i}.50")
+    assert got == want
