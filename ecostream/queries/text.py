@@ -1009,3 +1009,75 @@ def pii1_entity_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- T10: winnowing fingerprints (rolling-hash scheme) -----------------------
+
+
+@query(
+    "t10_winnowing_fingerprints",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(text) - 7, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))
+                        ::UBIGINT::BIGINT
+               ) AS hs
+        FROM documents WHERE doc_id < 300
+    ),
+    winnowed AS (
+        SELECT doc_id, len(hs) AS n_grams,
+               list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   j -> list_min(list_slice(hs, j, j + 3))
+               )) AS fps
+        FROM grams
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_hash
+    FROM winnowed ORDER BY doc_id
+    """,
+)
+def t10_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer et al. 2003, the
+    MOSS scheme): hash every 8-char k-gram of the document (the rolling
+    hash — here an md5-prefix per position, portable across engines),
+    slide a 4-hash window, keep each window's minimum; the distinct
+    minima are the fingerprint set, which is robust to insertions (an
+    edit only perturbs nearby windows).  Complements t8's exact
+    vocab fingerprint: winnowing survives partial edits.  All pure
+    array expressions, map-side only; the oracle replays every k-gram
+    hash and window minimum, and the fp_hash pins the exact
+    fingerprint SET per document."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    grams = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 7, 1)),"
+            " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15),"
+            " 16, 10) as long))"
+        ).alias("hs"),
+    )
+    winnowed = grams.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_grams"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(hs) - 3, 1)),"
+                " j -> array_min(slice(hs, j, 4)))"
+            )
+        ).alias("fps"),
+    )
+    return (
+        winnowed.select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.md5(
+                F.array_join(F.sort_array("fps").cast("array<string>"), ",")
+            ).alias("fp_hash"),
+        )
+        .orderBy("doc_id")
+    )
