@@ -73,3 +73,65 @@ try:
     from . import llm_pipeline  # noqa: F401  (chunk/split/shuffle/pack)
 except ImportError:  # pragma: no cover
     pass
+
+# ---------------------------------------------------------------------------
+# Declaration-order rotation.
+#
+# The driver's correctness gate samples the FIRST 50 ``queries()`` keys
+# (CORRECTNESS_r01/r02 both cap there), so families declared later never
+# receive a driver-signed row even though the full local parity sweep
+# (tools/parity_sweep.py) checks all of them.  Each round we rotate the
+# never-yet-signed families to the head so that, over rounds, every
+# family accumulates a signed green row.  Round 3 leads with the LLM
+# dedup/ANN pipelines, streaming, storage layouts, and the TPC-H
+# extension shapes (VERDICT r2 "Next round" #1).  Queries already signed
+# in earlier rounds keep their coverage via tests/test_oracle_parity.py.
+# ---------------------------------------------------------------------------
+_ROUND_HEAD = [
+    # dedup family
+    "d1_exact_dedup", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_candidates",
+    "d3b_minhash_lsh_md5", "d4_simhash", "d5_dedup_clusters",
+    "d6_ml_minhash_lsh_pairs",
+    # similarity / ANN
+    "sim1_cosine_topk", "sim2_signlsh_buckets", "sim2_signlsh_ann",
+    "sim3_embedding_near_dup", "sim4_ivf_ann", "sim5_ivf_kmeans_ann",
+    # streaming (file-stream twins of the Kafka path)
+    "st1_stream_tumbling_counts", "st2_stateful_running_counts",
+    "st3_stream_sliding_counts", "st4_stream_session_windows",
+    "st5_stream_stream_join", "st6_stream_dedup",
+    "st7_stream_static_enrichment", "st8_stream_signature_index",
+    # LLM training-data pipeline
+    "pipeline1_clean_corpus", "pipeline2_training_manifest",
+    "chunk1_token_windows", "split1_train_val_test",
+    "shuffle1_training_order", "pack1_sequence_packing",
+    "samp1_stratified_sample",
+    # storage write side
+    "s6_compact_roundtrip", "s6_cluster_roundtrip", "s7_bucketed_join",
+    # TPC-H extension shapes
+    "j16_volume_shipping", "j17_market_share", "j18_product_profit",
+    "j19_returned_revenue", "j20_customer_distribution",
+    "j21_parts_supplier_count", "j22_disjunctive_revenue",
+    "j23_waiting_orders", "j24_global_sales_opportunity",
+    "j25_important_parts", "j26_top_supplier", "j27_excess_shippers",
+    # text analysis
+    "t5_lang_id", "t6_quality_score", "t7_token_counts",
+    "t8_fingerprint_dedup", "t9_contamination_overlap",
+    "t10_winnowing_fingerprints", "pii1_entity_redaction",
+]
+
+
+def _rotate_head(head: list[str]) -> None:
+    missing = [k for k in head if k not in QUERIES]
+    if missing:  # pragma: no cover - registration drift guard
+        raise KeyError(f"rotation head lists unknown queries: {missing}")
+    ordered = {k: QUERIES[k] for k in head}
+    ordered.update((k, v) for k, v in QUERIES.items() if k not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    o_ordered = {k: ORACLES[k] for k in head if k in ORACLES}
+    o_ordered.update((k, v) for k, v in ORACLES.items() if k not in o_ordered)
+    ORACLES.clear()
+    ORACLES.update(o_ordered)
+
+
+_rotate_head(_ROUND_HEAD)
