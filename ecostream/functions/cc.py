@@ -100,9 +100,16 @@ def connected_components(
     # Materialize the symmetrized edge list ONCE: every round joins it,
     # and without this the full upstream lineage (for dedup: the whole
     # LSH candidate pipeline) would re-execute per round.
+    # Null endpoints carry no connectivity; drop them BEFORE the size
+    # branch so both paths agree on dirty input (the distributed join
+    # silently drops nulls, while the local union-find would raise on
+    # ordering None against a vertex id).
     sym = _ckpt(
-        edges.select("src", "dst").union(
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         )
     )
     if local_threshold and sym.count() < local_threshold:

@@ -21,8 +21,11 @@ boundaries so phases 2 and 3 see identical partitioning.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
 _PID = "__prefix_pid"
 _OFF = "__prefix_offset"
@@ -43,8 +46,9 @@ def with_prefix_sum(
     ``order_cols`` must be a total order within each group (ties would
     make "before" ambiguous).  Equivalent to
     ``sum(value).over(Window.partitionBy(*partition_cols)
-    .orderBy(*order_cols).rowsBetween(unboundedPreceding, currentRow))
-    - value`` — without the single-partition exchange.
+    .orderBy(*order_cols).rowsBetween(unboundedPreceding, -1))`` with a
+    typed-zero coalesce (null values contribute nothing; rows before
+    any non-null value get 0) — without the single-partition exchange.
     """
     partition_cols = partition_cols or []
     spark = df.sparkSession
@@ -64,7 +68,15 @@ def with_prefix_sum(
     for r in totals:
         key = tuple(r[c] for c in partition_cols)
         by_group.setdefault(key, []).append((r[_PID], r["_t"]))
-    zero = type(totals[0]["_t"])(0) if totals else 0
+    # The zero must come from the aggregate's Spark type, not a sampled
+    # row: collect() order is arbitrary and a range partition whose
+    # value_col is all null yields a None total (type(None)(0) raises).
+    if isinstance(sum_type, DecimalType):
+        zero: object = Decimal(0)
+    elif isinstance(sum_type, (DoubleType, FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
     offset_rows = []
     for key, parts in by_group.items():
         running = zero
@@ -76,13 +88,19 @@ def with_prefix_sum(
         offset_rows,
         ranged.select(*partition_cols, _PID).schema.add(_OFF, sum_type),
     )
-    # Phase 3: local running sum + broadcast offset join.
+    # Phase 3: local running sum + broadcast offset join.  The frame is
+    # genuinely exclusive (ends at -1) rather than the inclusive-minus-
+    # value shortcut: subtracting a NULL value would nullify the prefix
+    # for null-valued rows, where the right answer is "sum of the
+    # non-null values before me".
     w = (
         Window.partitionBy(*partition_cols, _PID)
         .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local_cum: Column = F.sum(value_col).over(w) - F.col(value_col)
+    local_cum: Column = F.coalesce(
+        F.sum(value_col).over(w), F.lit(0).cast(sum_type)
+    )
     return (
         ranged.join(F.broadcast(offsets), [*partition_cols, _PID])
         .withColumn(out_col, local_cum + F.col(_OFF))

@@ -162,16 +162,27 @@ def split1_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shuffle1_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: training-epoch order = sort by a
     hash of the id (md5 — engine-portable), the reproducible version of
-    'shuffle the corpus before each epoch'.  Declared with a LIMIT so
-    the driver compares a bounded slice; the full-order plan is a
-    range-partitioned sort (Spark's TakeOrderedAndProject for the
-    limited form — no single-partition global sort materializes)."""
-    docs = _docs(spark, sf_dir)
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    'shuffle the corpus before each epoch'.
+
+    ``pos`` is a global rank, but it is NOT computed with
+    ``row_number().over(Window.orderBy(...))`` — an unpartitioned window
+    plans ``Exchange SinglePartition`` (the whole corpus through one
+    task).  Instead pos = 1 + the distributed exclusive prefix COUNT
+    (functions/prefix.py): range-partition on the hash order, count
+    locally per partition, add driver-merged per-partition offsets.
+    The final ORDER BY pos LIMIT then plans TakeOrderedAndProject
+    (per-partition top-k + driver merge of 500-row heads), so every
+    stage stays partition-parallel at 100 TB."""
+    from ..functions.prefix import with_prefix_sum
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    run = with_prefix_sum(docs, ["h", "doc_id"], "one", out_col="rank0")
     return (
-        docs.select(
-            F.row_number().over(w).cast("long").alias("pos"), "doc_id"
-        )
+        run.select((F.col("rank0") + 1).cast("long").alias("pos"), "doc_id")
         .orderBy("pos")
         .limit(500)
     )

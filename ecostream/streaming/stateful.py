@@ -186,7 +186,13 @@ def ensure_protobuf(spark=None) -> bool:
             default=0.0,
         )
         if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
-            _sh.make_archive(zip_base, "zip", str(vendor))
+            # Build under a pid-suffixed name and os.replace() into the
+            # shared cache path: make_archive is not atomic, and two
+            # drivers on one host must never addPyFile a half-written
+            # zip (same race the pid-suffixed scratch dirs avoid).
+            tmp_base = f"{zip_base}.{os.getpid()}"
+            _sh.make_archive(tmp_base, "zip", str(vendor))
+            os.replace(tmp_base + ".zip", zip_path)
         try:
             spark.sparkContext.addPyFile(zip_path)
         except Exception:

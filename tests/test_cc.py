@@ -126,3 +126,24 @@ def test_cc_paths_agree_on_foreign_endpoints(spark):
             for r in connected_components(vdf, edf, local_threshold=thr).collect()
         }
         assert got == want, (thr, got)
+
+
+def test_cc_null_edge_endpoints_ignored_on_both_paths(spark):
+    """Edges with a null endpoint carry no connectivity; the local
+    union-find and distributed label-propagation paths must agree on
+    that instead of one raising and the other silently dropping."""
+    from ecostream.functions.cc import connected_components
+
+    vertices = spark.createDataFrame([(v,) for v in range(4)], "v long")
+    edges = spark.createDataFrame(
+        [(0, 1), (None, 2), (2, None), (None, None)],
+        "src long, dst long",
+    )
+    for threshold in (1_000_000, 0):  # local path, then distributed path
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(
+                vertices, edges, local_threshold=threshold
+            ).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 2, 3: 3}, (threshold, got)

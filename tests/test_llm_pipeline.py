@@ -86,11 +86,38 @@ def test_split1_deterministic_and_disjoint(spark):
 
 def test_shuffle1_no_global_sort_materialized(spark):
     """The bounded training-order slice must plan as a top-k
-    (TakeOrderedAndProject), not a full global Sort of the corpus."""
+    (TakeOrderedAndProject), not a full global Sort of the corpus —
+    and, since pos comes from the distributed prefix count, NOTHING in
+    the plan may move the corpus through one task (an unpartitioned
+    row_number window would show 'Exchange SinglePartition')."""
     from ecostream.queries.llm_pipeline import shuffle1_training_order
 
     p = _plan(shuffle1_training_order(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_shuffle1_pos_is_dense_global_rank(spark):
+    """pos must equal the 1-based rank in (md5(doc_id), doc_id) order —
+    the distributed prefix count must agree with a straight sort."""
+    from ecostream.queries.llm_pipeline import _docs, shuffle1_training_order
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["pos"], r["doc_id"])
+        for r in shuffle1_training_order(spark, SF_SMOKE).collect()
+    ]
+    want = [
+        (i + 1, r["doc_id"])
+        for i, r in enumerate(
+            _docs(spark, SF_SMOKE)
+            .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+            .orderBy("h", "doc_id")
+            .limit(500)
+            .collect()
+        )
+    ]
+    assert got == want
 
 
 def test_pack1_bins_are_contiguous_and_budgeted(spark):

@@ -114,3 +114,40 @@ def test_prefix_sum_edge_cases(spark):
         want[i] = run
         run += Decimal(f"{i}.50")
     assert got == want
+
+
+def test_prefix_sum_nullable_values_and_all_null_partitions(spark):
+    """Null values contribute nothing, and a range partition whose
+    values are ALL null must not break offset construction (the zero
+    is derived from the aggregate's type, never from a sampled total,
+    which can be None)."""
+    from ecostream.functions.prefix import with_prefix_sum
+
+    # keys 0..9; nulls concentrated on the low keys so with many range
+    # partitions the first partitions are all-null
+    rows = [(i, None if i < 5 else i * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, x long")
+    got = {
+        r["k"]: r["cum_before"]
+        for r in with_prefix_sum(df, ["k"], "x", num_partitions=8).collect()
+    }
+    want, run = {}, 0
+    for k in range(10):
+        want[k] = run
+        run += 0 if k < 5 else k * 10
+    assert got == want
+
+    # decimal flavor of the same (Decimal zero path)
+    from decimal import Decimal
+
+    drows = [(i, None if i < 3 else Decimal(f"{i}.25")) for i in range(6)]
+    ddf = spark.createDataFrame(drows, "k long, x decimal(10,2)")
+    dgot = {
+        r["k"]: r["cum_before"]
+        for r in with_prefix_sum(ddf, ["k"], "x", num_partitions=6).collect()
+    }
+    drun, dwant = Decimal("0"), {}
+    for k in range(6):
+        dwant[k] = drun
+        drun += Decimal("0") if k < 3 else Decimal(f"{k}.25")
+    assert dgot == dwant
