@@ -358,7 +358,66 @@ def g1b_first_seen_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g5_pagerank_habitats")
+_PAGERANK_ITERS = 15
+_PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_oracle(iters: int = _PAGERANK_ITERS,
+                     d: float = _PAGERANK_DAMPING) -> str:
+    """Unrolled power-iteration oracle: one chained CTE per iteration
+    replaying rank(v) = (1-d)/N + d*(Σ inflow + dangling/N) exactly —
+    feasible because the iteration count is FIXED (tol=0 on the Spark
+    side) and the habitat graph is vocabulary-sized.  Recursive CTEs
+    cannot aggregate over their own working table, so unrolling is the
+    honest SQL form of a fixed-point loop."""
+    hav = HAVERSINE_SQL.format(
+        lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"
+    )
+    parts = [
+        f"""
+    WITH nodes AS MATERIALIZED ({_NODES_SQL}),
+    e0 AS MATERIALIZED (
+        SELECT a.habitat AS src, b.habitat AS dst
+        FROM nodes a JOIN nodes b ON a.habitat < b.habitat
+        WHERE ROUND({hav}, 3) <= 15000.0
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e0
+        UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+    deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    it0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        prev = f"it{k - 1}"
+        parts.append(
+            f""",
+    it{k} AS MATERIALIZED (
+        SELECT verts.v,
+               (1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * (COALESCE(c.inflow, 0)
+                   + (SELECT COALESCE(SUM(p.r), 0) FROM {prev} p
+                      WHERE p.v NOT IN (SELECT src FROM deg))
+                     / (SELECT n FROM nn)) AS r
+        FROM verts LEFT JOIN (
+            SELECT e.dst AS v, SUM(p.r / dg.outdeg) AS inflow
+            FROM {prev} p
+            JOIN deg dg ON p.v = dg.src
+            JOIN sym e ON e.src = p.v
+            GROUP BY e.dst
+        ) c ON verts.v = c.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v, ROUND(r, 6) AS "rank" FROM it{iters} ORDER BY v"""
+    )
+    return "".join(parts)
+
+
+@query("g5_pagerank_habitats", oracle=_pagerank_oracle())
 def g5_pagerank_habitats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE PageRank over the habitat graph — the algorithm the
     reference's pageRank.py *names* but does not implement (it computes
@@ -367,8 +426,9 @@ def g5_pagerank_habitats(spark: SparkSession, sf_dir: str) -> DataFrame:
     within threshold (both orientations, so the chain degenerates to
     the undirected case on this graph); power iteration with damping
     0.85 in dataflow (functions/pagerank.py), numpy-verified in
-    tests/test_pagerank.py.  rows-only: iterative fixpoint, not
-    SQL-expressible; ranks rounded for stability."""
+    tests/test_pagerank.py.  Oracle-checked: a FIXED iteration count
+    (tol=0) lets DuckDB replay every iteration as an unrolled CTE
+    chain; round(6) absorbs sub-ulp partial-aggregation order noise."""
     from ..functions.pagerank import pagerank
 
     edges = habitat_edges(spark, sf_dir).select(
@@ -382,5 +442,8 @@ def g5_pagerank_habitats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(sym.select(F.col("dst").alias("v")))
         .distinct()
     )
-    ranks = pagerank(verts, sym, damping=0.85, max_iter=30)
+    ranks = pagerank(
+        verts, sym, damping=_PAGERANK_DAMPING,
+        max_iter=_PAGERANK_ITERS, tol=0.0,
+    )
     return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")

@@ -176,13 +176,142 @@ def m3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- M4: DTMC state classification (driver-local; SURVEY M4) -----------------
 
 
-@query("m4_dtmc_classification")  # no oracle: graph algorithm, not SQL
+def _dtmc_oracle(edges_sql: str) -> str:
+    """Full-classification DuckDB oracle for the m4 family, derived from
+    first principles over a given positive-transition edge relation:
+
+    - recurrence: a state is recurrent iff its communicating class is
+      closed — every state it reaches can reach it back (recursive-CTE
+      transitive closure, the m4c device);
+    - period: gcd of the SCC's simple-cycle lengths, enumerated by a
+      path-tracking recursive walk bounded at |vocabulary| steps (a
+      simple cycle never exceeds the state count); the gcd of a set
+      bounded by N is the largest d in 1..N dividing every length;
+    - scc index: dense ascending rank of each component's MAX member —
+      the same canonical id distributed_scc labels components with.
+    """
+    n = len(EVENT_TYPES)
+    return f"""
+    WITH RECURSIVE
+    edges AS ({edges_sql}),
+    states AS (
+        -- explicit DISTINCT: under WITH RECURSIVE, DuckDB evaluates
+        -- this UNION without deduplicating across the two branches
+        SELECT DISTINCT st FROM (
+            SELECT cur AS st FROM edges UNION ALL SELECT nxt FROM edges
+        )
+    ),
+    reach(src, dst) AS (
+        SELECT cur, nxt FROM edges
+        UNION
+        SELECT r.src, e.nxt FROM reach r JOIN edges e ON e.cur = r.dst
+    ),
+    walk(start, cur, len, path) AS (
+        SELECT cur, nxt, 1, [cur, nxt] FROM edges
+        UNION ALL
+        SELECT w.start, e.nxt, w.len + 1, list_append(w.path, e.nxt)
+        FROM walk w JOIN edges e ON e.cur = w.cur
+        WHERE w.cur <> w.start
+          AND w.len < {n}
+          AND (e.nxt = w.start OR NOT list_contains(w.path, e.nxt))
+    ),
+    cycles AS (SELECT start, len FROM walk WHERE cur = start),
+    comm AS (
+        SELECT s.st AS state,
+               (SELECT MAX(t.st) FROM states t
+                WHERE t.st = s.st
+                   OR (EXISTS (SELECT 1 FROM reach r
+                               WHERE r.src = s.st AND r.dst = t.st)
+                       AND EXISTS (SELECT 1 FROM reach r
+                                   WHERE r.src = t.st AND r.dst = s.st))
+               ) AS rep
+        FROM states s
+    ),
+    closedness AS (
+        SELECT s.st AS state,
+               NOT EXISTS (
+                   SELECT 1 FROM reach r
+                   WHERE r.src = s.st
+                     AND NOT EXISTS (
+                         SELECT 1 FROM reach r2
+                         WHERE r2.src = r.dst AND r2.dst = s.st
+                     )
+               ) AS is_recurrent
+        FROM states s
+    ),
+    scc_cycles AS (
+        SELECT m.rep, c.len FROM cycles c JOIN comm m ON m.state = c.start
+    ),
+    periods AS (
+        SELECT reps.rep, CAST(MAX(ds.d) AS INTEGER) AS period
+        FROM (SELECT DISTINCT rep FROM comm) reps,
+             (SELECT UNNEST(RANGE(1, {n + 1})) AS d) ds
+        WHERE EXISTS (SELECT 1 FROM scc_cycles sc WHERE sc.rep = reps.rep)
+          AND NOT EXISTS (SELECT 1 FROM scc_cycles sc
+                          WHERE sc.rep = reps.rep AND sc.len % ds.d <> 0)
+        GROUP BY reps.rep
+    ),
+    scc_idx AS (
+        SELECT rep, CAST(row_number() OVER (ORDER BY rep) - 1 AS INTEGER) AS scc
+        FROM (SELECT DISTINCT rep FROM comm)
+    )
+    SELECT m.state,
+           CASE WHEN cl.is_recurrent THEN 'recurrent'
+                ELSE 'transient' END AS "class",
+           CAST(CASE WHEN cl.is_recurrent THEN COALESCE(p.period, 0)
+                     ELSE 0 END AS INTEGER) AS period,
+           i.scc
+    FROM comm m
+    JOIN closedness cl ON cl.state = m.state
+    LEFT JOIN periods p ON p.rep = m.rep
+    JOIN scc_idx i ON i.rep = m.rep
+    ORDER BY m.state
+    """
+
+
+# m4 classifies the ROUNDED transition matrix (faithful to the
+# reference, which feeds MarkovChainAnalysis the normalized matrix), so
+# its oracle derives edges by the same rounded-probability > 0 rule.
+_M4_EDGES_SQL = f"""
+    SELECT cur, nxt FROM (
+        SELECT cur, nxt,
+               ROUND(CAST(count(*) AS DOUBLE)
+                     / CAST(SUM(count(*)) OVER (PARTITION BY cur) AS DOUBLE),
+                     6) AS p
+        FROM ({_PAIRS_SQL}) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ) WHERE p > 1e-12
+"""
+
+# m4b classifies the RAW distinct pair relation (the scale path joins
+# edges, never a dense matrix), so its oracle uses the raw edges.
+_M4B_EDGES_SQL = f"""
+    SELECT DISTINCT cur, nxt FROM ({_PAIRS_SQL}) WHERE nxt IS NOT NULL
+"""
+
+
+def _canonical_scc_index(result: dict[str, dict]) -> dict[int, int]:
+    """Map Tarjan component ids to the canonical index: dense ascending
+    rank of each component's max member (distributed_scc's labeling),
+    so m4, m4b, and the SQL oracle all agree on the column."""
+    max_member: dict[int, str] = {}
+    for state, info in result.items():
+        i = info["scc"]
+        if i not in max_member or state > max_member[i]:
+            max_member[i] = state
+    order = {rep: k for k, rep in enumerate(sorted(max_member.values()))}
+    return {i: order[rep] for i, rep in max_member.items()}
+
+
+@query("m4_dtmc_classification", oracle=_dtmc_oracle(_M4_EDGES_SQL))
 def m4_dtmc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTMC analysis of the transition matrix: recurrent/transient states
     via SCCs, period per SCC (MarkovChainAnalysis.py:4-161).  The state
     space is the 5 event types, so the matrix is collected to the driver
     and classified locally — the one sanctioned driver-side step
-    (SURVEY M4); the matrix itself is computed distributed."""
+    (SURVEY M4); the matrix itself is computed distributed.  The DuckDB
+    oracle re-derives the classification from first principles
+    (transitive closure + bounded simple-cycle enumeration), so class,
+    period, AND component id are all hash-checked."""
     from ..markov_analysis import classify_states
 
     mat = m3_transition_matrix(spark, sf_dir)
@@ -191,8 +320,9 @@ def m4_dtmc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["cur"]: {s: r[f"p_{s}"] for s in EVENT_TYPES} for r in rows
     }
     result = classify_states(probs)
+    idx = _canonical_scc_index(result)
     out_rows = [
-        (state, info["class"], info["period"], info["scc"])
+        (state, info["class"], info["period"], idx[info["scc"]])
         for state, info in sorted(result.items())
     ]
     return spark.createDataFrame(
@@ -203,13 +333,18 @@ def m4_dtmc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- M4b: DTMC classification, distributed SCC (scale path) ------------------
 
 
-@query("m4b_dtmc_classification_distributed")  # no oracle: graph algorithm
+@query(
+    "m4b_dtmc_classification_distributed",
+    oracle=_dtmc_oracle(_M4B_EDGES_SQL),
+)
 def m4b_dtmc_classification_distributed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Same classification as m4 but with SCCs, closedness, and BFS
     levels computed as dataflow (functions/scc.py — Orzan coloring),
-    for state spaces that do not fit the driver.  Only SCC-count-sized
+    for state spaces that do not fit the driver.  Oracle-checked like
+    m4 (the edge relation here is the raw distinct pairs — the scale
+    path never materializes a rounded dense matrix).  Only SCC-count-sized
     metadata ever reaches the driver: the distinct per-SCC level
     differences (for the period gcd) and the representative list (for
     the dense scc index); per-state labels stay distributed and the
@@ -294,8 +429,8 @@ def m4b_dtmc_classification_distributed(
     states AS (
         -- explicit DISTINCT: under WITH RECURSIVE, DuckDB evaluates
         -- this UNION without deduplicating across the two branches
-        SELECT DISTINCT s FROM (
-            SELECT cur AS s FROM edges UNION ALL SELECT nxt FROM edges
+        SELECT DISTINCT st FROM (
+            SELECT cur AS st FROM edges UNION ALL SELECT nxt FROM edges
         )
     ),
     reach(src, dst) AS (
@@ -303,13 +438,13 @@ def m4b_dtmc_classification_distributed(
         UNION
         SELECT r.src, e.nxt FROM reach r JOIN edges e ON e.cur = r.dst
     )
-    SELECT s.s AS state,
+    SELECT s.st AS state,
            NOT EXISTS (
                SELECT 1 FROM reach r
-               WHERE r.src = s.s
+               WHERE r.src = s.st
                  AND NOT EXISTS (
                      SELECT 1 FROM reach r2
-                     WHERE r2.src = r.dst AND r2.dst = s.s
+                     WHERE r2.src = r.dst AND r2.dst = s.st
                  )
            ) AS is_recurrent
     FROM states s

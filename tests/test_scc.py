@@ -65,3 +65,59 @@ def test_m4b_matches_driver_local_m4(spark):
     assert _partition((r["state"], r["scc"]) for r in local) == _partition(
         (r["state"], r["scc"]) for r in dist
     )
+
+
+def test_dtmc_oracle_periods_on_crafted_chains():
+    """The m4 DuckDB oracle must classify adversarial chains the same
+    way as the engine's classify_states: a 2-cycle, a 3-cycle, and a
+    transient feeder — periods the real event data (period 1) never
+    exercises."""
+    import duckdb
+
+    from ecostream.markov_analysis import classify_states
+    from ecostream.queries.markov import (
+        _M4B_EDGES_SQL,
+        _canonical_scc_index,
+        _dtmc_oracle,
+    )
+
+    con = duckdb.connect()
+    seqs = {
+        1: ["A", "B", "A", "B", "A"],          # 2-cycle
+        2: ["C", "D", "E", "C", "D", "E", "C"],  # 3-cycle
+        3: ["F", "C"],                           # transient feeder
+    }
+    rows = []
+    i = 0
+    for uid, seq in seqs.items():
+        for s in seq:
+            rows.append((uid, s, i, i))
+            i += 1
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(f"({u}, '{t}', {ts}, {eid})" for u, t, ts, eid in rows)
+        + ") v(user_id, event_type, ts, event_id)"
+    )
+    got = con.execute(_dtmc_oracle(_M4B_EDGES_SQL)).fetchall()
+    # independent expectation from the engine's own classifier
+    pairs = set()
+    for seq in seqs.values():
+        pairs.update(zip(seq, seq[1:]))
+    probs: dict[str, dict[str, float]] = {}
+    for cur, nxt in pairs:
+        probs.setdefault(cur, {})[nxt] = 1.0
+    result = classify_states(probs)
+    idx = _canonical_scc_index(result)
+    want = [
+        (state, info["class"], info["period"], idx[info["scc"]])
+        for state, info in sorted(result.items())
+    ]
+    assert got == want
+    assert [(r[0], r[1], r[2]) for r in got] == [
+        ("A", "recurrent", 2),
+        ("B", "recurrent", 2),
+        ("C", "recurrent", 3),
+        ("D", "recurrent", 3),
+        ("E", "recurrent", 3),
+        ("F", "transient", 0),
+    ]
