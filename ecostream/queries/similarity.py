@@ -479,6 +479,165 @@ def kmeans_centroids(
     return spark.createDataFrame(cur, schema)
 
 
+_KMB_K = 8
+_KMB_ITERS = 3
+_QSCALE = 1_000_000.0
+
+
+def kmeans_centroids_portable(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = _KMB_K,
+    iters: int = _KMB_ITERS,
+    materialized: bool = False,
+) -> DataFrame:
+    """Engine-portable Lloyd's iterations (the sim5b twin of
+    :func:`kmeans_centroids`, same twin device as d3 → d3b):
+
+    - init = the ``k`` md5-lowest vec_ids (portable hash order, not
+      xxhash64);
+    - cell means via INTEGER-quantized sums: each component is rounded
+      to ``round(x·1e6)`` as a BIGINT, summed exactly (order-free, no
+      float drift), and the mean is re-derived as ``sum/(count·1e6)``
+      — one IEEE division both engines perform identically.
+
+    The trained centroids are therefore bit-identical across engines
+    and partitionings, which is what lets the DuckDB oracle replay the
+    ENTIRE training loop; the float-avg production path (sim5) keeps
+    its rows-only declaration."""
+    if not materialized:
+        emb = materialize_training_set(emb)
+    init = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cur = [(cid, list(r["v"])) for cid, r in enumerate(init)]
+    dim = len(cur[0][1])
+    schema = "cent_id long, cv_cent array<double>"
+    qx = F.transform("v", lambda x: F.round(x * _QSCALE).cast("long"))
+    for _ in range(iters):
+        centroids = spark.createDataFrame(cur, schema)
+        sums = (
+            ivf_assign(emb, centroids)
+            .select("cell", F.posexplode(qx).alias("pos", "qx"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("qx").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        means: dict[int, list] = {}
+        for r in sums:
+            means.setdefault(int(r["cell"]), [0.0] * dim)[r["pos"]] = (
+                r["s"] / (r["n"] * _QSCALE)
+            )
+        cur = [(cid, means.get(cid, cv)) for cid, cv in cur]
+    return spark.createDataFrame(cur, schema)
+
+
+def _sim5b_oracle(k: int = _KMB_K, iters: int = _KMB_ITERS) -> str:
+    """DuckDB replay of the FULL portable k-means IVF pipeline: init →
+    ``iters`` × (assign, exact-quantized mean) → final assignment →
+    probe → per-query top-10.  MATERIALIZED CTEs stop DuckDB from
+    re-inlining each iteration's inputs exponentially."""
+
+    def assign(t: int) -> str:
+        return f""",
+    a{t} AS MATERIALIZED (
+        SELECT vec_id, v, q, cell FROM (
+            SELECT e.vec_id, e.v, e.q, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM qe e CROSS JOIN c{t - 1} c
+        ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    qe AS MATERIALIZED (
+        SELECT vec_id, v,
+               list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+        FROM emb
+    ),
+    c0 AS MATERIALIZED (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cent_id,
+               v AS cv
+        FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign(t))
+        parts.append(
+            f""",
+    c{t} AS MATERIALIZED (
+        SELECT c{t - 1}.cent_id, COALESCE(l.cv_new, c{t - 1}.cv) AS cv
+        FROM c{t - 1} LEFT JOIN (
+            SELECT cell, list(mval ORDER BY pos) AS cv_new FROM (
+                SELECT cell, pos,
+                       CAST(SUM(qx) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mval
+                FROM (
+                    SELECT cell, UNNEST(q) AS qx,
+                           UNNEST(range(1, len(q) + 1)) AS pos
+                    FROM a{t}
+                ) GROUP BY cell, pos
+            ) GROUP BY cell
+        ) l ON l.cell = c{t - 1}.cent_id
+    )"""
+        )
+    parts.append(assign(iters + 1))
+    parts.append(
+        f""",
+    queries AS (SELECT vec_id AS query_id, v AS quv FROM emb WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, quv, cell FROM (
+            SELECT q2.query_id, q2.quv, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q2.query_id
+                       ORDER BY list_cosine_similarity(q2.quv, c.cv) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM queries q2 CROSS JOIN c{iters} c
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS match_id,
+               ROUND(list_cosine_similarity(p.quv, a.v), 6) AS cos_sim
+        FROM probes p JOIN a{iters + 1} a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, match_id, cos_sim, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, match_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """
+    )
+    return "".join(parts)
+
+
+@query("sim5b_ivf_kmeans_md5", oracle=_sim5b_oracle())
+def sim5b_ivf_kmeans_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over PORTABLY-trained k-means centroids: identical
+    mechanism to sim5 (same Lloyd loop, same probe), with md5-ordered
+    init and integer-quantized exact means so the DuckDB oracle replays
+    training end to end — init choice, every assignment round, every
+    centroid update, probe selection, and the final top-10 are all
+    hash-checked.  sim5 remains the xxhash64/float-avg production path
+    (rows-only), exactly as d3 keeps xxhash64 beside the d3b md5 twin."""
+    emb = materialize_training_set(_emb(spark, sf_dir))
+    cents = kmeans_centroids_portable(spark, emb, materialized=True)
+    return ivf_ann_topk(emb, cents)
+
+
 @query("sim5_ivf_kmeans_ann")
 def sim5_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over k-means-trained centroids (k=8, 3 Lloyd
