@@ -52,6 +52,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # sum of all decoded 8-bit samples: a cheap whole-buffer
+        # checksum the oracle can recompute without the codec
+        T.StructField("pix_sum", T.LongType(), True),
     ]
 )
 
@@ -73,11 +76,46 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode stage as mapInPandas: Arrow batches in, decoded rows out.
 
+    ``codec="png"`` decodes REAL PNG payloads with the pure-stdlib
+    codec (ecostream.png — zlib inflate + unfilter, no third-party
+    libraries): width/height from IHDR, feature = first 8 samples of
+    the raw pixel buffer, ``pix_sum`` = sum of every 8-bit sample.
+
     ``codec="fake"`` derives deterministic pseudo-dimensions/features
-    from the payload bytes (testable plumbing); any real codec name
-    raises NotImplementedError until the decode libraries are
-    available in the runtime image.
+    from the payload bytes (plumbing-only twin, kept for the
+    metadata-shaped queries); other codec names (jpeg/mp3/h264...)
+    raise NotImplementedError until their libraries ship in the image.
     """
+    if codec == "png":
+
+        def _decode_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            from .png import decode_png
+
+            for pdf in batches:
+                widths, heights, feats, sums = [], [], [], []
+                for b in pdf["content"]:
+                    w, h, ch, pix = decode_png(bytes(b))
+                    widths.append(w)
+                    heights.append(h)
+                    feats.append(
+                        [pix[i] / 255.0 if i < len(pix) else 0.0 for i in range(8)]
+                    )
+                    sums.append(sum(pix))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pd.Series(widths, dtype="int32"),
+                        "height": pd.Series(heights, dtype="int32"),
+                        "n_frames": pd.Series([1] * len(widths), dtype="int32"),
+                        "feature": feats,
+                        "pix_sum": pd.Series(sums, dtype="int64"),
+                    }
+                )
+
+        return df.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r}: media libraries not present in this runtime; "
@@ -100,11 +138,60 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
                         else [0.0] * 8
                         for b in content
                     ],
+                    "pix_sum": pd.Series(
+                        [
+                            sum(b) if b is not None else 0
+                            for b in content
+                        ],
+                        dtype="int64",
+                    ),
                 }
             )
             yield out
 
     return df.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+
+
+def synth_png_media(df: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG payloads derived from ``media_id`` alone:
+    ``w = id%13+4``, ``h = id%11+3``, channels from ``id%3`` mapped to
+    {gray, RGB, RGBA}, pixel bytes = the md5 digest of ``str(id)``
+    cycled to fill the buffer.  Every quantity is pure arithmetic over
+    the id, so a SQL oracle can predict the decoded dims and the
+    whole-buffer pixel checksum WITHOUT running any codec — which is
+    what pins the encoder→decoder round-trip end to end.  Map-only
+    Arrow stage; the per-row filter cycling inside encode_png makes
+    the decoder exercise all five unfilter paths."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .png import encode_png
+
+        chan_of = {0: 1, 1: 3, 2: 4}
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % 13 + 4
+                h = mid % 11 + 3
+                c = chan_of[mid % 3]
+                dig = hashlib.md5(str(mid).encode()).digest()
+                npix = w * h * c
+                pixels = (dig * (npix // 16 + 1))[:npix]
+                blobs.append(encode_png(w, h, pixels, c))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "content": blobs}
+            )
+
+    return df.select("media_id").mapInPandas(_synth, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:

@@ -65,8 +65,9 @@ def mm2_decode_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature's first slot is folded back to its source byte
     (``round(f0·255)``) so the check is integer-exact through the
     float32 Arrow round-trip.  Map-only except the final tiny
-    aggregate; the real-codec path raises NotImplementedError until
-    decode libraries ship in the image (multimodal.decode_media)."""
+    aggregate.  (The REAL image decode path is mm4_png_roundtrip —
+    pure-stdlib PNG; codecs that genuinely need external libraries,
+    jpeg/audio/video, still raise NotImplementedError.)"""
     from ..multimodal import decode_media, frame_sample
 
     docs = load_table(spark, sf_dir, "documents")
@@ -144,4 +145,69 @@ def mm3_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_w",
         "new_h",
         F.octet_length("thumb").cast("long").alias("thumb_len"),
+    )
+
+
+def _md5_byte(j: int) -> str:
+    """SQL for byte j (0-based) of md5(doc_id-as-string) — the portable
+    hex→int device (two hex chars per byte)."""
+    return (
+        f"CAST(CAST(('0x' || substring(h, {2 * j + 1}, 2)) AS UBIGINT) AS BIGINT)"
+    )
+
+
+_MM4_SUM16 = " + ".join(_md5_byte(j) for j in range(16))
+_MM4_PREFIX = " + ".join(
+    f"(CASE WHEN {j} < rem THEN {_md5_byte(j)} ELSE 0 END)" for j in range(16)
+)
+
+
+@query(
+    "mm4_png_roundtrip",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               doc_id % 13 + 4 AS w,
+               doc_id % 11 + 3 AS ht,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+        FROM documents
+    ),
+    r AS (
+        SELECT media_id, h, w, ht,
+               (w * ht * c) // 16 AS cycles,
+               (w * ht * c) % 16 AS rem
+        FROM m
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(ht AS INT) AS height,
+           {_md5_byte(0)} AS f0_byte,
+           CAST(cycles * ({_MM4_SUM16}) + {_MM4_PREFIX} AS BIGINT) AS pix_sum
+    FROM r
+    """,
+)
+def mm4_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path, oracle-checked end to end: deterministic PNGs
+    (md5-cycled pixels, per-row filter cycling through all five PNG
+    filters, gray/RGB/RGBA by id) are ENCODED in one Arrow stage and
+    DECODED by the pure-stdlib zlib codec (ecostream/png.py) in
+    another.  The oracle predicts the decoded dims, first pixel byte,
+    and whole-buffer checksum purely from doc_id arithmetic — if the
+    encoder or any unfilter path is wrong, the hash fails.  Replaces
+    the former NotImplementedError stub for image decode; both stages
+    are map-only (no shuffle), so the pipeline scales with partitions."""
+    from ..multimodal import decode_media, synth_png_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    decoded = decode_media(synth_png_media(docs), codec="png")
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * 255).cast("long").alias("f0_byte"),
+        "pix_sum",
     )

@@ -54,3 +54,59 @@ def test_metadata_query_prunes_binary(spark):
     meta_only = media.select("media_id", "meta.byte_len")
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_png_roundtrip_all_channels_and_filters():
+    """decode(encode(x)) == x for gray/RGB/RGBA across sizes that hit
+    every scanline filter (encoder cycles row % 5) and the width-1
+    stride-smaller-than-channels edge."""
+    import hashlib
+
+    from ecostream.png import decode_png, encode_png
+
+    for channels in (1, 3, 4):
+        for w, h in [(1, 1), (1, 7), (5, 6), (13, 11), (32, 3)]:
+            n = w * h * channels
+            dig = hashlib.md5(f"{w}x{h}x{channels}".encode()).digest()
+            pixels = (dig * (n // 16 + 1))[:n]
+            blob = encode_png(w, h, pixels, channels)
+            dw, dh, dc, out = decode_png(blob)
+            assert (dw, dh, dc) == (w, h, channels)
+            assert out == pixels, (w, h, channels)
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from ecostream.png import decode_png, encode_png
+
+    blob = bytearray(encode_png(4, 3, bytes(range(36)), 3))
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + bytes(blob))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_decode_media_png_matches_local_decode(spark):
+    """The mapInPandas png stage must agree with a driver-local decode
+    of the same synthesized payloads."""
+    import hashlib
+
+    from ecostream.multimodal import decode_media, synth_png_media
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "media_id long")
+    rows = {
+        r["media_id"]: r
+        for r in decode_media(synth_png_media(ids), codec="png").collect()
+    }
+    chan_of = {0: 1, 1: 3, 2: 4}
+    for mid in range(30):
+        w, h, c = mid % 13 + 4, mid % 11 + 3, chan_of[mid % 3]
+        dig = hashlib.md5(str(mid).encode()).digest()
+        n = w * h * c
+        pixels = (dig * (n // 16 + 1))[:n]
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pix_sum"] == sum(pixels)
+        assert r["n_frames"] == 1
