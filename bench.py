@@ -60,19 +60,29 @@ def main() -> None:
     qs["a1_total_count"](spark, sf_dir).collect()
     warmup = time.perf_counter() - t0
 
-    # Two timed runs per query, keep the min: the first run pays one-off
-    # codegen/planning and absorbs machine-contention spikes (observed
-    # 3x inflation under transient load); min-of-2 reports the engine,
-    # not the weather.
+    # Five timed runs per query, report the MEDIAN: the first run pays
+    # one-off codegen/planning, and transient machine contention has
+    # been observed to inflate single runs 3x — the median of five is
+    # robust to both, so round-over-round deltas are attributable to
+    # the engine, not the weather.  N is overridable for quick local
+    # iteration via ECOSTREAM_BENCH_RUNS.
+    n_runs = max(1, int(os.environ.get("ECOSTREAM_BENCH_RUNS", "5")))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         times = []
-        for _ in range(2):
+        for _ in range(n_runs):
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - start)
-        per_query[name] = round(min(times), 4)
+        times.sort()
+        mid = len(times) // 2
+        med = (
+            times[mid]
+            if len(times) % 2
+            else (times[mid - 1] + times[mid]) / 2
+        )
+        per_query[name] = round(med, 4)
 
     total = round(sum(per_query.values()), 4)
     sf = None
@@ -92,6 +102,8 @@ def main() -> None:
                 "sf": sf,
                 "warmup_sec": round(warmup, 4),
                 "n_queries": len(per_query),
+                "runs_per_query": n_runs,
+                "stat": "median",
             }
         )
     )

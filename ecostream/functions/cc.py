@@ -3,21 +3,20 @@
 The missing half of near-dup deduplication: LSH (d3) yields candidate
 PAIRS, but a dedup pass needs CLUSTERS — if A~B and B~C, one keeper for
 {A,B,C} even though (A,C) was never a candidate pair.  Pair→cluster is
-connected components, and the canonical dataflow formulation is
-hash-min label propagation: every vertex starts labeled with itself,
-and each round takes the min label over itself and its neighbors until
-a fixpoint.  Rounds are bounded by the graph diameter (near-dup
-clusters are shallow — duplicates of a common source — so a handful of
-rounds in practice; the large-star/small-star algorithm of Kiveris et
-al. 2014 gets O(log n) worst-case and is the drop-in upgrade if ever
-needed).
+connected components.  The distributed path is the two-phase
+large-star / small-star algorithm of Kiveris et al. 2014 ("Connected
+Components in MapReduce and Beyond"): each round rewires every edge
+toward the minimum of a local neighborhood, and the edge set provably
+converges in O(log n) rounds to a forest of stars whose centers are
+the component minima — unlike plain hash-min label propagation, whose
+round count is the graph DIAMETER (adversarial for chain-shaped
+clusters).
 
 Every step is one hash join + partial-aggregated min on the vertex id
 — co-partitioned once the first shuffle lands, no driver adjacency,
 ``localCheckpoint`` truncating lineage per round (same discipline as
-functions/scc.py).  The fixpoint test piggybacks on the same join: it
-counts changed labels, which AQE executes as a broadcast-free
-one-column probe.
+functions/scc.py).  The fixpoint test is a one-row ``limit(1)`` probe
+over the symmetric difference of consecutive edge sets.
 """
 
 from __future__ import annotations
@@ -114,35 +113,120 @@ def connected_components(
     )
     if local_threshold and sym.count() < local_threshold:
         return _local_union_find(vertices.sparkSession, vertices, sym)
-    # Propagation runs over vertices ∪ edge endpoints so endpoints
+    # Two-phase star contraction runs over the edge set alone; the
+    # final projection restores isolated input vertices, and endpoints
     # missing from `vertices` still conduct (matching the union-find
-    # path); the final projection restricts back to the input vertices.
-    all_verts = _ckpt(
-        vertices.select("v")
-        .unionByName(sym.select(F.col("src").alias("v")))
-        .distinct()
-    )
-    labels = _ckpt(all_verts.select("v", F.col("v").alias("component")))
-    for _ in range(max_rounds):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.v)
-            .select(F.col("src").alias("v"), "component")
-        )
-        new = _ckpt(
-            labels.unionByName(nbr_min)
-            .groupBy("v")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    # path) but are not emitted.
+    labels, _rounds = _two_phase_labels(sym, max_rounds=max_rounds)
     return vertices.select("v").join(labels, "v", "left").select(
         "v", F.coalesce("component", "v").alias("component")
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, Alg. 2).
+
+    For every node ``u`` with neighborhood Γ(u), connect each STRICTLY
+    LARGER neighbor to ``min(Γ(u) ∪ {u})``.  Operates on the full
+    symmetric neighborhood; every input edge survives via its smaller
+    endpoint's perspective, so connectivity is preserved.  One shuffle
+    on ``src`` serves both the min-aggregate and the join (the
+    exchange is reused — co-partitioned on the same key).
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (Kiveris et al. 2014, Alg. 3).
+
+    Input/output edges are oriented larger→smaller.  For every node
+    ``u``, connect ``u`` and all its SMALLER neighbors to the minimum
+    of that set.  Output stays strictly oriented (src > dst), so the
+    two phases compose without re-canonicalizing.
+    """
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        edges.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return rewired.unionByName(
+        mins.select("src", F.col("m").alias("dst"))
+    ).distinct()
+
+
+def _two_phase_labels(sym: DataFrame, max_rounds: int = 64):
+    """Run alternating large-star/small-star to the edge-set fixpoint.
+
+    ``sym`` is a symmetrized edge list (both orientations present, no
+    nulls).  Returns ``(labels, rounds)`` where ``labels`` has one row
+    ``(v, component)`` per NON-ROOT edge-touched vertex plus the roots
+    themselves, ``component`` being the minimum vertex id of the
+    component.  At the fixpoint the edge set is a forest of stars
+    centered at component minima (Kiveris et al. 2014, Thm. 5.1), so
+    labels are read directly off the edges — no extra propagation.
+    ``rounds`` is the number of LS+SS iterations taken; O(log n) by
+    the paper's potential argument (tested on an adversarial chain).
+    """
+    # Canonical orientation larger→smaller; drops self-loops.
+    edges = _ckpt(
+        sym.where(F.col("src") > F.col("dst")).select("src", "dst").distinct()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        new = _ckpt(_small_star(_large_star(edges)))
+        # Both sides are distinct sets: equal iff same size and no row
+        # of `new` is outside `edges`.
+        changed = (
+            new.count() != edges.count()
+            or new.exceptAll(edges).limit(1).count() > 0
+        )
+        edges = new
+        if not changed:
+            break
+    roots = edges.select(F.col("dst").alias("v")).distinct()
+    labels = _ckpt(
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("component"))
+        .unionByName(roots.select("v", F.col("v").alias("component")))
+        .groupBy("v")
+        .agg(F.min("component").alias("component"))
+    )
+    # At a true fixpoint the edges are flat stars and this probe finds
+    # nothing; if max_rounds cut the loop short, pointer-jump the
+    # residual trees to their roots (O(log depth) tiny joins).
+    while True:
+        hop = (
+            labels.alias("l")
+            .join(
+                labels.alias("p"),
+                F.col("l.component") == F.col("p.v"),
+            )
+            .where(F.col("p.component") != F.col("l.component"))
+        )
+        if hop.limit(1).count() == 0:
+            break
+        labels = _ckpt(
+            labels.alias("l")
+            .join(
+                labels.alias("p"),
+                F.col("l.component") == F.col("p.v"),
+                "left",
+            )
+            .select(
+                F.col("l.v").alias("v"),
+                F.coalesce("p.component", "l.component").alias("component"),
+            )
+        )
+    return labels, rounds

@@ -543,3 +543,148 @@ def k2_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- K8: Count-Min sketch heavy hitters (engine extension) ------------------
+
+# Portable CMS hash family: md5 hex digits combined with small-prime
+# weights (the split1/s1 oracle device), so DuckDB replays the EXACT
+# sketch — every cell count, every min-estimate — not just a bound.
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+
+def _cms_key() -> F.Column:
+    # lazy: Column construction needs an active SparkContext
+    return F.concat_ws(
+        "_", F.col("event_type"), (F.col("user_id") % 50).cast("string")
+    )
+
+
+_CMS_KEY_SQL = "event_type || '_' || CAST(user_id % 50 AS VARCHAR)"
+
+
+def _cms_bucket(key: F.Column, i: int) -> F.Column:
+    h = F.md5(F.concat_ws(":", F.lit(str(i)), key))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 961
+        + F.ascii(F.substring(h, 2, 1)) * 31
+        + F.ascii(F.substring(h, 3, 1))
+    ) % _CMS_W
+
+
+def _cms_bucket_sql(key_sql: str, i_sql: str) -> str:
+    h = f"md5(CAST({i_sql} AS VARCHAR) || ':' || {key_sql})"
+    return (
+        f"(ascii(substr({h},1,1))*961 + ascii(substr({h},2,1))*31 "
+        f"+ ascii(substr({h},3,1))) % {_CMS_W}"
+    )
+
+
+@query(
+    "k8_cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_CMS_KEY_SQL} AS key FROM events
+    ), dims AS (
+        SELECT unnest([0, 1, 2, 3]) AS i
+    ), cells AS (
+        SELECT i, {_cms_bucket_sql('key', 'i')} AS b, COUNT(*) AS cnt
+        FROM keyed CROSS JOIN dims GROUP BY 1, 2
+    ), truth AS (
+        SELECT key, COUNT(*) AS true_count FROM keyed GROUP BY 1
+    ), est AS (
+        SELECT t.key, t.true_count, MIN(c.cnt) AS est_count
+        FROM truth t CROSS JOIN dims d
+        JOIN cells c
+          ON c.i = d.i AND c.b = {_cms_bucket_sql('t.key', 'd.i')}
+        GROUP BY 1, 2
+    ), total AS (
+        SELECT COUNT(*) AS n FROM keyed
+    )
+    SELECT key,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           est_count >= true_count AS no_underestimate
+    FROM est, total
+    WHERE est_count * 200 >= n
+    ORDER BY key
+    """,
+)
+def k8_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    keys whose estimated frequency is ≥0.5% of the stream.  The engine
+    extension the reference's sketch family (K1-K5) lacks.
+
+    Dataflow shape, 100-TB-minded: the sketch is a groupBy over
+    (hash_row, bucket) — cardinality d*w = 2048 regardless of key
+    cardinality, so partial aggregation collapses each map partition
+    to ≤2048 rows before the one shuffle; the probe side broadcasts
+    the 2048-cell sketch and takes the min across rows.  No driver
+    round-trip, merge = the groupBy itself (sketches from disjoint
+    shards union then re-aggregate — associative by construction).
+
+    The md5-digit hash family is engine-portable, so the DuckDB oracle
+    replays the ENTIRE mechanism — cells, min-estimates, threshold —
+    bit-exactly; `no_underestimate` additionally pins the CMS
+    one-sided-error invariant per key."""
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(_cms_key().alias("key"))
+    cells = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _cms_bucket(F.col("key"), i).alias("b"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("true_count"))
+    probe = truth.select(
+        "key",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("key"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    )
+    est = (
+        probe.join(
+            F.broadcast(cells),
+            (F.col("c.i") == F.col("i")) & (F.col("c.b") == F.col("b")),
+        )
+        .groupBy("key", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    # Stream size as its own scan-and-count: reusing the `truth`
+    # aggregate here would duplicate its whole shuffle subtree (Spark
+    # shares no uncached subplans), which costs more than this
+    # column-pruned count.
+    total = keyed.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est_count") * 200 >= F.col("n"))
+        .select(
+            "key",
+            "est_count",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias(
+                "no_underestimate"
+            ),
+        )
+        .orderBy("key")
+    )

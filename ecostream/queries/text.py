@@ -649,8 +649,9 @@ def t9_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup grouping: exact-duplicate pairs (same content
     hash) unioned with MinHash-LSH near-dup candidate pairs, closed
-    into clusters by distributed connected components (hash-min label
-    propagation, functions/cc.py), keeping min(doc_id) per cluster.
+    into clusters by distributed connected components (two-phase
+    large-star/small-star, functions/cc.py), keeping min(doc_id) per
+    cluster.
     Emits only docs in non-trivial clusters: (doc_id, cluster, keep).
     This is the operator a 100 TB dedup actually ships — d1/d3 find
     the evidence, this turns it into a drop decision even when

@@ -128,6 +128,31 @@ def test_cc_paths_agree_on_foreign_endpoints(spark):
         assert got == want, (thr, got)
 
 
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """Adversarial diameter: a 256-node path graph. Hash-min label
+    propagation needs ~255 rounds; the two-phase large-star/small-star
+    contraction (Kiveris et al. 2014) must label it correctly in
+    O(log n) rounds — we allow 3*ceil(log2 n) + 2 = 26."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ecostream.functions.cc import _two_phase_labels
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels, rounds = _two_phase_labels(sym, max_rounds=64)
+    got = {r["v"]: r["component"] for r in labels.collect()}
+    assert got == {v: 0 for v in range(n)}
+    bound = 3 * math.ceil(math.log2(n)) + 2
+    assert rounds <= bound, f"{rounds} rounds > {bound} on a {n}-chain"
+
+
 def test_cc_null_edge_endpoints_ignored_on_both_paths(spark):
     """Edges with a null endpoint carry no connectivity; the local
     union-find and distributed label-propagation paths must agree on

@@ -51,3 +51,16 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     keys = set(e.queries())
     assert set(e.oracle_sql()) <= keys
+
+
+def test_rotation_head_is_first_50_and_oracle_checked():
+    """The driver signs only the first 50 queries() keys; the rotation
+    head must stay exactly at the front and every entry must carry an
+    oracle so all 50 signed rows are value-hash comparisons."""
+    from ecostream.queries import ORACLES, QUERIES
+    from ecostream.queries import _ROUND_HEAD
+
+    assert len(_ROUND_HEAD) == 50
+    assert list(QUERIES)[:50] == _ROUND_HEAD
+    missing = [k for k in _ROUND_HEAD if k not in ORACLES]
+    assert not missing, f"rows-only keys in signed head: {missing}"

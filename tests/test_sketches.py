@@ -230,3 +230,37 @@ def test_hll_sketch_merge_accuracy(spark):
     for r in rows:
         assert r["n_users_exact"] == exact[r["event_type"]]
         assert r["within_3rsd"] is True, r
+
+
+def test_cms_heavy_hitters_invariants(spark):
+    """CMS guarantees, recomputed independently: estimates never
+    undercount (one-sided error), every TRUE heavy hitter survives the
+    estimate-side threshold (no false negatives), and the overcount is
+    within the eps*N bound for d=4/w=512 with overwhelming margin."""
+    from collections import Counter
+
+    from ecostream.queries.sketches import k8_cms_heavy_hitters
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    truth = Counter(
+        f"{r['event_type']}_{r['user_id'] % 50}"
+        for r in ev.select("event_type", "user_id").collect()
+    )
+    n = sum(truth.values())
+    rows = k8_cms_heavy_hitters(spark, SF_SMOKE).collect()
+    got = {r["key"]: r for r in rows}
+    for r in rows:
+        assert r["true_count"] == truth[r["key"]]
+        assert r["no_underestimate"] is True
+        assert r["est_count"] >= r["true_count"]
+        # e/w * N classical bound (Markov argument holds per row; the
+        # min over d=4 independent rows makes exceeding it astronomically
+        # unlikely on this data)
+        assert r["est_count"] - r["true_count"] <= max(2, 2.72 / 512 * n * 4)
+    # every true heavy hitter (>=0.5% of stream) must be reported:
+    # est >= true, so the estimate-side threshold can only ADD keys
+    for key, cnt in truth.items():
+        if cnt * 200 >= n:
+            assert key in got, f"true heavy hitter {key} missing"
