@@ -410,3 +410,48 @@ def pipeline2_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- QL1: per-source quota capping (corpus domain balancing) ----------------
+
+
+@query(
+    "ql1_domain_quota",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pos
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(pos AS BIGINT) AS pos
+    FROM ranked WHERE pos <= 10
+    ORDER BY source, pos
+    """,
+)
+def ql1_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-based domain balancing: keep at most K=10 documents per
+    source, selected in md5-hash order — the pretraining-mix op that
+    stops one crawl domain from dominating the corpus (the complement
+    of samp1's fraction-based stratified sample: quotas bound the
+    ABSOLUTE contribution).
+
+    Scale shape: one shuffle on ``source``, then a per-partition
+    window; hash order makes the kept set deterministic and
+    repartition-stable, and the md5 device makes it engine-portable.
+    A pathologically hot source makes a single big window task — the
+    two-stage salted top-k helper (functions/topk.py) is the documented
+    upgrade; at K=10 the window state is trivially small either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("pos")
+        )
+        .where(F.col("pos") <= 10)
+        .select("source", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )

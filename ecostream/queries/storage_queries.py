@@ -148,3 +148,96 @@ def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_name").alias("c_name"),
         )
     )
+
+
+_S8_MERGE_ORACLE = """
+    WITH changes AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 10 WHEN 7 THEN 'D' WHEN 3 THEN 'U' END AS op
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ), kept AS (
+        SELECT o.* FROM orders o
+        LEFT JOIN changes c USING (o_orderkey)
+        WHERE c.op IS NULL
+    ), updated AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                   AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 3
+    ), inserted AS (
+        SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+               'I' AS o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 1
+    ), merged AS (
+        SELECT * FROM kept
+        UNION ALL SELECT * FROM updated
+        UNION ALL SELECT * FROM inserted
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("s8_merge_upsert", oracle=_S8_MERGE_ORACLE)
+def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (CDC upsert) into a parquet snapshot: apply a deterministic
+    change batch — deletes (key%10==7), updates (key%10==3: status 'U',
+    price doubled), inserts (key%10==1 re-keyed +1e9, status 'I') — the
+    maintenance operator every incremental lake table needs (the engine
+    has no table format; this is MERGE as dataflow + snapshot rewrite).
+
+    Shape: the delete/update key set anti-joins the snapshot (broadcast
+    — a CDC batch is orders of magnitude smaller than the snapshot),
+    updated and inserted rows union in, and the merged snapshot is
+    REWRITTEN to parquet and read back before aggregating, so the
+    oracle's row-identity check covers the physical write too.  At
+    100 TB the same plan applies per partition touched by the batch
+    (partition pruning on the join keys), not to the whole table."""
+    orders = load_table(spark, sf_dir, "orders")
+    touched = orders.where(F.col("o_orderkey") % 10 == 3).unionByName(
+        orders.where(F.col("o_orderkey") % 10 == 7)
+    ).select("o_orderkey")
+    kept = orders.join(F.broadcast(touched), "o_orderkey", "left_anti")
+    updated = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserted = orders.where(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = kept.unionByName(updated).unionByName(inserted)
+    out = _workdir("s8_merged")
+    merged.write.mode("overwrite").parquet(out)
+    snap = spark.read.parquet(out)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1082,3 +1082,70 @@ def t10_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- T11: term-based retrieval scoring (tf-idf top-k) -----------------------
+
+
+@query(
+    "t11_tfidf_retrieval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), total AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), qt AS (
+        SELECT unnest(['vector', 'merge', 'scan']) AS term
+    ), dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM toks WHERE term IN (SELECT term FROM qt)
+        GROUP BY term
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN (SELECT term FROM qt)
+        GROUP BY doc_id, term
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf * ((n * 1000) // dfreq.df)) AS BIGINT) AS score
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 10
+    """,
+)
+def t11_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the fixed query {vector, merge, scan} by
+    integer-scaled tf-idf: score = Σ_term tf(doc,term) · ⌊N·1000/df(term)⌋.
+    The retrieval-scoring op (BM25's shape) with the idf made an exact
+    integer so both engines rank bit-identically — transcendental log()
+    differs across libm implementations, so the determinism convention
+    (SURVEY §5) trades the log curve for an exact rational idf; the
+    ranking structure (rare terms dominate) is preserved.
+
+    Scale shape: term filter pushes into the explode projection, tf and
+    df are partial-aggregated before their one shuffle each, df (≤3
+    rows) and N (1 row) broadcast onto the tf table, and the final
+    top-10 is TakeOrderedAndProject — no global sort, no driver data."""
+    docs = _docs(spark, sf_dir)
+    terms = ["vector", "merge", "scan"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term").isin(terms))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.expr("(n * 1000) div df")
+            ).cast("long").alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

@@ -76,3 +76,33 @@ def test_ingest_parse_isolates_malformed_records(spark):
     assert len(rows) == 1
     assert rows[0]["_id"] == "x1"
     assert rows[0]["insect"]["species"] == "ant"
+
+
+def test_tfidf_retrieval_matches_python_recomputation(spark):
+    """t11's integer-scaled tf-idf top-10 must equal an independent
+    pure-Python recomputation over the same corpus."""
+    from collections import Counter
+
+    from ecostream.queries.text import t11_tfidf_retrieval
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    terms = ["vector", "merge", "scan"]
+    n = len(docs)
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in terms}
+    scores = {}
+    for doc_id, toks in docs.items():
+        c = Counter(toks)
+        s = sum(c[t] * (n * 1000 // df[t]) for t in terms if c[t] and df[t])
+        if s:
+            scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in t11_tfidf_retrieval(spark, SF_SMOKE).collect()
+    ]
+    assert got == want

@@ -193,3 +193,41 @@ def test_pipeline2_manifest_matches_python_recomputation(spark):
         for r in pipeline2_training_manifest(spark, SF_SMOKE).collect()
     }
     assert got == dict(expected)
+
+
+def test_ql1_domain_quota_cap_and_stability(spark):
+    """Quota capping: ≤10 docs kept per source, the kept set is a
+    subset of that source's docs, and it is invariant under input
+    repartitioning (hash order, not partition order)."""
+    from ecostream.queries.llm_pipeline import ql1_domain_quota
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    rows = ql1_domain_quota(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for src, kept in by_src.items():
+        assert len(kept) <= 10
+        assert len(kept) == min(10, totals[src])
+        assert sorted(r["pos"] for r in kept) == list(range(1, len(kept) + 1))
+    # repartition stability: same kept (source, doc_id) set
+    import ecostream.queries.llm_pipeline as m
+    from pyspark.sql import functions as F, Window
+
+    shuffled = docs.repartition(13)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    again = {
+        (r["source"], r["doc_id"])
+        for r in shuffled.select(
+            "source", "doc_id", F.row_number().over(w).alias("pos")
+        ).where(F.col("pos") <= 10).collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in rows}

@@ -170,3 +170,40 @@ def test_compaction_reduces_files_preserving_rows(spark, tmp_path):
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans  # range partitioning → non-overlapping
     assert spark.read.parquet(dst2).count() == ev.count()
+
+
+def test_s8_merge_upsert_semantics(spark):
+    """The merged snapshot must contain no deleted keys, exactly the
+    doubled totals for updated keys, re-keyed inserts, and untouched
+    rows bit-identical — checked against an independent pandas replay
+    of the change rules (not the oracle SQL)."""
+    import os
+    import tempfile
+
+    from ecostream.queries.storage_queries import s8_merge_upsert
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    s8_merge_upsert(spark, SF_SMOKE).collect()  # writes the snapshot
+    snap = spark.read.parquet(
+        os.path.join(tempfile.gettempdir(), f"ecostream_s8_merged_{os.getpid()}")
+    )
+    orig = load_table(spark, SF_SMOKE, "orders")
+    orig_rows = {r["o_orderkey"]: r for r in orig.collect()}
+    got = {r["o_orderkey"]: r for r in snap.collect()}
+    n_del = sum(1 for k in orig_rows if k % 10 == 7)
+    n_ins = sum(1 for k in orig_rows if k % 10 == 1)
+    assert len(got) == len(orig_rows) - n_del + n_ins
+    for k, r in orig_rows.items():
+        if k % 10 == 7:
+            assert k not in got
+        elif k % 10 == 3:
+            assert got[k]["o_orderstatus"] == "U"
+            assert abs(got[k]["o_totalprice"] - round(r["o_totalprice"], 2) * 2) < 1e-6
+        else:
+            assert got[k]["o_orderstatus"] == r["o_orderstatus"]
+            assert got[k]["o_totalprice"] == r["o_totalprice"]
+        if k % 10 == 1:
+            ins = got[k + 1_000_000_000]
+            assert ins["o_orderstatus"] == "I"
+            assert ins["o_custkey"] == r["o_custkey"]
