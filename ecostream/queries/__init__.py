@@ -73,6 +73,10 @@ try:
     from . import llm_pipeline  # noqa: F401  (chunk/split/shuffle/pack)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import corpus  # noqa: F401  (repetition gates, inverted index, LM)
+except ImportError:  # pragma: no cover
+    pass
 
 # ---------------------------------------------------------------------------
 # Declaration-order rotation.

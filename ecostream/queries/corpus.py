@@ -1,0 +1,277 @@
+"""Corpus-statistics operators: repetition-based quality filtering,
+inverted-index construction, and n-gram language-model estimation.
+
+The reference has no text layer at all (its corpus is the insect-event
+stream, consumer.py:407); these extend the engine's training-data
+pipeline family (BASELINE.json north-star) with the three corpus passes
+every pretraining build runs after cleaning:
+
+- ``ql2_gopher_repetition``: Gopher-style repetition gates (Rae et al.
+  2021 §A1.1 re-expressed token-level) — fraction of tokens that are the
+  single most-frequent token, and fraction of duplicate 2-grams.
+- ``t12_inverted_index``: term -> (document frequency, collection
+  frequency, posting-list head) — the retrieval index build.
+- ``lm1_bigram_lm``: add-one-smoothed bigram conditional probabilities
+  — the classic count-based LM estimation pass (feeds perplexity-based
+  quality scoring at corpus scale).
+
+All three are pure built-in expressions (split / transform / filter /
+explode / window) so they stay inside whole-stage codegen; the oracles
+replay the identical lambda pipelines with DuckDB list functions, so the
+driver hash-checks every count, fraction, and posting head bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- QL2: Gopher-style repetition quality gates ------------------------------
+
+# Thresholds calibrated on the synthetic corpus so the gate genuinely
+# splits it (~80% keep at sf0.01); the published Gopher rules use char
+# fractions over 2-grams — token-level analogs keep the arithmetic
+# exact-integer so both engines agree bit-for-bit before rounding.
+_TOP_TOK_MAX = 0.12
+_DUP_BIGRAM_MAX = 0.08
+
+# Bigrams i=1..n-1 as "tok_i tok_{i+1}" strings.  The CASE guard matters:
+# Spark's sequence(1, 0) yields a DESCENDING [1, 0] (step auto-negates),
+# while DuckDB's generate_series(1, 0) yields [] — so never build the
+# index list for a sub-2-token doc.
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(tokens) >= 2 THEN "
+    "transform(sequence(1, size(tokens) - 1), "
+    "i -> concat(element_at(tokens, i), ' ', "
+    "element_at(tokens, CAST(i + 1 AS INT)))) "
+    "ELSE array() END"
+)
+_BIGRAMS_DUCK = (
+    "CASE WHEN len(tokens) >= 2 THEN "
+    "list_transform(generate_series(1, len(tokens) - 1), "
+    "i -> tokens[i] || ' ' || tokens[i + 1]) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "ql2_gopher_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               len(tokens) AS n_tok,
+               list_max(list_transform(
+                   list_distinct(tokens),
+                   t -> len(list_filter(tokens, x -> x = t))
+               )) AS top_cnt,
+               {_BIGRAMS_DUCK} AS bg
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(CAST(top_cnt AS DOUBLE) / n_tok, 6) AS top_tok_frac,
+           ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                                 / len(bg) END, 6) AS dup_bigram_frac,
+           CASE WHEN CAST(top_cnt AS DOUBLE) / n_tok <= {_TOP_TOK_MAX}
+                 AND (len(bg) = 0 OR
+                      1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                          <= {_DUP_BIGRAM_MAX})
+                THEN 1 ELSE 0 END AS keep
+    FROM stats
+    """,
+)
+def ql2_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher rules, token-level):
+    drop documents dominated by one token (top_tok_frac > 0.12) or by
+    repeated 2-grams (dup_bigram_frac > 0.08) — the standard filter for
+    boilerplate / template / degenerate-generation text.
+
+    Plan shape: ZERO shuffles — every statistic is computed inside the
+    row with array lambdas (``transform``/``filter``/``array_distinct``),
+    so the whole gate is a map over the corpus scan.  The per-row cost is
+    O(distinct_tokens x n_tok) for the top-token count; for very long
+    documents the explode -> groupBy(doc_id, token) form (one shuffle on
+    doc_id) trades the quadratic scan for an exchange — at 100 TB pick
+    per partition by average doc length.  Fractions are derived from
+    exact integer counts and rounded once, so both engines agree."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    stats = docs.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        F.array_max(
+            F.expr(
+                "transform(array_distinct(tokens), "
+                "t -> size(filter(tokens, x -> x = t)))"
+            )
+        ).alias("top_cnt"),
+        F.expr(_BIGRAMS_SPARK).alias("bg"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tok")
+    dup_frac = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(top_frac, 6).alias("top_tok_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        (
+            (top_frac <= _TOP_TOK_MAX) & (dup_frac <= _DUP_BIGRAM_MAX)
+        ).cast("int").alias("keep"),
+    )
+
+
+# --- T12: inverted index construction ---------------------------------------
+
+_POSTINGS_HEAD = 20
+
+
+@query(
+    "t12_inverted_index",
+    oracle=f"""
+    WITH tf AS (
+        SELECT term, doc_id, count(*) AS cnt
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*) AS df_docs,
+           CAST(SUM(cnt) AS BIGINT) AS cf,
+           md5(array_to_string(list_transform(
+               list_slice(list_sort(list(doc_id)), 1, {_POSTINGS_HEAD}),
+               x -> CAST(x AS VARCHAR)), ',')) AS postings_head_hash
+    FROM tf
+    GROUP BY term
+    """,
+)
+def t12_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, the document frequency, the
+    collection frequency, and an md5 fingerprint of the first 20 doc_ids
+    of the sorted posting list (the list head a top-k retrieval engine
+    serves hot).  Two shuffles — (term, doc_id) for tf, then term for
+    the merge — both with map-side partial aggregation; collect_list is
+    bounded per term only by df, so the declared form caps the PINNED
+    content at the head while df/cf stay exact over the whole list.  At
+    100 TB the full postings are written out partitioned by a term-hash
+    bucket instead of collected; the index build itself is this exact
+    plan."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df_docs"),
+        F.sum("cnt").cast("long").alias("cf"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    f"transform(slice(array_sort(collect_list(doc_id)), 1, "
+                    f"{_POSTINGS_HEAD}), x -> CAST(x AS STRING))"
+                ),
+            )
+        ).alias("postings_head_hash"),
+    )
+
+
+# --- LM1: add-one-smoothed bigram language model -----------------------------
+
+
+@query(
+    "lm1_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS tokens FROM documents
+    ),
+    bg AS (
+        SELECT tokens[i] AS cur, tokens[i + 1] AS nxt
+        FROM toks, unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    ),
+    cnts AS (
+        SELECT cur, nxt, count(*) AS cnt FROM bg GROUP BY cur, nxt
+    ),
+    tot AS (
+        SELECT cur, nxt, cnt,
+               SUM(cnt) OVER (PARTITION BY cur) AS cur_total
+        FROM cnts
+    ),
+    v AS (
+        SELECT count(DISTINCT term) AS vocab
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    )
+    SELECT cur, nxt, CAST(cnt AS BIGINT) AS cnt,
+           ROUND((CAST(cnt AS DOUBLE) + 1) / (cur_total + vocab), 6)
+               AS p_add1
+    FROM tot, v
+    ORDER BY cnt DESC, cur, nxt
+    LIMIT 200
+    """,
+)
+def lm1_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM estimation with add-one smoothing:
+    P(next | cur) = (c(cur, next) + 1) / (c(cur) + |V|) — the corpus
+    pass behind n-gram perplexity quality scoring.  Token pairs are
+    built in-row (transform over an index sequence — the M1 lead/lag
+    device applied WITHIN an array instead of across rows), exploded,
+    and counted once; the conditional totals reuse that shuffle via a
+    cur-partitioned window, and |V| arrives as a broadcast 1-row cross
+    join, so the whole estimation is two aggregations and one window
+    over co-partitioned data.  Probabilities derive from exact integer
+    counts, rounded once; top-200 with a total tiebreaker keeps the
+    declared result bounded."""
+    docs = _docs(spark, sf_dir).select(F.split("text", " ").alias("tokens"))
+    bg = (
+        docs.where(F.size("tokens") >= 2)
+        .select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("cur"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("nxt"),
+        )
+    )
+    cnts = bg.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    tot = cnts.withColumn(
+        "cur_total", F.sum("cnt").over(Window.partitionBy("cur"))
+    )
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .agg(F.countDistinct("term").alias("vocab"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(vocab))
+        .select(
+            "cur",
+            "nxt",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                (F.col("cnt").cast("double") + 1)
+                / (F.col("cur_total") + F.col("vocab")),
+                6,
+            ).alias("p_add1"),
+        )
+        .orderBy(F.desc("cnt"), "cur", "nxt")
+        .limit(200)
+    )

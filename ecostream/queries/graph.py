@@ -447,3 +447,83 @@ def g5_pagerank_habitats(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=_PAGERANK_ITERS, tol=0.0,
     )
     return ranks.select("v", F.round("rank", 6).alias("rank")).orderBy("v")
+
+
+# --- G6: triangle counting over the token co-occurrence graph ----------------
+
+
+@query(
+    "g6_cooccurrence_triangles",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    edges AS (
+        SELECT DISTINCT x.tok AS a, y.tok AS b
+        FROM tok x JOIN tok y
+          ON x.doc_id = y.doc_id AND x.tok < y.tok
+    ),
+    tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def g6_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the token co-occurrence graph
+    (edge = two tokens appearing in the same document) — the classic
+    clustering-coefficient primitive the reference's habitat graph is
+    too small (≤4 nodes) to exercise.
+
+    Edges are canonicalized a < b so each triangle a < b < c is found
+    exactly once by the two-path join e1(a,b) ⋈ e2(b,c) closed by
+    e3(a,c); per-node counts come from exploding each triangle to its
+    three corners.  Per-doc ``array_distinct`` bounds the pair fan-out
+    at distinct-tokens²; the edge set dedups before the triple join, so
+    the join inputs are the graph, not the corpus.  At 100 TB the
+    standard refinement is degree-ordered orientation (each edge stored
+    low-degree endpoint first) which bounds the two-path fan-out by
+    arboricity — same plan, one extra degree join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    edges = (
+        tok.alias("x")
+        .join(
+            tok.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.tok") < F.col("y.tok")),
+        )
+        .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
+        .distinct()
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("node")
+    )

@@ -199,3 +199,99 @@ def str2_name_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_parts"), "name_prefix")
     )
+
+
+# --- CDC1: SCD Type-2 interval build from a change log -----------------------
+
+
+@query(
+    "cdc1_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(changed) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seg
+        FROM ordered
+    ),
+    segments AS (
+        SELECT user_id, CAST(seg AS BIGINT) AS version,
+               event_type AS state,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, seg, event_type
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM segments
+    """,
+)
+def cdc1_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from a change log: treat
+    each user's event stream as attribute changes and emit one validity
+    interval per RUN of equal states — run-length encoding via the
+    lag-change flag + running sum (the same gaps-and-islands device as
+    w3 sessionization, keyed on value change instead of time gap),
+    then [valid_from, valid_to) intervals via lead, open-ended rows
+    flagged current.
+
+    Scale shape: everything is partitioned by user_id — the change
+    flags, the running sum, the segment aggregation, and the interval
+    lead all reuse ONE hash partitioning (a single exchange; no global
+    sort anywhere).  This is the MERGE-free path to SCD2: append-only
+    change logs compact into dimension snapshots with two window passes
+    and an aggregation."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("changed"),
+    )
+    runs = ordered.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("changed")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("seg"),
+    )
+    segments = runs.groupBy(
+        "user_id", F.col("seg").cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("version")
+    return segments.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
+        "n_events",
+    )

@@ -653,3 +653,178 @@ def sim5_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = materialize_training_set(_emb(spark, sf_dir))
     cents = kmeans_centroids(spark, emb, k=8, iters=3, materialized=True)
     return ivf_ann_topk(emb, cents)
+
+
+# --- SIM6: product quantization + asymmetric-distance (ADC) probe ------------
+
+_PQ_M = 4          # subspaces (dim 64 -> 4 x 16)
+_PQ_SUBDIM = 16
+_PQ_K = 8          # codewords per subspace
+_PQ_QSCALE = 1_000_000.0
+
+
+def _pq_oracle(m: int = _PQ_M, sd: int = _PQ_SUBDIM, k: int = _PQ_K) -> str:
+    """DuckDB replay of the FULL PQ pipeline: codebook sampling ->
+    per-subspace encoding (argmin of exact integer L2^2) -> ADC lookup
+    tables -> summed approximate distances -> per-query top-10."""
+    return f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * {_PQ_QSCALE}) AS BIGINT))
+                   AS qv
+        FROM emb
+    ),
+    cb AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cent_id, qv
+        FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ),
+    subs AS (SELECT UNNEST(generate_series(0, {m - 1})) AS sub_id),
+    cw AS MATERIALIZED (
+        SELECT cent_id, sub_id,
+               list_slice(qv, sub_id * {sd} + 1, sub_id * {sd} + {sd}) AS cq
+        FROM cb CROSS JOIN subs
+    ),
+    esub AS MATERIALIZED (
+        SELECT vec_id, sub_id,
+               list_slice(qv, sub_id * {sd} + 1, sub_id * {sd} + {sd}) AS eq
+        FROM q CROSS JOIN subs
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, sub_id, cent_id AS code FROM (
+            SELECT e.vec_id, e.sub_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.sub_id
+                       ORDER BY CAST(list_sum(list_transform(
+                           generate_series(1, {sd}),
+                           i -> (e.eq[i] - c.cq[i]) * (e.eq[i] - c.cq[i])
+                       )) AS BIGINT), c.cent_id
+                   ) AS rn
+            FROM esub e JOIN cw c ON c.sub_id = e.sub_id
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT e.vec_id AS query_id, c.sub_id, c.cent_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {sd}),
+                   i -> (e.eq[i] - c.cq[i]) * (e.eq[i] - c.cq[i])
+               )) AS BIGINT) AS d
+        FROM esub e JOIN cw c ON c.sub_id = e.sub_id
+        WHERE e.vec_id < 5
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS match_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+        FROM codes cd
+        JOIN lut l ON l.sub_id = cd.sub_id AND l.cent_id = cd.code
+        GROUP BY l.query_id, cd.vec_id
+    )
+    SELECT query_id, match_id, adc_dist, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, match_id
+        ) AS rn
+        FROM adc WHERE match_id <> query_id
+    ) WHERE rn <= 10
+    """
+
+
+@query("sim6_pq_adc", oracle=_pq_oracle())
+def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split each vector into
+    4 x 16-dim subvectors, encode each against an 8-codeword codebook
+    (sampled as the md5-lowest vectors — the portable-init device of
+    sim5b), and answer queries by ASYMMETRIC DISTANCE: a 4x8 lookup
+    table of exact query-to-codeword distances per query, summed along
+    each database vector's 4 codes.  PQ is the memory side of the ANN
+    trade-off the IVF queries (sim4/sim5) cover on the partition side:
+    n vectors compress to n x 4 one-byte codes plus a constant
+    codebook.
+
+    Portability: components are integer-quantized (round(x*1e6), the
+    sim5b device) so every L2^2 is an exact BIGINT in both engines —
+    encoding argmins, LUTs, and ADC sums are bit-identical, which is
+    what lets the oracle replay the entire pipeline.
+
+    Plan shape at 100 TB: the codebook is a 32-row broadcast (model,
+    not data); encoding is one partial-aggregated shuffle of n x m x k
+    candidate rows collapsing to n x m codes (map-side min); the probe
+    touches only codes — a broadcast of the 160-row LUT joined map-side,
+    one (query, vec) sum, and a per-query top-10.  No full-precision
+    vector is read at query time — that is the point of PQ."""
+    emb = _emb(spark, sf_dir)
+    qv = F.transform("v", lambda x: F.round(x * _PQ_QSCALE).cast("long"))
+    q = emb.select("vec_id", qv.alias("qv"))
+
+    # Codebook: md5-lowest K vectors, split into per-subspace codewords.
+    cb_rows = (
+        q.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select("qv")
+        .collect()
+    )
+    cw_rows = [
+        (cid, s, list(r["qv"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]))
+        for cid, r in enumerate(cb_rows)
+        for s in range(_PQ_M)
+    ]
+    cw = emb.sparkSession.createDataFrame(
+        cw_rows, "cent_id long, sub_id int, cq array<long>"
+    )
+
+    # Subvector rows: map-side explode, no shuffle.
+    esub = q.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), s -> "
+                f"struct(s AS sub_id, "
+                f"slice(qv, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}) AS eq))"
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.eq").alias("eq"))
+
+    def l2sq(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Encode: argmin codeword per (vector, subspace); min(struct) keeps
+    # the (distance, cent_id) tiebreak and partial-aggregates map-side.
+    cand = esub.join(F.broadcast(cw), "sub_id").select(
+        "vec_id", "sub_id", "cent_id", l2sq("eq", "cq").alias("d")
+    )
+    codes = (
+        cand.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d", "cent_id")).alias("m"))
+        .select("vec_id", "sub_id", F.col("m.cent_id").alias("code"))
+    )
+
+    # ADC lookup tables for the 5 query vectors: 4 x 8 exact distances.
+    lut = (
+        esub.where(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cw), "sub_id")
+        .select("query_id", "sub_id", "cent_id", l2sq("eq", "cq").alias("d"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub_id"] == lut["sub_id"]) & (codes["code"] == lut["cent_id"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        .where(F.col("match_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "match_id", "adc_dist", "rnk")
+    )
