@@ -697,3 +697,119 @@ def b1_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- HIST1: equi-width histogram with exact integer bucketing ----------------
+
+
+@query(
+    "hist1_value_histogram",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS xi FROM events
+    )
+    SELECT CAST(floor(xi / 2500) + 1 AS BIGINT) AS bucket,
+           count(*) AS n,
+           ROUND(CAST(min(xi) AS DOUBLE) / 100, 6) AS lo,
+           ROUND(CAST(max(xi) AS DOUBLE) / 100, 6) AS hi,
+           ROUND(CAST(SUM(xi) AS DOUBLE) / (count(*) * 100), 6) AS mean
+    FROM q GROUP BY 1 ORDER BY bucket
+    """,
+)
+def hist1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value measure (width 25, the
+    profiling primitive behind optimizer NDV/selectivity stats and data
+    drift monitors).  The measure is scaled to exact integer cents
+    first, so bucket assignment, per-bucket min/max, and the mean's
+    numerator are all order-independent integers — the only float op is
+    one final division per bucket.  Plan: a single scan with map-side
+    partial aggregation into ≤ 20 groups; at 100 TB the shuffle carries
+    20 rows per task."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("xi")
+    )
+    return (
+        q.groupBy(
+            (F.floor(F.col("xi") / 2500) + 1).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("xi").cast("double") / 100, 6).alias("lo"),
+            F.round(F.max("xi").cast("double") / 100, 6).alias("hi"),
+            F.round(
+                F.sum("xi").cast("double") / (F.count("*") * 100), 6
+            ).alias("mean"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- DQ2: numerically-exact z-score outlier detection ------------------------
+
+
+@query(
+    "dq2_zscore_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xi
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(xi) AS HUGEINT) AS s1,
+               CAST(SUM(xi * xi) AS HUGEINT) AS s2
+        FROM q GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST(stats.n AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN
+                   (stats.n * q.xi - stats.s1) * (stats.n * q.xi - stats.s1)
+                   > 9 * (stats.n * stats.s2 - stats.s1 * stats.s1)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(stats.s1 AS DOUBLE) / (stats.n * 100), 6) AS mean
+    FROM q JOIN stats ON stats.event_type = q.event_type
+    GROUP BY q.event_type, stats.n, stats.s1, stats.s2
+    """,
+)
+def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier counts with EXACT arithmetic: the
+    z-score test |x − μ| > 3σ is cross-multiplied into the integer
+    inequality (n·x − s1)² > 9·(n·s2 − s1²) over cent-scaled values —
+    no division, no sqrt, no float accumulation, so both engines agree
+    on every boundary case (a rounded float z-score can flip the count
+    for z ≈ 3.000000).  Two-pass shape: a 5-row stats aggregate
+    broadcast back onto the scan, then one partial-aggregated count —
+    the standard distributed profile-then-flag plan; intermediates ride
+    in 128-bit decimals so n·s2 cannot overflow at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("xi")
+    )
+    stats = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("s2"),
+    )
+    j = q.join(F.broadcast(stats), "event_type")
+    lhs = (
+        F.col("n") * F.col("xi") - F.col("s1")
+    ) * (F.col("n") * F.col("xi") - F.col("s1"))
+    rhs = 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        j.groupBy("event_type", "n", "s1")
+        .agg(
+            F.sum(F.when(lhs > rhs, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "n_outliers",
+            F.round(
+                F.col("s1").cast("double") / (F.col("n") * 100), 6
+            ).alias("mean"),
+        )
+    )

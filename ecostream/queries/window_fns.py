@@ -240,3 +240,67 @@ def w8_weekly_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_us")
     )
+
+
+# --- W9: RANGE frame over event time (trailing 30-day revenue) ---------------
+
+
+@query(
+    "w9_trailing_30d_revenue",
+    oracle="""
+    WITH co AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS order_day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+        FROM orders
+        WHERE o_custkey < 200
+        GROUP BY 1, 2
+    )
+    SELECT o_custkey, CAST(order_day AS BIGINT) AS order_day,
+           ROUND(CAST(SUM(day_total) OVER (
+               PARTITION BY o_custkey ORDER BY order_day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS trailing_30d
+    FROM co
+    """,
+)
+def w9_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-DAY revenue per customer — a RANGE frame over event
+    time, the sibling of w8's ROWS frame: the window spans a VALUE
+    interval (order_day−30 .. order_day), so sparse/irregular order
+    histories are windowed by calendar distance, not row count.  Spark's
+    ``rangeBetween`` needs a numeric ORDER BY column: days since epoch
+    (an exact integer both engines derive identically from the date).
+    Pre-aggregating to one row per (customer, day) first makes the
+    frame deterministic under ties and shrinks the window input; the
+    frame itself reuses the same o_custkey hash partitioning — one
+    exchange total, no global sort.  DECIMAL day totals keep every
+    running value exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    co = (
+        orders.where(F.col("o_custkey") < 200)
+        .groupBy(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).alias("order_day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "day_total"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return co.select(
+        "o_custkey",
+        F.col("order_day").cast("long").alias("order_day"),
+        F.round(F.sum("day_total").over(w).cast("double"), 6).alias(
+            "trailing_30d"
+        ),
+    )
