@@ -506,6 +506,10 @@ def g6_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
         .distinct()
+        # Materialize the (small) edge set once: the triangle closure
+        # references it three times, and without this every leg re-runs
+        # the corpus scan + pair self-join (6 scans -> 2).
+        .localCheckpoint(eager=True)
     )
     tri = (
         edges.alias("e1")
