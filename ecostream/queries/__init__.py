@@ -130,6 +130,22 @@ _ROUND_HEAD = [
 ]
 
 
+# ROUND-4 ROTATION PLAN (do this at the start of round 4): after the
+# round-3 head is driver-signed, 68 queries will still lack a signed row.
+# Swap _ROUND_HEAD for 50 of the oracle-bearing ones, e.g. lead with:
+#   sketches: k5 k6 k7 k2_hll_sketch_mergeable k8
+#   graph: g1 g1b g2_hash_walk g3 g6
+#   text/retrieval: pe1 norm1 t11 t12 lm1 ql2
+#   similarity: sim6_pq_adc
+#   generator/multimodal: s1 s2 s3 mm1 mm2 mm3
+#   set ops: u1 u2 u3 u4 u5 n1 p1 aj1
+#   analytics: a9 a9_approx a10 h1 r1 r2 r3 c1 c2 prof1 dq1 dq2 v1 arr1
+#              b1 hist1
+#   window fns: w1 w2 w3 w4 w5 w6 (then w7 w8 w9 + series/storage in r5)
+# (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
+# rows-only by design and never enter the head.)
+
+
 def _rotate_head(head: list[str]) -> None:
     missing = [k for k in head if k not in QUERIES]
     if missing:  # pragma: no cover - registration drift guard
