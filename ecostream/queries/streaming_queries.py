@@ -462,3 +462,121 @@ def st8_stream_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(str(work / "index")).orderBy("doc_id")
+
+
+# --- ST9: streaming CDC MERGE apply (foreachBatch upsert) --------------------
+
+# The final state must equal the one-shot batch MERGE, so the oracle IS
+# s8's (merge application is micro-batch-slicing-invariant).
+from .storage_queries import _S8_MERGE_ORACLE  # noqa: E402
+
+
+@query("st9_stream_merge_upsert", oracle=_S8_MERGE_ORACLE)
+def st9_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the s8 change batch (deletes, updates,
+    inserts over orders) arrives as a CHANGE FEED in multiple
+    micro-batches (maxFilesPerTrigger=1 over a 4-file feed), and each
+    micro-batch MERGEs into a parquet store via ``foreachBatch`` —
+    read current snapshot, broadcast-anti-join the batch's delete/update
+    keys, union the batch's upsert rows, write snapshot v+1.  The final
+    store must equal the one-shot batch MERGE (s8): merge application
+    is independent of how the feed is sliced into micro-batches, which
+    is the property a CDC pipeline needs to restart/rescale freely.
+
+    Versioned snapshot dirs make each merge write atomic with respect
+    to its own read (never overwrite what you are reading); the
+    checkpointLocation gives exactly-once batch application.  At 100 TB
+    the same foreachBatch body targets only the partitions the batch's
+    keys touch (partition pruning on the join), not the whole table —
+    or a lake-format MERGE, which is this exact dataflow under a
+    transaction log."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st9_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    base = work / "store_v0"
+    orders.select(*cols).write.parquet(str(base))
+
+    deletes = orders.where(F.col("o_orderkey") % 10 == 7).select(
+        F.lit("D").alias("op"), *cols
+    )
+    updates = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        F.lit("U").alias("op"),
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.where(F.col("o_orderkey") % 10 == 1).select(
+        F.lit("I").alias("op"),
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    feed = deletes.unionByName(updates).unionByName(inserts)
+    feed.repartition(4).write.parquet(str(work / "feed"))
+
+    schema = spark.read.parquet(str(work / "feed")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(work / "feed"))
+    )
+
+    state = {"cur": str(base), "v": 0}
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        store = spark.read.parquet(state["cur"])
+        keys = batch.where(F.col("op").isin("D", "U")).select("o_orderkey")
+        kept = store.join(F.broadcast(keys), "o_orderkey", "left_anti")
+        ups = batch.where(F.col("op").isin("U", "I")).drop("op")
+        state["v"] += 1
+        nxt = str(work / f"store_v{state['v']}")
+        kept.unionByName(ups).write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = spark.read.parquet(state["cur"])
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
