@@ -42,6 +42,10 @@ HEADLINE = [
     "t7_token_counts",            # text analysis over documents
     "t9_contamination_overlap",   # n-gram blocked contamination check
     "pipeline2_training_manifest",  # composed dedup->gate->split->pack funnel
+    "sim6_pq_adc",                # product-quantization ADC probe (round 3)
+    "t12_inverted_index",         # inverted-index build (round 3)
+    "g6_cooccurrence_triangles",  # triangle counting (round 3)
+    "cdc1_scd2_intervals",        # SCD2 interval compaction (round 3)
 ]
 
 

@@ -304,3 +304,50 @@ def w9_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_30d"
         ),
     )
+
+
+# --- TK1: salted two-stage per-group top-k ----------------------------------
+
+
+@query(
+    "tk1_salted_topk_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def tk1_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders by price per order priority via the SALTED
+    two-stage top-k (functions/topk.py) — declared so the scale path is
+    driver-checkable, not just unit-tested.  Five priority groups is
+    exactly the skew funnel a plain per-group window creates at 100 TB
+    (every row shuffles into 5 partitions); stage 1 ranks within
+    (group, salt-bucket) — 5×32-way parallel — cutting survivors to
+    ≤ 32·k per group before the tiny stage-2 re-rank.  The oracle is
+    the PLAIN single-window form: salting must be provably invisible
+    in the result (the sk1 device applied to top-k)."""
+    from ..functions.topk import topk_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    top = topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=5,
+        salt_col=F.col("o_orderkey"),
+    )
+    return top.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "rnk",
+    )
