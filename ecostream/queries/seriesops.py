@@ -247,10 +247,11 @@ def cdc1_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     then [valid_from, valid_to) intervals via lead, open-ended rows
     flagged current.
 
-    Scale shape: everything is partitioned by user_id — the change
-    flags, the running sum, the segment aggregation, and the interval
-    lead all reuse ONE hash partitioning (a single exchange; no global
-    sort anywhere).  This is the MERGE-free path to SCD2: append-only
+    Scale shape: every stage is keyed on user_id (the change flags and
+    running sum share one user_id exchange; the segment aggregation
+    re-keys on (user_id, seg, state) and the interval lead rides it) —
+    two exchanges total, no global sort anywhere.  This is the
+    MERGE-free path to SCD2: append-only
     change logs compact into dimension snapshots with two window passes
     and an aggregation."""
     from pyspark.sql import Window as W

@@ -251,3 +251,58 @@ def test_j25_agg_of_agg_reuses_exchange(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "ReusedExchange" in p, p
+
+
+def test_ql2_zero_shuffle_map_only(spark):
+    """ql2's repetition gate is computed with in-row array lambdas —
+    the plan must contain NO exchange at all (a pure map over the scan,
+    the property that makes the gate free at 100 TB)."""
+    p = plan(QUERIES["ql2_gopher_repetition"](spark, SF_SMOKE))
+    assert "Exchange" not in p, p
+
+
+def test_cdc1_no_global_sort(spark):
+    """SCD2 compaction windows partition by user_id — never an
+    unpartitioned (single-partition) window sort."""
+    p = plan(QUERIES["cdc1_scd2_intervals"](spark, SF_SMOKE))
+    assert "SinglePartition" not in p, p
+
+
+def test_tk1_salted_topk_matches_plain_window(spark):
+    """The salted two-stage top-k must equal the plain single-window
+    form row-for-row (salting provably invisible) — checked here
+    in-engine on top of the oracle's cross-engine check."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ecostream.schema import load_table
+
+    plain_w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plain = (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(plain_w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
+    salted = QUERIES["tk1_salted_topk_orders"](spark, SF_SMOKE).select(
+        "o_orderpriority", "o_orderkey", F.col("price").alias("o_totalprice"), "rnk"
+    )
+    plain_rows = sorted(
+        (r["o_orderpriority"], r["o_orderkey"], round(r["o_totalprice"], 2), r["rnk"])
+        for r in plain.collect()
+    )
+    salted_rows = sorted(
+        (r["o_orderpriority"], r["o_orderkey"], r["o_totalprice"], r["rnk"])
+        for r in salted.collect()
+    )
+    assert plain_rows == salted_rows
+
+
+def test_sim6_codebook_broadcast_no_smj(spark):
+    """PQ encoding joins the 32-row codebook — it must plan as a
+    broadcast join (the codebook is a model, never shuffled data)."""
+    p = plan(QUERIES["sim6_pq_adc"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p
