@@ -478,3 +478,59 @@ def m4c_dtmc_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         for state, info in sorted(result.items())
     ]
     return spark.createDataFrame(out_rows, "state string, is_recurrent boolean")
+
+
+# --- RC1: recursive-CTE transitive closure (Spark 4 WITH RECURSIVE) ----------
+
+# One SQL text, two engines: the recursion is depth-bounded (paths of
+# <= 5 edges cover every reachable pair in a <= 5-state space), so
+# UNION ALL terminates without relying on either engine's cycle
+# detection.  {table} is the only dialect difference.
+_RC1_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT cur, nxt FROM (
+            SELECT event_type AS cur,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM {table}
+        ) WHERE nxt IS NOT NULL
+    ),
+    reach (src, dst, depth) AS (
+        SELECT cur, nxt, 1 FROM pairs
+        UNION ALL
+        SELECT r.src, p.nxt, r.depth + 1
+        FROM reach r JOIN pairs p ON p.cur = r.dst
+        WHERE r.depth < 5
+    )
+    SELECT src,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_reachable,
+           MIN(dst) AS first_dst,
+           MAX(dst) AS last_dst
+    FROM reach
+    GROUP BY src
+    ORDER BY src
+"""
+
+
+@query("rc1_transitive_closure", oracle=_RC1_SQL.format(table="events"))
+def rc1_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the event-transition adjacency via a
+    RECURSIVE CTE — Spark 4's ``WITH RECURSIVE`` running natively,
+    checked against DuckDB executing the IDENTICAL SQL text (the only
+    difference is the table reference).  This is the declarative twin
+    of the iterative-dataflow reachability the m4 family computes with
+    explicit loops (functions/scc.py): same adjacency (m1's per-user
+    lead pairs), same reachable sets, but the fixpoint loop lives in
+    the engine.
+
+    The recursion is DEPTH-BOUNDED (≤5 edges reaches every pair in a
+    ≤5-state space), so it terminates under UNION ALL semantics on
+    both engines regardless of cycles.  Scale shape: the recursive
+    step is a self-join of a ≤|states|² working set against a
+    ≤|states|² edge table — model-sized iteration state, exactly like
+    the driver loops it replaces; the heavy part (the lead() pair
+    derivation) is one user_id-partitioned window over the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("rc1_events")
+    return spark.sql(_RC1_SQL.format(table="rc1_events"))
