@@ -296,3 +296,78 @@ def cdc1_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
         "n_events",
     )
+
+
+# --- TS2: rolling-median anomaly detection -----------------------------------
+
+
+@query(
+    "ts2_rolling_median_deviation",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS xi
+        FROM events WHERE user_id < 30
+    ),
+    med AS (
+        SELECT user_id, event_id, xi,
+               median(CAST(xi AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS m,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM q
+    )
+    SELECT user_id, event_id, xi AS value_cents,
+           CAST(m AS BIGINT) AS median_cents,
+           CASE WHEN abs(xi - CAST(m AS BIGINT)) > 20000
+                THEN 1 ELSE 0 END AS is_spike
+    FROM med WHERE rn >= 5
+    """,
+)
+def ts2_rolling_median_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection: flag events deviating more
+    than 200.00 from the ROLLING MEDIAN of the user's last 5 events —
+    the outlier detector that, unlike dq2's z-score, is itself immune
+    to the outliers it hunts (one spike shifts a mean, not a median).
+
+    Determinism: values are cent-scaled integers, and only FULL 5-row
+    frames are emitted — an odd count has an exact middle element, so
+    both engines' median is the same integer (even-count frames
+    interpolate, and DuckDB's decimal median takes the lower middle
+    while Spark interpolates — the partial-frame rows are where the
+    engines legitimately disagree).  One user_id exchange serves the
+    rolling median and the row-number gate."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.where(F.col("user_id") < 30).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("xi"),
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    wr = W.partitionBy("user_id").orderBy("ts", "event_id")
+    med = q.select(
+        "user_id",
+        "event_id",
+        "xi",
+        F.expr("percentile(xi, 0.5)").over(wf).alias("m"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") >= 5)
+    return med.select(
+        "user_id",
+        "event_id",
+        F.col("xi").alias("value_cents"),
+        F.col("m").cast("long").alias("median_cents"),
+        (
+            F.abs(F.col("xi") - F.col("m").cast("long")) > 20000
+        ).cast("int").alias("is_spike"),
+    )

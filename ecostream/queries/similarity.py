@@ -828,3 +828,50 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .select("query_id", "match_id", "adc_dist", "rnk")
     )
+
+
+# --- SIM8: per-label embedding centroids (exact aggregation) -----------------
+
+
+@query(
+    "sim8_label_centroids",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT label, UNNEST(qv) AS qx,
+               UNNEST(generate_series(0, len(qv) - 1)) AS pos
+        FROM q
+    )
+    SELECT label, CAST(pos AS INT) AS pos, count(*) AS n_vecs,
+           ROUND(CAST(SUM(qx) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean
+    FROM ex GROUP BY label, pos
+    """,
+)
+def sim8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the aggregation behind centroid
+    classifiers, cluster drift monitors, and IVF codebook seeding: one
+    mean per (label, dimension).  Components are integer-quantized
+    (the sim5b device) so the sums are exact and order-free; the one
+    float op is the final division, identical in both engines.
+
+    Plan shape: posexplode rewrites the n x dim matrix as rows and the
+    (label, pos) groupBy partial-aggregates map-side, so the exchange
+    carries at most |labels| x dim rows per task — the same narrow
+    aggregate the k-means trainer uses (similarity.py:kmeans_centroids),
+    here declared and oracle-checked on its own."""
+    emb = _emb(spark, sf_dir)
+    qv = F.transform("v", lambda x: F.round(x * _PQ_QSCALE).cast("long"))
+    ex = emb.select("label", qv.alias("qv")).select(
+        "label", F.posexplode("qv").alias("pos", "qx")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("qx").cast("double") / (F.count("*") * _PQ_QSCALE), 6
+        ).alias("mean"),
+    )
