@@ -765,8 +765,10 @@ def hist1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q.event_type,
            CAST(stats.n AS BIGINT) AS n,
            CAST(SUM(CASE WHEN
-                   (stats.n * q.xi - stats.s1) * (stats.n * q.xi - stats.s1)
-                   > 9 * (stats.n * stats.s2 - stats.s1 * stats.s1)
+                   (CAST(stats.n AS HUGEINT) * q.xi - stats.s1)
+                   * (CAST(stats.n AS HUGEINT) * q.xi - stats.s1)
+                   > 9 * (CAST(stats.n AS HUGEINT) * stats.s2
+                          - stats.s1 * stats.s1)
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(CAST(stats.s1 AS DOUBLE) / (stats.n * 100), 6) AS mean
     FROM q JOIN stats ON stats.event_type = q.event_type
@@ -793,10 +795,11 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("s2"),
     )
     j = q.join(F.broadcast(stats), "event_type")
-    lhs = (
-        F.col("n") * F.col("xi") - F.col("s1")
-    ) * (F.col("n") * F.col("xi") - F.col("s1"))
-    rhs = 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    # n·xi enters as DECIMAL(38,0), never long·long: a silent 64-bit
+    # wrap at n ~ 1e12 rows would flip outlier flags without erroring.
+    nd = F.col("n").cast("decimal(38,0)")
+    lhs = (nd * F.col("xi") - F.col("s1")) * (nd * F.col("xi") - F.col("s1"))
+    rhs = 9 * (nd * F.col("s2") - F.col("s1") * F.col("s1"))
     return (
         j.groupBy("event_type", "n", "s1")
         .agg(
