@@ -519,17 +519,22 @@ def kmeans_centroids_portable(
     qx = F.transform("v", lambda x: F.round(x * _QSCALE).cast("long"))
     for _ in range(iters):
         centroids = spark.createDataFrame(cur, schema)
+        # DECIMAL(38,0) sum: exact and overflow-proof at any cell size
+        # (a long sum wraps past ~9e18); the oracle's HUGEINT matches.
         sums = (
             ivf_assign(emb, centroids)
             .select("cell", F.posexplode(qx).alias("pos", "qx"))
             .groupBy("cell", "pos")
-            .agg(F.sum("qx").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         means: dict[int, list] = {}
         for r in sums:
             means.setdefault(int(r["cell"]), [0.0] * dim)[r["pos"]] = (
-                r["s"] / (r["n"] * _QSCALE)
+                float(r["s"]) / (r["n"] * _QSCALE)
             )
         cur = [(cid, means.get(cid, cv)) for cid, cv in cur]
     return spark.createDataFrame(cur, schema)
@@ -869,9 +874,14 @@ def sim8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select("label", qv.alias("qv")).select(
         "label", F.posexplode("qv").alias("pos", "qx")
     )
+    # Sum in DECIMAL(38,0): a long sum wraps silently past ~9e18
+    # (n ~ 1e13 quantized components); DuckDB's BIGINT sum widens to
+    # HUGEINT on its own.
     return ex.groupBy("label", "pos").agg(
         F.count("*").alias("n_vecs"),
         F.round(
-            F.sum("qx").cast("double") / (F.count("*") * _PQ_QSCALE), 6
+            F.sum(F.col("qx").cast("decimal(38,0)")).cast("double")
+            / (F.count("*") * _PQ_QSCALE),
+            6,
         ).alias("mean"),
     )
