@@ -275,3 +275,49 @@ def lm1_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "cur", "nxt")
         .limit(200)
     )
+
+
+# --- FH1: hashing-trick vectorization ----------------------------------------
+
+_FH_BUCKETS = 64
+
+_FH_SPARK = (
+    "pmod(ascii(substring(md5(term), 1, 1)) * 31 "
+    f"+ ascii(substring(md5(term), 2, 1)), {_FH_BUCKETS})"
+)
+_FH_DUCK = (
+    "((ascii(substring(md5(term), 1, 1)) * 31 "
+    f"+ ascii(substring(md5(term), 2, 1))) % {_FH_BUCKETS})"
+)
+
+
+@query(
+    "fh1_feature_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_FH_DUCK} AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    GROUP BY doc_id, 2
+    """,
+)
+def fh1_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (HashingTF re-expressed as portable
+    dataflow): every token hashes into one of 64 feature buckets via
+    the md5-digit device, and the sparse (doc_id, bucket, count) triple
+    is the document's feature vector — the fixed-width, vocabulary-free
+    text representation downstream ML consumes (d6's ml.MinHashLSH
+    pipeline uses the library's HashingTF; this is the engine-portable
+    twin the oracle can replay).  One explode + one partial-aggregated
+    shuffle on (doc_id, bucket); no vocabulary state, which is the
+    point of feature hashing at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return terms.groupBy(
+        "doc_id", F.expr(_FH_SPARK).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))

@@ -702,3 +702,104 @@ def sk1_salted_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --- J28: interval-overlap join via range bucketing --------------------------
+
+_J28_BUCKET_US = 43_200_000_000  # 12 h
+_J28_PROMO_US = 21_600_000_000   # 6 h
+
+
+@query(
+    "j28_banded_interval_join",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               epoch_us(min(ts)) AS a_start, epoch_us(max(ts)) AS a_end
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT epoch_us(min(ts)) AS lo FROM events),
+    promos AS (
+        SELECT p AS promo_id,
+               lo + p * {_J28_BUCKET_US} AS b_start,
+               lo + p * {_J28_BUCKET_US} + {_J28_PROMO_US} AS b_end
+        FROM bounds, unnest(generate_series(0, 49)) AS t(p)
+    )
+    SELECT promo_id, count(*) AS n_user_days
+    FROM (
+        SELECT DISTINCT s.user_id, s.day, p.promo_id
+        FROM spans s JOIN promos p
+          ON s.a_start <= p.b_end AND p.b_start <= s.a_end
+    )
+    GROUP BY promo_id ORDER BY promo_id
+    """,
+)
+def j28_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale: user-day activity spans matched
+    to 6-hour promo windows.  The naive plan is a nested-loop theta
+    join (every span against every window); the scale plan — used here
+    — BANDS both sides: each interval explodes into the 12-hour buckets
+    it covers (exact integer division of epoch-microseconds), the sides
+    equi-join on bucket (hash join, shuffle on bucket), duplicates from
+    multi-bucket coverage collapse with DISTINCT, and the exact overlap
+    predicate runs as a residual filter.  Sharing a bucket is necessary
+    for overlap (bucket span >= either interval's length), so no pair
+    is missed; the oracle is the PLAIN theta join, proving the banding
+    is invisible.  With 50 windows a broadcast would also do — banding
+    is the both-sides-large path (e.g. sessions x incidents at 100 TB).
+    """
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("a_start"),
+        F.unix_micros(F.max("ts")).alias("a_end"),
+    )
+    bounds = ev.agg(F.unix_micros(F.min("ts")).alias("lo"))
+    promos = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(49))).alias("p"), "lo"
+        )
+        .select(
+            F.col("p").cast("long").alias("promo_id"),
+            (F.col("lo") + F.col("p") * _J28_BUCKET_US).alias("b_start"),
+        )
+        .withColumn("b_end", F.col("b_start") + _J28_PROMO_US)
+    )
+    a_bk = spans.select(
+        "user_id",
+        "day",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start div {_J28_BUCKET_US}"),
+                F.expr(f"a_end div {_J28_BUCKET_US}"),
+            )
+        ).alias("bk"),
+    )
+    b_bk = promos.select(
+        "promo_id",
+        "b_start",
+        "b_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_start div {_J28_BUCKET_US}"),
+                F.expr(f"b_end div {_J28_BUCKET_US}"),
+            )
+        ).alias("bk"),
+    )
+    pairs = (
+        a_bk.join(b_bk, "bk")
+        .where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("user_id", "day", "promo_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("promo_id")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy("promo_id")
+    )
