@@ -256,3 +256,95 @@ def resize_media(
             )
 
     return decoded_with_content.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# --- WAV audio: REAL stdlib codec (wave module) ------------------------------
+
+WAV_SR = 8000
+
+WAV_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+    ]
+)
+
+
+def _wav_samples(mid: int) -> list[int]:
+    """Deterministic 16-bit PCM derived from the id alone (pure integer
+    arithmetic, so a SQL oracle predicts every sample without running
+    any codec — the mm4 device, audio edition)."""
+    n = mid % 500 + 100
+    return [((mid * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+
+
+def synth_wav_media(df: DataFrame) -> DataFrame:
+    """Encode REAL mono 16-bit/8 kHz WAV payloads (RIFF container via
+    the stdlib ``wave`` module) from id-derived PCM.  Map-only Arrow
+    stage — the audio twin of synth_png_media."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                samples = _wav_samples(int(mid))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SR)
+                    w.writeframes(
+                        struct.pack(f"<{len(samples)}h", *samples)
+                    )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "content": blobs}
+            )
+
+    return df.select("media_id").mapInPandas(_synth, schema=schema)
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """Decode stage for WAV payloads: frame count and rate from the
+    RIFF header, exact integer sum over the PCM samples.  Explicitly
+    little-endian unpack (WAV is LE by spec; ``array('h')`` would
+    inherit platform endianness)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            ns, srs, sums = [], [], []
+            for b in pdf["content"]:
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    n = w.getnframes()
+                    sr = w.getframerate()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                ns.append(n)
+                srs.append(sr)
+                sums.append(sum(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=WAV_DECODED_SCHEMA)

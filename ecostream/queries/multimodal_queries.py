@@ -211,3 +211,51 @@ def mm4_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1) * 255).cast("long").alias("f0_byte"),
         "pix_sum",
     )
+
+
+# --- MM5: REAL WAV audio round-trip ------------------------------------------
+
+
+@query(
+    "mm5_wav_roundtrip",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id AS media_id, doc_id % 500 + 100 AS n
+        FROM documents
+    ),
+    ex AS (
+        SELECT media_id, n, UNNEST(generate_series(0, n - 1)) AS i
+        FROM r
+    )
+    SELECT media_id,
+           CAST(MIN(n) AS INTEGER) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(MIN(n) // 8 AS BIGINT) AS duration_ms,
+           CAST(SUM(((media_id * 31 + i * 17) % 4096) - 2048) AS BIGINT)
+               AS sample_sum
+    FROM ex GROUP BY media_id
+    """,
+)
+def mm5_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path, oracle-checked end to end: deterministic
+    mono 16-bit/8 kHz PCM (pure id arithmetic) is ENCODED into RIFF/WAV
+    containers by the stdlib ``wave`` module in one Arrow stage and
+    DECODED back in another (explicit little-endian unpack).  The
+    oracle predicts frame count, rate, duration, and the exact integer
+    sample sum from doc_id arithmetic alone — a wrong header field,
+    sample width, or byte order fails the hash.  The audio sibling of
+    mm4's PNG round-trip: both stages map-only, no shuffle, binary
+    payloads never leave the partition."""
+    from ..multimodal import decode_wav, synth_wav_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    decoded = decode_wav(synth_wav_media(docs))
+    return decoded.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.expr("CAST(n_samples div 8 AS BIGINT)").alias("duration_ms"),
+        "sample_sum",
+    )
