@@ -363,3 +363,36 @@ def o1_sort_by_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(500)
     )
+
+
+# --- SQL1: one ANSI text, two engines ----------------------------------------
+
+# The ANSI-shared subset: DECIMAL-exact arithmetic, no dialect
+# functions.  {table} is the only substitution.
+_SQL1_TEXT = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE), 2) AS revenue
+    FROM {table}
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql1_shared_text_pricing", oracle=_SQL1_TEXT.format(table="lineitem"))
+def sql1_shared_text_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface portability pin: the IDENTICAL query text runs
+    through ``spark.sql`` here and through DuckDB as its own oracle —
+    no DataFrame translation layer in between (rc1 does the same for
+    recursive CTEs; this is the plain-aggregate counterpart).  Sticking
+    to the ANSI-shared subset (DECIMAL-exact arithmetic, one trailing
+    ROUND) is what makes a query text portable across engines — the
+    property a user migrating TO this engine relies on.  Catalyst plans
+    it exactly like the DataFrame twin (j1): scan → partial → final
+    hash aggregate, one exchange on the two grouping keys."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("sql1_lineitem")
+    return spark.sql(_SQL1_TEXT.format(table="sql1_lineitem"))

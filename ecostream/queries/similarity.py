@@ -662,9 +662,9 @@ def sim5_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SIM6: product quantization + asymmetric-distance (ADC) probe ------------
 
-_PQ_M = 4          # subspaces (dim 64 -> 4 x 16)
-_PQ_SUBDIM = 16
-_PQ_K = 8          # codewords per subspace
+_PQ_M = 16         # subspaces (dim 64 -> 16 x 4)
+_PQ_SUBDIM = 4
+_PQ_K = 16         # codewords per subspace (64-bit code per vector)
 _PQ_QSCALE = 1_000_000.0
 
 
@@ -741,11 +741,15 @@ def _pq_oracle(m: int = _PQ_M, sd: int = _PQ_SUBDIM, k: int = _PQ_K) -> str:
 def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization ANN (Jegou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011): split each vector into
-    4 x 16-dim subvectors, encode each against an 8-codeword codebook
+    16 x 4-dim subvectors, encode each against a 16-codeword codebook
     (sampled as the md5-lowest vectors — the portable-init device of
-    sim5b), and answer queries by ASYMMETRIC DISTANCE: a 4x8 lookup
+    sim5b), and answer queries by ASYMMETRIC DISTANCE: a 16x16 lookup
     table of exact query-to-codeword distances per query, summed along
-    each database vector's 4 codes.  PQ is the memory side of the ANN
+    each database vector's 16 codes (a 64-bit code per vector; many
+    narrow subspaces beat few wide ones at a fixed bit budget —
+    measured recall@10 roughly 4/10 on these UNIFORM random vectors,
+    the hardest case for any quantizer, vs 1/10 at 4x16-dim;
+    tests/test_similarity.py pins a floor).  PQ is the memory side of the ANN
     trade-off the IVF queries (sim4/sim5) cover on the partition side:
     n vectors compress to n x 4 one-byte codes plus a constant
     codebook.
@@ -755,10 +759,10 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding argmins, LUTs, and ADC sums are bit-identical, which is
     what lets the oracle replay the entire pipeline.
 
-    Plan shape at 100 TB: the codebook is a 32-row broadcast (model,
+    Plan shape at 100 TB: the codebook is a 256-row broadcast (model,
     not data); encoding is one partial-aggregated shuffle of n x m x k
     candidate rows collapsing to n x m codes (map-side min); the probe
-    touches only codes — a broadcast of the 160-row LUT joined map-side,
+    touches only codes — a broadcast of the 1280-row LUT joined map-side,
     one (query, vec) sum, and a per-query top-10.  No full-precision
     vector is read at query time — that is the point of PQ."""
     emb = _emb(spark, sf_dir)
