@@ -1149,3 +1149,102 @@ def t11_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# --- D8: span-level duplication scoring (repeated cross-doc n-grams) ---------
+
+_D8_N = 4
+_D8_DROP_FRAC = 0.5
+
+_D8_GRAM_SPARK = (
+    f"transform(sequence(1, size(t) - {_D8_N - 1}), i -> concat_ws(' ', "
+    + ", ".join(
+        f"element_at(t, CAST(i + {j} AS INT))" for j in range(_D8_N)
+    )
+    + "))"
+)
+_D8_GRAM_DUCK = (
+    f"list_transform(generate_series(1, len(t) - {_D8_N - 1}), i -> "
+    + " || ' ' || ".join(f"t[i + {j}]" for j in range(_D8_N))
+    + ")"
+)
+
+
+@query(
+    "d8_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {_D8_N}
+    ),
+    g AS (
+        SELECT doc_id, UNNEST({_D8_GRAM_DUCK}) AS gram FROM toks
+    ),
+    rep AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per AS (
+        SELECT t.doc_id, len(t.t) - {_D8_N - 1} AS n_grams,
+               COALESCE(m.c, 0) AS n_repeated
+        FROM toks t
+        LEFT JOIN (
+            SELECT doc_id, count(*) AS c
+            FROM g SEMI JOIN rep USING (gram)
+            GROUP BY doc_id
+        ) m USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_repeated AS BIGINT) AS n_repeated,
+           ROUND(CAST(n_repeated AS DOUBLE) / n_grams, 6) AS dup_span_frac,
+           CASE WHEN CAST(n_repeated AS DOUBLE) / n_grams > {_D8_DROP_FRAC}
+                THEN 1 ELSE 0 END AS drop_flag
+    FROM per
+    """,
+)
+def d8_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication scoring (the decision signal behind
+    substring-level dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for every document, the fraction of
+    its 4-token spans that also appear in ANOTHER document; docs past
+    50% are drop-flagged.  This catches partial/templated duplication
+    that whole-document dedup (d1) and signature near-dup (d3/d4) both
+    miss — a doc that embeds a copied paragraph scores high here while
+    hashing as unique.
+
+    Plan shape: spans explode map-side; one shuffle groups them to find
+    cross-doc repeats (count(distinct doc_id) >= 2 — partial aggs
+    collapse the heavy hitters early); the repeated-span set joins back
+    on the SAME gram key (co-partitioned, no extra exchange), and one
+    doc_id aggregation emits the per-doc score.  No pairwise doc
+    comparison anywhere — cost scales with total span count, the same
+    shape a 100 TB suffix-array dedup approximates."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= _D8_N)
+    g = toks.select(
+        "doc_id", F.explode(F.expr(_D8_GRAM_SPARK)).alias("gram")
+    )
+    rep = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc_rep = (
+        g.join(rep, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_repeated"))
+    )
+    per = toks.select(
+        "doc_id", (F.size("t") - (_D8_N - 1)).cast("long").alias("n_grams")
+    ).join(per_doc_rep, "doc_id", "left").na.fill({"n_repeated": 0})
+    frac = F.col("n_repeated").cast("double") / F.col("n_grams")
+    return per.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_repeated").cast("long").alias("n_repeated"),
+        F.round(frac, 6).alias("dup_span_frac"),
+        (frac > _D8_DROP_FRAC).cast("int").alias("drop_flag"),
+    )
