@@ -580,3 +580,61 @@ def st9_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- ST10: Trigger.AvailableNow incremental ETL ------------------------------
+
+
+@query(
+    "st10_available_now_etl",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           event_type, count(*) AS cnt
+    FROM events CROSS JOIN mx
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def st10_available_now_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduled-incremental-ETL pattern: ``trigger(availableNow=True)``
+    drains whatever input exists, commits append-mode windowed
+    aggregates to a parquet sink exactly-once, and STOPS on its own —
+    the run-from-cron shape that replaced always-on streams for
+    periodic pipelines (st1's processAllAvailable twin, but the job
+    owns its own lifecycle and survives restarts via the checkpoint).
+
+    The oracle pins the append-mode watermark CONTRACT, not just the
+    counts: only windows whose end <= max(ts) - 1 h (the watermark
+    after the drain) are flushed; later windows stay in state for the
+    next scheduled run.  An engine that eagerly emitted unfinalized
+    windows — or dropped them — hash-fails."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st10_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+
+    stream = events_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("day_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", str(work / "out"))
+        .option("checkpointLocation", str(work / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(work / "out"))
