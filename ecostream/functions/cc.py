@@ -103,12 +103,12 @@ def connected_components(
     # branch so both paths agree on dirty input (the distributed join
     # silently drops nulls, while the local union-find would raise on
     # ordering None against a vertex id).
+    clean = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     sym = _ckpt(
-        edges.select("src", "dst")
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        clean.union(
+            clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
     if local_threshold and sym.count() < local_threshold:

@@ -115,14 +115,23 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = channels = -1
     idat = bytearray()
     while pos < len(data):
+        # Truncated input makes the unpacks see < 4 bytes — surface that
+        # as the documented ValueError, not struct.error, so callers can
+        # quarantine bad media rows with one except clause.
+        if pos + 12 > len(data):
+            raise ValueError("truncated PNG: incomplete chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG: incomplete {tag!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"malformed IHDR (len {len(body)})")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -141,7 +150,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width < 0:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt IDAT -> documented error type
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size mismatch")

@@ -149,9 +149,12 @@ _ROUND_HEAD = [
 
 
 def _rotate_head(head: list[str]) -> None:
-    missing = [k for k in head if k not in QUERIES]
-    if missing:  # pragma: no cover - registration drift guard
-        raise KeyError(f"rotation head lists unknown queries: {missing}")
+    # Degrade, don't die: a family module that failed its resilient
+    # try/except import above leaves its keys unregistered — rotate the
+    # keys that exist instead of crashing the whole driver entrypoint.
+    # (tests/test_oracle_parity.py pins the full head when everything
+    # imports, so silent drift is still caught in CI.)
+    head = [k for k in head if k in QUERIES]
     ordered = {k: QUERIES[k] for k in head}
     ordered.update((k, v) for k, v in QUERIES.items() if k not in ordered)
     QUERIES.clear()

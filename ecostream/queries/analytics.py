@@ -737,8 +737,13 @@ def hist1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.min("xi").cast("double") / 100, 6).alias("lo"),
             F.round(F.max("xi").cast("double") / 100, 6).alias("hi"),
+            # DECIMAL(38,0) sum: a long sum wraps silently past ~9e18
+            # while DuckDB's BIGINT sum widens to HUGEINT (the dq2/sim8
+            # hardening applied here too).
             F.round(
-                F.sum("xi").cast("double") / (F.count("*") * 100), 6
+                F.sum(F.col("xi").cast("decimal(38,0)")).cast("double")
+                / (F.count("*") * 100),
+                6,
             ).alias("mean"),
         )
         .orderBy("bucket")
@@ -759,7 +764,7 @@ def hist1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n,
                CAST(SUM(xi) AS HUGEINT) AS s1,
-               CAST(SUM(xi * xi) AS HUGEINT) AS s2
+               SUM(CAST(xi AS HUGEINT) * xi) AS s2
         FROM q GROUP BY event_type
     )
     SELECT q.event_type,
@@ -792,7 +797,10 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = q.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("xi").cast("decimal(38,0)")).alias("s1"),
-        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)")).alias("s2"),
+        # square AFTER widening: xi*xi in long wraps past |xi| ~ 3e9
+        F.sum(
+            (F.col("xi").cast("decimal(38,0)") * F.col("xi"))
+        ).alias("s2"),
     )
     j = q.join(F.broadcast(stats), "event_type")
     # n·xi enters as DECIMAL(38,0), never long·long: a silent 64-bit

@@ -742,10 +742,13 @@ def j28_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     it covers (exact integer division of epoch-microseconds), the sides
     equi-join on bucket (hash join, shuffle on bucket), duplicates from
     multi-bucket coverage collapse with DISTINCT, and the exact overlap
-    predicate runs as a residual filter.  Sharing a bucket is necessary
-    for overlap (bucket span >= either interval's length), so no pair
-    is missed; the oracle is the PLAIN theta join, proving the banding
-    is invisible.  With 50 windows a broadcast would also do — banding
+    predicate runs as a residual filter.  No pair is missed because
+    each side enumerates EVERY bucket it covers: any overlap point
+    lies in some bucket, and both intervals list that bucket (the
+    guarantee comes from the full enumeration, NOT from any bucket-vs-
+    interval length bound — user-day spans can exceed the 12 h bucket).
+    The oracle is the PLAIN theta join, proving the banding is
+    invisible.  With 50 windows a broadcast would also do — banding
     is the both-sides-large path (e.g. sessions x incidents at 100 TB).
     """
     ev = _t(spark, sf_dir, "events")

@@ -751,8 +751,8 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hardest case for any quantizer, vs 1/10 at 4x16-dim;
     tests/test_similarity.py pins a floor).  PQ is the memory side of the ANN
     trade-off the IVF queries (sim4/sim5) cover on the partition side:
-    n vectors compress to n x 4 one-byte codes plus a constant
-    codebook.
+    n vectors compress to n x 16 four-bit codes (64 bits/vector) plus
+    a constant codebook.
 
     Portability: components are integer-quantized (round(x*1e6), the
     sim5b device) so every L2^2 is an exact BIGINT in both engines —
@@ -815,7 +815,7 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "sub_id", F.col("m.cent_id").alias("code"))
     )
 
-    # ADC lookup tables for the 5 query vectors: 4 x 8 exact distances.
+    # ADC lookup tables for the 5 query vectors: 16 x 16 exact distances.
     lut = (
         esub.where(F.col("vec_id") < 5)
         .withColumnRenamed("vec_id", "query_id")

@@ -110,3 +110,40 @@ def test_decode_media_png_matches_local_decode(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["pix_sum"] == sum(pixels)
         assert r["n_frames"] == 1
+
+
+def test_decode_png_bad_input_raises_valueerror():
+    """The documented error contract: truncated or corrupt payloads
+    raise ValueError (not struct.error / zlib.error), so a decode stage
+    can quarantine bad media rows with one except clause."""
+    import pytest
+    import zlib
+
+    from ecostream.png import _SIG, decode_png, encode_png
+
+    good = encode_png(4, 3, bytes(range(36)), 3)
+    for bad in (
+        _SIG + b"\x00\x00",                     # truncated chunk header
+        good[: len(good) - 6],                  # truncated mid-chunk
+        _SIG + good[8:20] + b"junk" + good[20:],  # corrupt CRC region
+    ):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+    # corrupt IDAT: flip a byte inside the compressed stream, fix CRC
+    import struct
+
+    pos = 8
+    out = bytearray(good)
+    while pos < len(out):
+        (length,) = struct.unpack(">I", out[pos : pos + 4])
+        tag = bytes(out[pos + 4 : pos + 8])
+        if tag == b"IDAT":
+            out[pos + 8 + length // 2] ^= 0xFF
+            body = bytes(out[pos + 8 : pos + 8 + length])
+            out[pos + 8 + length : pos + 12 + length] = struct.pack(
+                ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+            )
+            break
+        pos += 12 + length
+    with pytest.raises(ValueError):
+        decode_png(bytes(out))

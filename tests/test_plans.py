@@ -301,7 +301,7 @@ def test_tk1_salted_topk_matches_plain_window(spark):
 
 
 def test_sim6_codebook_broadcast_no_smj(spark):
-    """PQ encoding joins the 32-row codebook — it must plan as a
+    """PQ encoding joins the 256-row codebook — it must plan as a
     broadcast join (the codebook is a model, never shuffled data)."""
     p = plan(QUERIES["sim6_pq_adc"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
