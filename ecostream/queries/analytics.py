@@ -824,3 +824,61 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean"),
         )
     )
+
+
+# --- FS1: min-max feature scaling --------------------------------------------
+
+
+@query(
+    "fs1_minmax_scale",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS xi
+        FROM events WHERE user_id < 5
+    ),
+    stats AS (
+        SELECT event_type, min(xi) AS lo, max(xi) AS hi
+        FROM q GROUP BY event_type
+    )
+    SELECT q.user_id, q.event_id, q.event_type,
+           ROUND(CASE WHEN stats.hi = stats.lo THEN 0.5
+                      ELSE CAST(q.xi - stats.lo AS DOUBLE)
+                           / (stats.hi - stats.lo) END, 6) AS scaled
+    FROM q JOIN stats ON stats.event_type = q.event_type
+    """,
+)
+def fs1_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling — the fit-then-transform ML
+    preprocessing pass (MinMaxScaler) as dataflow: a tiny per-group
+    (min, max) stats aggregate broadcast back onto the scan, each value
+    mapped to [0, 1] with the degenerate constant-group case pinned to
+    0.5 (MLlib's convention).  Scaling arithmetic runs on exact
+    cent-integers with ONE final division, so both engines agree on
+    every boundary; the same broadcast-stats shape extends to z-score
+    standardization (dq2 holds the exact-variance machinery).  At
+    100 TB: one scan for stats, one map-side transform — the model (a
+    |groups| x 2 table) is the only thing that moves."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.where(F.col("user_id") < 5).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("xi"),
+    )
+    stats = q.groupBy("event_type").agg(
+        F.min("xi").alias("lo"), F.max("xi").alias("hi")
+    )
+    j = q.join(F.broadcast(stats), "event_type")
+    return j.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+                (F.col("xi") - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo"))
+            ),
+            6,
+        ).alias("scaled"),
+    )
