@@ -1,0 +1,97 @@
+"""Third-implementation checks for the corpus-statistics operators:
+the oracle pins Spark==DuckDB; these recompute the same statistics in
+plain Python over the raw parquet, so a shared misreading of the
+semantics (an off-by-one in bigram bounds, a miscounted posting) can't
+slip through both engines unnoticed."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import duckdb
+
+from ecostream.queries.registry import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _docs():
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+
+
+def test_ql2_matches_pure_python(spark):
+    got = {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["top_tok_frac"],
+            r["dup_bigram_frac"],
+            r["keep"],
+        )
+        for r in QUERIES["ql2_gopher_repetition"](spark, SF_SMOKE).collect()
+    }
+    for doc_id, text in _docs():
+        toks = text.split(" ")
+        n = len(toks)
+        top = max(Counter(toks).values())
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+        dup = 0.0 if not bgs else 1.0 - len(set(bgs)) / len(bgs)
+        tf, df_ = top / n, dup
+        exp = (
+            n,
+            round(tf, 6),
+            round(df_, 6),
+            int(tf <= 0.12 and df_ <= 0.08),
+        )
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+
+
+def test_t12_matches_pure_python(spark):
+    postings: dict[str, list[int]] = {}
+    cf: Counter = Counter()
+    for doc_id, text in _docs():
+        c = Counter(text.split(" "))
+        for term, n in c.items():
+            postings.setdefault(term, []).append(doc_id)
+            cf[term] += n
+    got = {
+        r["term"]: (r["df_docs"], r["cf"], r["postings_head_hash"])
+        for r in QUERIES["t12_inverted_index"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(postings)
+    for term, docs in postings.items():
+        head = ",".join(str(d) for d in sorted(docs)[:20])
+        exp = (
+            len(docs),
+            cf[term],
+            hashlib.md5(head.encode()).hexdigest(),
+        )
+        assert got[term] == exp, (term, got[term], exp)
+
+
+def test_lm1_matches_pure_python(spark):
+    bigrams: Counter = Counter()
+    vocab: set[str] = set()
+    for _doc_id, text in _docs():
+        toks = text.split(" ")
+        vocab.update(toks)
+        bigrams.update(zip(toks, toks[1:]))
+    cur_tot: Counter = Counter()
+    for (cur, _nxt), n in bigrams.items():
+        cur_tot[cur] += n
+    # replicate the query's top-200 (cnt desc, cur, nxt) selection
+    ordered = sorted(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    expected = {
+        (cur, nxt): (
+            n,
+            round((n + 1) / (cur_tot[cur] + len(vocab)), 6),
+        )
+        for (cur, nxt), n in ordered
+    }
+    got = {
+        (r["cur"], r["nxt"]): (r["cnt"], r["p_add1"])
+        for r in QUERIES["lm1_bigram_lm"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
