@@ -376,7 +376,12 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(token) — portable across engines, so the oracle replays the
     ENTIRE fingerprint (every bit vote of every doc) and the driver
     hash pins it exactly."""
-    docs = _docs(spark, sf_dir)
+    return simhash_table(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) fingerprints — the shared computation behind
+    d4 (declared fingerprints) and d9 (hamming pair search)."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select(
@@ -385,10 +390,9 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("th"),
     )
-    agg = toks.groupBy("doc_id").agg(
+    return toks.groupBy("doc_id").agg(
         simhash63(n_bits=60).alias("simhash")
     )
-    return agg.orderBy("doc_id")
 
 
 # --- T: language-ID heuristic -------------------------------------------------
@@ -1247,4 +1251,86 @@ def d8_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_repeated").cast("long").alias("n_repeated"),
         F.round(frac, 6).alias("dup_span_frac"),
         (frac > _D8_DROP_FRAC).cast("int").alias("drop_flag"),
+    )
+
+
+# --- D9: SimHash hamming-distance pair search --------------------------------
+
+_D9_BANDS = 4
+_D9_BAND_BITS = 15
+_D9_MAX_HAMMING = 3
+
+
+def _d9_oracle() -> str:
+    """Reuses d4's full fingerprint replay as a CTE, then replays the
+    banding, candidate join, and exact hamming verification."""
+    from .registry import ORACLES
+
+    fp = ORACLES["d4_simhash"]
+    return f"""
+    WITH fp AS ({fp}),
+    bands AS (
+        SELECT doc_id, simhash, b,
+               (simhash >> (b * {_D9_BAND_BITS})) & 32767 AS bh
+        FROM fp, unnest(generate_series(0, {_D9_BANDS - 1})) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               x.simhash AS sa, y.simhash AS sb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {_D9_MAX_HAMMING}
+    """
+
+
+@query("d9_simhash_pairs", oracle=_d9_oracle())
+def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR SEARCH — the half d4 leaves open: find all
+    document pairs within hamming distance 3 of each other's 60-bit
+    fingerprints.  The 4x15-bit banding is EXACT here, not
+    probabilistic: <= 3 differing bits cannot touch all 4 bands
+    (pigeonhole), so every qualifying pair shares at least one intact
+    band and is found; bit_count(xor) then verifies exactly.  Compare
+    d3's MinHash banding, which trades recall for selectivity — SimHash
+    + hamming gives a complete answer at the same bucket-join cost.
+
+    Plan shape: fingerprints are one doc_id shuffle (d4); banding is a
+    map-side explode to 4 rows/doc; candidates shuffle ONLY on the
+    15-bit band value; verification is a bitwise expression.  No
+    pairwise scan: cost is bounded by band-bucket collision counts,
+    with the d3 stop-bucket device available if a band value goes hot."""
+    fp = simhash_table(_docs(spark, sf_dir))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_D9_BANDS - 1))).alias("b"),
+    ).withColumn(
+        "bh",
+        F.expr(f"shiftright(simhash, b * {_D9_BAND_BITS}) & 32767"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)")
+    return (
+        cand.where(hamming <= _D9_MAX_HAMMING)
+        .select(
+            "a_id", "b_id", hamming.cast("long").alias("hamming")
+        )
     )
