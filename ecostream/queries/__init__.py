@@ -131,19 +131,19 @@ _ROUND_HEAD = [
 
 
 # ROUND-4 ROTATION PLAN (do this at the start of round 4): after the
-# round-3 head is driver-signed, 76 queries will still lack a signed row
-# (70 oracle-bearing).  Swap _ROUND_HEAD for 50 of them, e.g. lead with:
+# round-3 head is driver-signed, ~82 queries will still lack a signed
+# row (~76 oracle-bearing).  Swap _ROUND_HEAD for 50 of them, e.g.:
 #   sketches: k5 k6 k7 k2_hll_sketch_mergeable k8
 #   graph: g1 g1b g2_hash_walk g3 g6
-#   text/retrieval: pe1 norm1 t11 t12 lm1 ql2 fh1
+#   text/retrieval: pe1 norm1 t11 t12 lm1 ql2 fh1 d8 d9
 #   similarity: sim6_pq_adc sim8
 #   generator/multimodal: s1 s2 s3 mm1 mm2 mm3 mm5
 #   set ops: u1 u2 u3 u4 u5 n1 p1 aj1
-#   streaming/storage: st9 s8
-#   joins/windows: j28 tk1 rc1 w1 w2 w3 w4
-#   analytics: a9 a10 h1 r1 r3 c1 c2 prof1 dq1 dq2 hist1
-# (round 5 then signs the remaining ~20: w5-w9, r2, a9_approx, arr1,
-#  b1, v1, ts1, ts2, str1, str2, cdc1, cal1, t4, ql1, ...)
+#   streaming/storage: st9 st10 s8
+#   joins/windows/sql: j28 tk1 rc1 sql1 w1 w2
+#   analytics: a9 a10 h1 r1 c1 c2 prof1 dq1 dq2 hist1
+# (round 5 then signs the remaining ~26: w3-w9, r3, r2, a9_approx,
+#  arr1, b1, v1, ts1, ts2, str1, str2, cdc1, cal1, t4, ql1, fs1, ...)
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
 
