@@ -882,3 +882,103 @@ def fs1_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scaled"),
     )
+
+
+# --- DRIFT1: distribution drift via exact total-variation distance -----------
+
+
+@query(
+    "drift1_tvd_halves",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    q AS (
+        SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 2500)
+                    AS BIGINT) AS bucket,
+               CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END AS early
+        FROM events CROSS JOIN bounds
+    ),
+    per AS (
+        SELECT bucket,
+               CAST(SUM(early) AS BIGINT) AS n_early,
+               CAST(SUM(1 - early) AS BIGINT) AS n_late
+        FROM q GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_early) AS BIGINT) AS np,
+               CAST(SUM(n_late) AS BIGINT) AS nq,
+               CAST(SUM(abs(n_early * CAST((SELECT SUM(n_late) FROM per)
+                                           AS HUGEINT)
+                          - n_late * CAST((SELECT SUM(n_early) FROM per)
+                                          AS HUGEINT))) AS HUGEINT) AS l1
+        FROM per
+    )
+    SELECT np AS n_early, nq AS n_late,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(tot.l1 AS DOUBLE) / (2.0 * tot.np * tot.nq), 6) AS tvd
+    FROM per CROSS JOIN tot
+    GROUP BY np, nq, tot.l1
+    """,
+)
+def drift1_tvd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitoring with EXACT arithmetic: the total
+    variation distance between the value histograms of the early and
+    late halves of the stream (split at the midpoint timestamp).  TVD
+    is the log-free drift statistic (PSI/KL need ln, whose libm bits
+    aren't contractually identical across engines): ½·Σ|p_b − q_b|
+    cross-multiplies to Σ|n_p·N_q − n_q·N_p| / (2·N_p·N_q) — every
+    numerator term an exact 128-bit integer, one final double division.
+
+    Plan: one scan tags each event's half map-side (the midpoint is a
+    2-value broadcast), one ≤20-group aggregation, and a scalar
+    combine — the drift monitor a feature store runs per column per
+    day, here declared and oracle-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            F.round(F.col("value") * 100).cast("long") / 2500
+        ).cast("long").alias("bucket"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    per = q.groupBy("bucket").agg(
+        F.sum("early").cast("long").alias("n_early"),
+        F.sum(1 - F.col("early")).cast("long").alias("n_late"),
+    )
+    tot = per.agg(
+        F.sum("n_early").cast("long").alias("np"),
+        F.sum("n_late").cast("long").alias("nq"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    l1 = joined.agg(
+        F.sum(
+            F.abs(
+                F.col("n_early").cast("decimal(38,0)") * F.col("nq")
+                - F.col("n_late").cast("decimal(38,0)") * F.col("np")
+            )
+        ).alias("l1"),
+        F.count("*").alias("n_buckets"),
+        F.first("np").alias("np"),
+        F.first("nq").alias("nq"),
+    )
+    return l1.select(
+        F.col("np").alias("n_early"),
+        F.col("nq").alias("n_late"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round(
+            F.col("l1").cast("double")
+            / (2.0 * F.col("np") * F.col("nq")),
+            6,
+        ).alias("tvd"),
+    )
