@@ -952,10 +952,13 @@ def drift1_tvd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("early"),
     )
+    # Materialize the ≤20-row bucket table once: the totals aggregate
+    # and the cross join both read it, and without this each re-runs
+    # the full scan + tagging (4 scans -> 2).
     per = q.groupBy("bucket").agg(
         F.sum("early").cast("long").alias("n_early"),
         F.sum(1 - F.col("early")).cast("long").alias("n_late"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("n_early").cast("long").alias("np"),
         F.sum("n_late").cast("long").alias("nq"),
