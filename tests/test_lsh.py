@@ -86,3 +86,30 @@ def test_ml_minhash_lsh_recall_vs_exact(spark):
     assert exact, "exact pair set unexpectedly empty"
     missed = exact - got
     assert not missed, f"LSH missed exact pairs: {sorted(missed)[:10]}"
+
+
+def test_d9_banding_is_complete_vs_bruteforce(spark):
+    """The pigeonhole claim, checked empirically: the banded pair
+    search must return EXACTLY the pairs a brute-force hamming scan
+    over all fingerprint pairs finds at distance <= 3 — complete
+    recall, zero false positives."""
+    from .conftest import SF_SMOKE
+    from ecostream.queries.registry import QUERIES
+    from ecostream.queries.text import _docs, simhash_table
+
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(_docs(spark, SF_SMOKE)).collect()
+    }
+    ids = sorted(fps)
+    expected = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in QUERIES["d9_simhash_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
