@@ -889,3 +889,76 @@ def sim8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean"),
     )
+
+
+# --- EVAL1: ANN offline evaluation (recall vs exact baseline) ----------------
+
+
+def _eval1_oracle() -> str:
+    """Composes the sim1 (exact) and sim2 (LSH ANN) oracles as CTEs and
+    scores per-query recall@10 — the evaluation itself is replayed, not
+    just the pipelines."""
+    from .registry import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES["sim1_cosine_topk"]}),
+    approx AS ({ORACLES["sim2_signlsh_ann"]})
+    SELECT exact.query_id,
+           CAST(SUM(CASE WHEN approx.match_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           count(*) AS k,
+           ROUND(CAST(SUM(CASE WHEN approx.match_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall_at_10
+    FROM exact LEFT JOIN approx
+      ON approx.query_id = exact.query_id
+     AND approx.match_id = exact.match_id
+    GROUP BY exact.query_id
+    ORDER BY exact.query_id
+    """
+
+
+@query("eval1_ann_recall", oracle=_eval1_oracle())
+def eval1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ANN evaluation as a declared query: per-query recall@10
+    of the sign-LSH ANN (sim2) against the exact brute-force baseline
+    (sim1), computed by joining the two result sets — the quality
+    harness a retrieval team runs after every index rebuild, here a
+    first-class dataflow whose oracle replays BOTH pipelines AND the
+    scoring join.  Generalizes to any approximate/exact pair in the
+    registry (sim4/sim6 vs sim1) since every pipeline is a DataFrame.
+
+    Plan: both sides bound to |queries| x 10 rows before the join —
+    evaluation cost is independent of corpus size."""
+    exact = sim1_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("match_id").alias("exact_match")
+    )
+    approx = sim2_signlsh_ann(spark, sf_dir).select(
+        "query_id", F.col("match_id").alias("approx_match")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["exact_match"] == approx["approx_match"]),
+        "left",
+    ).select(exact["query_id"], "exact_match", "approx_match")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("approx_match").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            "k",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("k"), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
