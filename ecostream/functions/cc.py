@@ -73,7 +73,7 @@ def _local_union_find(
 
 
 def connected_components(
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     edges: DataFrame,
     max_rounds: int = 64,
     local_threshold: int = 1_000_000,
@@ -81,7 +81,14 @@ def connected_components(
     """Component labels for an undirected graph held as DataFrames.
 
     ``vertices``: one column ``v``; ``edges``: columns ``src``, ``dst``
-    (either orientation; symmetrized internally).  Returns one row per
+    (either orientation; symmetrized internally).  Pass
+    ``vertices=None`` to label exactly the EDGE-TOUCHED vertices: they
+    are then derived from the internally-materialized symmetric edge
+    list, so a caller whose vertex set IS the edge endpoints (dedup
+    clustering: every non-trivial doc appears in a pair) avoids
+    re-executing the expensive pair-producing lineage a second time
+    for the vertex derivation — the edge pipeline runs exactly once.
+    Returns one row per
     INPUT VERTEX: ``(v, component)`` where ``component`` is the MIN
     vertex id of the component — a deterministic canonical
     representative, which is exactly the "keep the lowest doc_id" dedup
@@ -111,6 +118,10 @@ def connected_components(
             clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
+    if vertices is None:
+        # Derived AFTER the checkpoint: reads the materialized edge
+        # list, not the upstream lineage.
+        vertices = sym.select(F.col("src").alias("v")).distinct()
     if local_threshold and sym.count() < local_threshold:
         return _local_union_find(vertices.sparkSession, vertices, sym)
     # Two-phase star contraction runs over the edge set alone; the

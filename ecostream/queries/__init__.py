@@ -98,54 +98,49 @@ except ImportError:  # pragma: no cover
 # 50 driver-signed rows are value-hash comparisons, not rows-only.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # dedup family
-    "d1_exact_dedup", "d2_ngram_jaccard_pairs", "d3b_minhash_lsh_md5",
-    "d4_simhash", "mm4_png_roundtrip",
-    "m4_dtmc_classification", "g5_pagerank_habitats",
-    # similarity / ANN
-    "sim1_cosine_topk", "sim2_signlsh_buckets", "sim2_signlsh_ann",
-    "sim3_embedding_near_dup", "sim4_ivf_ann", "sim5b_ivf_kmeans_md5",
-    # streaming (file-stream twins of the Kafka path)
-    "st1_stream_tumbling_counts", "st2_stateful_running_counts",
-    "st3_stream_sliding_counts", "st4_stream_session_windows",
-    "st5_stream_stream_join", "st6_stream_dedup",
-    "st7_stream_static_enrichment", "st8_stream_signature_index",
-    # LLM training-data pipeline
-    "pipeline1_clean_corpus", "pipeline2_training_manifest",
-    "chunk1_token_windows", "split1_train_val_test",
-    "shuffle1_training_order", "pack1_sequence_packing",
-    "samp1_stratified_sample",
-    # storage write side
-    "s6_compact_roundtrip", "s6_cluster_roundtrip", "s7_bucketed_join",
-    # TPC-H extension shapes
-    "j16_volume_shipping", "j17_market_share", "j18_product_profit",
-    "j19_returned_revenue", "j20_customer_distribution",
-    "j21_parts_supplier_count", "j22_disjunctive_revenue",
-    "j23_waiting_orders", "j24_global_sales_opportunity",
-    "j25_important_parts", "j26_top_supplier", "j27_excess_shippers",
-    # text analysis
-    "t5_lang_id", "t6_quality_score", "t7_token_counts",
-    "t8_fingerprint_dedup", "t9_contamination_overlap",
-    "t10_winnowing_fingerprints", "pii1_entity_redaction",
+    # dedup / text-retrieval (never-signed r3 families + the new d5b twin)
+    "d5b_dedup_clusters_md5", "d8_repeated_spans", "d9_simhash_pairs",
+    "pe1_token_positions", "norm1_normalized_vocab",
+    "t11_tfidf_retrieval", "t12_inverted_index", "lm1_bigram_lm",
+    "ql2_gopher_repetition", "fh1_feature_hash",
+    # similarity / ANN quality evals (every ANN family now evaluated)
+    "sim6_pq_adc", "sim8_label_centroids",
+    "eval1_ann_recall", "eval2_ann_recall_ivf", "eval3_ann_recall_pq",
+    # sketches
+    "k2_hll_sketch_mergeable", "k5_representative_sample",
+    "k6_freq_items", "k7_stratified_sample", "k8_cms_heavy_hitters",
+    # graph
+    "g1_habitat_edges", "g1b_first_seen_nodes", "g2_hash_walk",
+    "g3_walk_frequencies", "g6_cooccurrence_triangles",
+    # generator / multimodal
+    "s1_seeded_generator", "s2_native_stats", "s3_datasource_stats",
+    "mm1_binary_metadata", "mm2_decode_frame_sample", "mm3_resize_dims",
+    "mm5_wav_roundtrip",
+    # set ops / null semantics / unpivot / as-of
+    "u1_union_distinct", "u2_intersect", "u3_except", "u4_intersect_all",
+    "u5_except_all", "n1_null_semantics", "p1_unpivot_measures",
+    "aj1_asof_last_view",
+    # streaming / storage merge paths
+    "st9_stream_merge_upsert", "st10_available_now_etl", "s8_merge_upsert",
+    # joins / top-k / recursion / shared-SQL device
+    "j28_banded_interval_join", "tk1_salted_topk_orders",
+    "rc1_transitive_closure", "sql1_shared_text_pricing",
+    # exact-arithmetic analytics
+    "dq2_zscore_outliers", "hist1_value_histogram", "drift1_tvd_halves",
 ]
 
 
-# ROUND-4 ROTATION PLAN (do this at the start of round 4): after the
-# round-3 head is driver-signed, ~82 queries will still lack a signed
-# row (~76 oracle-bearing).  Swap _ROUND_HEAD for 50 of them, e.g.:
-#   sketches: k5 k6 k7 k2_hll_sketch_mergeable k8
-#   graph: g1 g1b g2_hash_walk g3 g6
-#   text/retrieval: pe1 norm1 t11 t12 lm1 ql2 fh1 d8 d9
-#   similarity: sim6_pq_adc sim8
-#   generator/multimodal: s1 s2 s3 mm1 mm2 mm3 mm5
-#   set ops: u1 u2 u3 u4 u5 n1 p1 aj1
-#   streaming/storage: st9 st10 s8
-#   joins/windows/sql: j28 tk1 rc1 sql1 w1 w2
-#   analytics: a9 a10 h1 r1 c1 c2 prof1 dq1 dq2 hist1
-# (round 5 then signs the remaining ~26: w3-w9, r3, r2, a9_approx,
-#  arr1, b1, v1, ts1, ts2, str1, str2, cdc1, cal1, t4, ql1, fs1, ...)
+# ROUND-5 ROTATION PLAN (do this at the start of round 5): after the
+# round-4 head below is driver-signed, the remaining never-signed
+# oracle-bearing queries are roughly:
+#   m4b k4 w1-w9 w3 r1 r2 r3 a9 a9_approx a10 h1 c1 c2 prof1 dq1 v1
+#   arr1 b1 fs1 ts1 ts2 str1 str2 cdc1 cal1 t4 ql1 + anything added in
+#   round 4 after this head was frozen.  Swap them in; that completes
+#   driver-signed coverage of every oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
+
+
 
 
 def _rotate_head(head: list[str]) -> None:
@@ -154,6 +149,18 @@ def _rotate_head(head: list[str]) -> None:
     # keys that exist instead of crashing the whole driver entrypoint.
     # (tests/test_oracle_parity.py pins the full head when everything
     # imports, so silent drift is still caught in CI.)
+    missing = [k for k in head if k not in QUERIES]
+    if missing:
+        # A degraded head must be VISIBLE in driver logs: a typo'd key
+        # or a family import failure would otherwise silently change
+        # which queries get driver-signed this round.
+        import warnings
+
+        warnings.warn(
+            "query-registry head dropped unknown keys (family import "
+            f"failure or typo?): {missing}",
+            stacklevel=2,
+        )
     head = [k for k in head if k in QUERIES]
     ordered = {k: QUERIES[k] for k in head}
     ordered.update((k, v) for k, v in QUERIES.items() if k not in ordered)

@@ -789,7 +789,11 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for z ≈ 3.000000).  Two-pass shape: a 5-row stats aggregate
     broadcast back onto the scan, then one partial-aggregated count —
     the standard distributed profile-then-flag plan; intermediates ride
-    in 128-bit decimals so n·s2 cannot overflow at any scale."""
+    in decimal(38,0), exact while every product stays below 1e38
+    (Spark caps decimal precision at 38, so e.g. |n·s2| ≥ 1e38 —
+    reachable around 1e12 rows of cent-scaled values squared — would
+    NULL/error under ANSI rather than silently wrap; split the
+    inequality into smaller factors before that scale)."""
     ev = load_table(spark, sf_dir, "events")
     q = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("xi")
@@ -936,13 +940,15 @@ def drift1_tvd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine — the drift monitor a feature store runs per column per
     day, here declared and oracle-checked."""
     ev = load_table(spark, sf_dir, "events")
+    # FLOOR halving in exact integer arithmetic (matches the oracle's
+    # `//`): a double divide + cast-long truncates toward zero, which
+    # differs from floor for negative epoch sums (pre-1970 data) and
+    # loses exactness past 2^53 µs.
     bounds = ev.agg(
-        (
-            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
-            / F.lit(2)
-        )
-        .cast("long")
-        .alias("mid")
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))"
+            " - pmod(unix_micros(min(ts)) + unix_micros(max(ts)), 2)) div 2"
+        ).alias("mid")
     )
     q = ev.crossJoin(F.broadcast(bounds)).select(
         F.floor(
@@ -954,11 +960,14 @@ def drift1_tvd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize the ≤20-row bucket table once: the totals aggregate
     # and the cross join both read it, and without this each re-runs
-    # the full scan + tagging (4 scans -> 2).
+    # the full scan + tagging (4 scans -> 2).  eager=False keeps query
+    # CONSTRUCTION lazy (plan inspection / explain must not run a full
+    # scan job); the checkpoint still computes exactly once, at the
+    # first action, and is reused by every later consumer.
     per = q.groupBy("bucket").agg(
         F.sum("early").cast("long").alias("n_early"),
         F.sum(1 - F.col("early")).cast("long").alias("n_late"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("n_early").cast("long").alias("np"),
         F.sum("n_late").cast("long").alias("nq"),

@@ -452,6 +452,83 @@ def g5_pagerank_habitats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- G6: triangle counting over the token co-occurrence graph ----------------
 
 
+def triangle_corners_naive(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration over canonical (a < b) edges by the plain
+    two-path join e1(a,b) ⋈ e2(b,c) closed by e3(a,c).  Each triangle
+    a < b < c is found exactly once.  Kept as the reference form the
+    degree-oriented path is tested against (tests/test_graph.py): on a
+    skewed graph its two-path fan-out is Σ deg(v)² — a single hub of
+    degree d contributes d² pairs, the scale killer the orientation
+    removes."""
+    return (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+
+
+def triangle_corners_oriented(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration (the 100 TB form): each
+    undirected edge is stored LOW-degree endpoint first under the
+    strict total order ≺ = (degree, node id), so every node's out-
+    neighborhood has size ≤ max(degree of higher-ordered nodes) and
+    the two-path fan-out is bounded by O(|E|·arboricity) — a hub of
+    degree d stops generating d² wedge pairs because almost all its
+    edges point INTO it (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer").  A triangle
+    u ≺ v ≺ w is found exactly once as out-edges (u→v, u→w) closed by
+    (v→w).  Costs one extra degree aggregation + broadcast-sized join
+    versus the naive form; same output."""
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b"
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    ).localCheckpoint(eager=False)
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    lt = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
+        (F.col("e1.ddeg") == F.col("e2.ddeg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    return (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & lt)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+
+
 @query(
     "g6_cooccurrence_triangles",
     oracle="""
@@ -483,15 +560,16 @@ def g6_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-coefficient primitive the reference's habitat graph is
     too small (≤4 nodes) to exercise.
 
-    Edges are canonicalized a < b so each triangle a < b < c is found
-    exactly once by the two-path join e1(a,b) ⋈ e2(b,c) closed by
-    e3(a,c); per-node counts come from exploding each triangle to its
-    three corners.  Per-doc ``array_distinct`` bounds the pair fan-out
-    at distinct-tokens²; the edge set dedups before the triple join, so
-    the join inputs are the graph, not the corpus.  At 100 TB the
-    standard refinement is degree-ordered orientation (each edge stored
-    low-degree endpoint first) which bounds the two-path fan-out by
-    arboricity — same plan, one extra degree join."""
+    Runs the DEGREE-ORDERED orientation (triangle_corners_oriented):
+    the wedge join fans out along each node's ≺-out-neighborhood,
+    bounded by arboricity instead of raw degree, which is what
+    survives a power-law token graph at 100 TB; per-node counts come
+    from exploding each triangle to its three corners (a triangle's
+    corner SET is orientation-independent, pinned equal to the naive
+    two-path form in tests/test_graph.py on both the corpus and a
+    skewed hub graph).  Per-doc ``array_distinct`` bounds the pair
+    fan-out at distinct-tokens²; the edge set dedups before the triple
+    join, so the join inputs are the graph, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -506,25 +584,15 @@ def g6_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
         .distinct()
-        # Materialize the (small) edge set once: the triangle closure
-        # references it three times, and without this every leg re-runs
-        # the corpus scan + pair self-join (6 scans -> 2).
-        .localCheckpoint(eager=True)
+        # Materialize the (small) edge set once: the degree aggregate
+        # and the triangle closure all reference it, and without this
+        # every leg re-runs the corpus scan + pair self-join.
+        # eager=False keeps query construction lazy (explain/plan
+        # tests must not trigger a full corpus scan); it computes
+        # exactly once at the first action.
+        .localCheckpoint(eager=False)
     )
-    tri = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e2.a") == F.col("e1.b"))
-        .join(
-            edges.alias("e3"),
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("a"),
-            F.col("e1.b").alias("b"),
-            F.col("e2.b").alias("c"),
-        )
-    )
+    tri = triangle_corners_oriented(edges)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

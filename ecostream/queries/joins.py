@@ -769,16 +769,23 @@ def j28_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("b_end", F.col("b_start") + _J28_PROMO_US)
     )
+    # Bucket index must be FLOOR division: `div` truncates toward zero,
+    # which for negative epochs (pre-1970 timestamps) would shift an
+    # interval's first bucket UP and break the every-covered-bucket
+    # enumeration the no-missed-pair guarantee rests on.  Exact integer
+    # floor-div via pmod (never a double in the loop): subtracting the
+    # non-negative remainder makes the dividend exactly divisible.
+    def _floordiv(col: str) -> F.Column:
+        b = _J28_BUCKET_US
+        return F.expr(f"({col} - pmod({col}, {b})) div {b}")
+
     a_bk = spans.select(
         "user_id",
         "day",
         "a_start",
         "a_end",
         F.explode(
-            F.sequence(
-                F.expr(f"a_start div {_J28_BUCKET_US}"),
-                F.expr(f"a_end div {_J28_BUCKET_US}"),
-            )
+            F.sequence(_floordiv("a_start"), _floordiv("a_end"))
         ).alias("bk"),
     )
     b_bk = promos.select(
@@ -786,10 +793,7 @@ def j28_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_start",
         "b_end",
         F.explode(
-            F.sequence(
-                F.expr(f"b_start div {_J28_BUCKET_US}"),
-                F.expr(f"b_end div {_J28_BUCKET_US}"),
-            )
+            F.sequence(_floordiv("b_start"), _floordiv("b_end"))
         ).alias("bk"),
     )
     pairs = (

@@ -891,18 +891,18 @@ def sim8_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- EVAL1: ANN offline evaluation (recall vs exact baseline) ----------------
+# --- EVAL1-3: ANN offline evaluation (recall vs exact baseline) --------------
 
 
-def _eval1_oracle() -> str:
-    """Composes the sim1 (exact) and sim2 (LSH ANN) oracles as CTEs and
-    scores per-query recall@10 — the evaluation itself is replayed, not
-    just the pipelines."""
+def _recall_oracle(approx_key: str) -> str:
+    """Composes the sim1 (exact) oracle with an approximate-ANN oracle
+    as CTEs and scores per-query recall@10 — the evaluation itself is
+    replayed, not just the pipelines."""
     from .registry import ORACLES
 
     return f"""
     WITH exact AS ({ORACLES["sim1_cosine_topk"]}),
-    approx AS ({ORACLES["sim2_signlsh_ann"]})
+    approx AS ({ORACLES[approx_key]})
     SELECT exact.query_id,
            CAST(SUM(CASE WHEN approx.match_id IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
@@ -918,24 +918,13 @@ def _eval1_oracle() -> str:
     """
 
 
-@query("eval1_ann_recall", oracle=_eval1_oracle())
-def eval1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offline ANN evaluation as a declared query: per-query recall@10
-    of the sign-LSH ANN (sim2) against the exact brute-force baseline
-    (sim1), computed by joining the two result sets — the quality
-    harness a retrieval team runs after every index rebuild, here a
-    first-class dataflow whose oracle replays BOTH pipelines AND the
-    scoring join.  Generalizes to any approximate/exact pair in the
-    registry (sim4/sim6 vs sim1) since every pipeline is a DataFrame.
-
-    Plan: both sides bound to |queries| x 10 rows before the join —
-    evaluation cost is independent of corpus size."""
-    exact = sim1_cosine_topk(spark, sf_dir).select(
-        "query_id", F.col("match_id").alias("exact_match")
-    )
-    approx = sim2_signlsh_ann(spark, sf_dir).select(
-        "query_id", F.col("match_id").alias("approx_match")
-    )
+def _ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of ``approx`` against ``exact`` — both sides
+    (query_id, match_id, ...) result sets already bound to
+    |queries| × k rows, so evaluation cost is independent of corpus
+    size."""
+    exact = exact.select("query_id", F.col("match_id").alias("exact_match"))
+    approx = approx.select("query_id", F.col("match_id").alias("approx_match"))
     j = exact.join(
         approx,
         (exact["query_id"] == approx["query_id"])
@@ -961,4 +950,48 @@ def eval1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
         .orderBy("query_id")
+    )
+
+
+@query("eval1_ann_recall", oracle=_recall_oracle("sim2_signlsh_ann"))
+def eval1_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ANN evaluation as a declared query: per-query recall@10
+    of the sign-LSH ANN (sim2) against the exact brute-force baseline
+    (sim1), computed by joining the two result sets — the quality
+    harness a retrieval team runs after every index rebuild, here a
+    first-class dataflow whose oracle replays BOTH pipelines AND the
+    scoring join.  eval2/eval3 run the same harness over the IVF and
+    PQ-ADC families, so every ANN family in the registry ships with a
+    declared, oracle-checked quality report.
+
+    Plan: both sides bound to |queries| x 10 rows before the join —
+    evaluation cost is independent of corpus size."""
+    return _ann_recall(
+        sim1_cosine_topk(spark, sf_dir), sim2_signlsh_ann(spark, sf_dir)
+    )
+
+
+@query("eval2_ann_recall_ivf", oracle=_recall_oracle("sim4_ivf_ann"))
+def eval2_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF ANN (sim4, nprobe=2 of 8 cells) vs the
+    exact baseline — the same declared evaluation harness as eval1
+    over the partition-pruning ANN family.  The oracle replays exact
+    search, the whole IVF pipeline, AND the recall join; a floor on
+    the measured recall is pinned by test (tests/test_similarity.py),
+    so a silent quantizer regression fails loudly."""
+    return _ann_recall(
+        sim1_cosine_topk(spark, sf_dir), sim4_ivf_ann(spark, sf_dir)
+    )
+
+
+@query("eval3_ann_recall_pq", oracle=_recall_oracle("sim6_pq_adc"))
+def eval3_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ-ADC ANN (sim6, 16x4 subspaces) vs the exact
+    baseline — eval1's harness over the memory-compression ANN family.
+    Note the asymmetry being measured: sim6 ranks by approximate L2^2
+    over codes while the baseline ranks by exact cosine, so this
+    recall captures BOTH quantization loss and the metric gap — the
+    honest number an index owner reports."""
+    return _ann_recall(
+        sim1_cosine_topk(spark, sf_dir), sim6_pq_adc(spark, sf_dir)
     )

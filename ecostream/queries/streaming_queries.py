@@ -546,7 +546,12 @@ def st9_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         store = spark.read.parquet(state["cur"])
-        keys = batch.where(F.col("op").isin("D", "U")).select("o_orderkey")
+        # Anti-join on ALL batch keys (including inserts), not just
+        # D/U: re-applying a batch after a micro-batch retry is then a
+        # no-op (the insert's prior copy is removed before re-insert),
+        # which is what makes the merge genuinely exactly-once rather
+        # than exactly-once-on-a-clean-run.
+        keys = batch.select("o_orderkey")
         kept = store.join(F.broadcast(keys), "o_orderkey", "left_anti")
         ups = batch.where(F.col("op").isin("U", "I")).drop("op")
         state["v"] += 1

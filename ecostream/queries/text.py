@@ -660,33 +660,28 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the operator a 100 TB dedup actually ships — d1/d3 find
     the evidence, this turns it into a drop decision even when
     similarity is only transitive (A~B~C with no A~C pair).  rows-only:
-    deterministic but hash-family-specific (same reason as d3)."""
+    deterministic but hash-family-specific (same reason as d3).
+
+    Plan economy (r4): exact pairs come from a window MIN over the
+    content hash (one shuffle, no d1 re-run + re-join), and the pair
+    lineage is materialized exactly ONCE — inside connected_components'
+    symmetric-edge checkpoint, with the vertex set derived from that
+    same checkpoint (``vertices=None``) instead of re-executing the
+    LSH pipeline for the vertex derivation."""
     docs = _docs(spark, sf_dir)
-    exact = d1_exact_dedup(spark, sf_dir)
+    wh = W.partitionBy(F.md5("text"))
     exact_pairs = (
-        docs.select(F.md5("text").alias("content_hash"), "doc_id")
-        .join(
-            exact.where(F.col("n_copies") > 1).select("content_hash", "keep_id"),
-            "content_hash",
-        )
+        docs.select("doc_id", F.min("doc_id").over(wh).alias("keep_id"))
         .where(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("keep_id").alias("src"), F.col("doc_id").alias("dst"))
     )
     near_pairs = minhash_lsh_candidates(docs, max_bucket_size=64).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
-    # Materialize the candidate pairs once: both the vertex derivation
-    # and every CC round consume them, and their lineage (the LSH
-    # banding pipeline) is the expensive part.
-    pairs = exact_pairs.unionByName(near_pairs).localCheckpoint(eager=True)
-    verts = (
-        pairs.select(F.col("src").alias("v"))
-        .unionByName(pairs.select(F.col("dst").alias("v")))
-        .distinct()
-    )
+    pairs = exact_pairs.unionByName(near_pairs)
     from ..functions.cc import connected_components
 
-    labels = connected_components(verts, pairs)
+    labels = connected_components(None, pairs)
     return labels.select(
         F.col("v").alias("doc_id"),
         F.col("component").alias("cluster"),
@@ -974,6 +969,80 @@ def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+# --- D5b: dedup clusters with a portable hash family (oracle-checked) --------
+
+
+def _d5b_oracle() -> str:
+    """Composes the d3b oracle (portable MinHash-LSH pairs) with exact
+    content-hash pairs and closes them into components with a
+    recursive-CTE min-label fixpoint — the rc1/g3 device: labels only
+    ever travel along symmetric edges, the UNION dedups, and the walk
+    terminates because the reachable (vertex, label) set is finite;
+    min(label) per vertex is then the component minimum."""
+    from .registry import ORACLES
+
+    return f"""
+    WITH RECURSIVE
+    near AS ({ORACLES["d3b_minhash_lsh_md5"]}),
+    exact AS (
+        SELECT a_id, b_id FROM (
+            SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS a_id,
+                   doc_id AS b_id
+            FROM documents WHERE doc_id < 500
+        ) WHERE a_id <> b_id
+    ),
+    e0 AS (
+        SELECT a_id AS src, b_id AS dst FROM near
+        UNION
+        SELECT a_id, b_id FROM exact
+    ),
+    edges AS (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    walk(v, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v
+    )
+    SELECT v AS doc_id, min(lbl) AS cluster, (v = min(lbl)) AS keep
+    FROM walk GROUP BY v ORDER BY doc_id
+    """
+
+
+@query("d5b_dedup_clusters_md5", oracle=_d5b_oracle())
+def d5b_dedup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of d5: the SAME pairs→clusters closure
+    (exact content-hash pairs ∪ LSH candidate pairs → distributed
+    connected components → keep-min decision), but over d3b's PORTABLE
+    md5 LSH family so DuckDB can replay the entire pipeline — including
+    the transitive closure itself, via a recursive min-label CTE.  The
+    cluster labels are hash-family-independent GIVEN the pairs
+    (component = min doc_id), so this pins the pairs→components→keep
+    mechanism that d5 runs at scale; d5 keeps the faster xxhash64
+    family for the production path (SURVEY §7.3's sanctioned
+    deviation).  Same single-materialization plan as d5: the pair
+    lineage executes once inside connected_components' symmetric-edge
+    checkpoint, vertices derived from it."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    wh = W.partitionBy(F.md5("text"))
+    exact_pairs = (
+        docs.select("doc_id", F.min("doc_id").over(wh).alias("keep_id"))
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    near_pairs = d3b_minhash_lsh_md5(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    from ..functions.cc import connected_components
+
+    labels = connected_components(None, exact_pairs.unionByName(near_pairs))
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("v") == F.col("component")).alias("keep"),
+    ).orderBy("doc_id")
 
 
 # --- PII1: entity redaction (scrubbing pass) ---------------------------------

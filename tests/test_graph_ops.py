@@ -40,3 +40,79 @@ def test_g6_triangles_match_pure_python(spark):
     }
     expected = {n: counts[n] for n in nodes if n in counts}
     assert got == expected
+
+
+def test_g6_oriented_equals_naive_on_skewed_hub_graph(spark):
+    """The degree-ordered orientation must enumerate EXACTLY the same
+    triangle corner multiset as the naive two-path join — exercised on
+    the adversarial shape orientation exists for: one hub of degree 24
+    (naive fan-out d² = 576 wedges from the hub alone) glued to a
+    5-clique and triangle fans through the hub."""
+    from pyspark.sql import functions as F
+
+    from ecostream.queries.graph import (
+        triangle_corners_naive,
+        triangle_corners_oriented,
+    )
+
+    pairs: set[tuple[str, str]] = set()
+    hub = "hub"
+    spokes = [f"s{i:02d}" for i in range(20)]
+    for s in spokes:
+        pairs.add(tuple(sorted((hub, s))))
+    # Triangle fans: consecutive spokes connected -> hub triangles.
+    for i in range(0, 20, 2):
+        pairs.add(tuple(sorted((spokes[i], spokes[i + 1]))))
+    clique = [f"c{i}" for i in range(5)]
+    for a, b in combinations(clique, 2):
+        pairs.add((a, b))
+    pairs.add(tuple(sorted((hub, clique[0]))))  # bridge
+    edges = spark.createDataFrame(sorted(pairs), "a string, b string")
+
+    def counts(tri_df):
+        return {
+            r["node"]: r["n"]
+            for r in tri_df.select(
+                F.explode(F.array("a", "b", "c")).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    naive = counts(triangle_corners_naive(edges))
+    oriented = counts(triangle_corners_oriented(edges))
+    assert naive == oriented
+    # Independent expectation: hub participates in the 10 fan triangles,
+    # each clique node in C(4,2)=6 of the 10 clique triangles.
+    assert naive["hub"] == 10
+    assert naive["c1"] == 6
+
+
+def test_g6_oriented_equals_naive_on_corpus(spark):
+    """Same equality on the real token co-occurrence graph."""
+    from pyspark.sql import functions as F
+
+    from ecostream.queries.graph import (
+        triangle_corners_naive,
+        triangle_corners_oriented,
+    )
+    from ecostream.schema import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    edges = (
+        tok.alias("x")
+        .join(
+            tok.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.tok") < F.col("y.tok")),
+        )
+        .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
+        .distinct()
+    )
+    n_naive = triangle_corners_naive(edges).count()
+    n_oriented = triangle_corners_oriented(edges).count()
+    assert n_naive == n_oriented > 0

@@ -64,3 +64,22 @@ def test_rotation_head_is_first_50_and_oracle_checked():
     assert list(QUERIES)[:50] == _ROUND_HEAD
     missing = [k for k in _ROUND_HEAD if k not in ORACLES]
     assert not missing, f"rows-only keys in signed head: {missing}"
+
+
+def test_coverage_doc_totals_match_registry():
+    """COVERAGE.md's header totals must equal the live registry — the
+    doc is the judge's checklist and must not rot as queries land."""
+    import re
+
+    from ecostream.queries import ORACLES, QUERIES
+
+    text = open("COVERAGE.md").read()
+    m = re.search(
+        r"totals: (\d+) declared queries, (\d+) with oracles, (\d+) rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md totals line missing"
+    declared, with_oracle, rows_only = map(int, m.groups())
+    assert declared == len(QUERIES), (declared, len(QUERIES))
+    assert with_oracle == len(ORACLES), (with_oracle, len(ORACLES))
+    assert rows_only == len(QUERIES) - len(ORACLES)

@@ -306,3 +306,35 @@ def test_sim6_codebook_broadcast_no_smj(spark):
     p = plan(QUERIES["sim6_pq_adc"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, p
+
+
+def test_d8_no_pairwise_doc_comparison(spark):
+    """d8's repeated-span scoring must never compare documents
+    pairwise: the plan is gram-shuffle + semi join on the SAME gram
+    key — no nested-loop or cartesian node anywhere."""
+    p = plan(QUERIES["d8_repeated_spans"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftSemi" in p, p
+
+
+def test_d9_band_join_no_quadratic_verify(spark):
+    """d9's hamming pair search must join on the band-bucket equi key
+    (hash-joinable), never scan doc×doc: no nested-loop/cartesian, and
+    the candidate join is a real equi join."""
+    p = plan(QUERIES["d9_simhash_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert any(
+        j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), p
+
+
+def test_j28_banded_interval_join_is_equi_join(spark):
+    """j28's banding exists to turn an interval-overlap theta join into
+    a bucket equi join; the plan must contain no nested-loop or
+    cartesian node even though the logical predicate is a range
+    overlap."""
+    p = plan(QUERIES["j28_banded_interval_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

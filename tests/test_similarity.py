@@ -209,3 +209,27 @@ def test_sim6_pq_adc_recall_floor(spark, vectors):
         exact_top = [ids[i] for i in np.argsort(d, kind="stable")[:10]]
         overlaps.append(len(set(adc_top) & set(exact_top)))
     assert sum(overlaps) / len(overlaps) >= 2.0, overlaps
+
+
+def test_eval_recall_floors_all_ann_families(spark):
+    """Every ANN family's declared evaluation query must report sane
+    recall@10 against the exact baseline: IVF (nprobe=2/8 cells) is
+    near-exhaustive on this corpus, PQ-ADC is a lossy quantizer, and
+    4-plane sign-LSH is the coarsest.  Conservative floors so a silent
+    index regression (wrong banding, broken probe) fails loudly while
+    data-noise does not."""
+    from ecostream.queries.similarity import (
+        eval1_ann_recall,
+        eval2_ann_recall_ivf,
+        eval3_ann_recall_pq,
+    )
+
+    def mean_recall(df) -> float:
+        rows = df.collect()
+        assert len(rows) == 5  # one per query vector
+        assert all(r["k"] == 10 for r in rows)
+        return sum(r["recall_at_10"] for r in rows) / len(rows)
+
+    assert mean_recall(eval2_ann_recall_ivf(spark, SF_SMOKE)) >= 0.7
+    assert mean_recall(eval3_ann_recall_pq(spark, SF_SMOKE)) >= 0.25
+    assert mean_recall(eval1_ann_recall(spark, SF_SMOKE)) >= 0.1
