@@ -259,3 +259,54 @@ def mm5_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_samples div 8 AS BIGINT)").alias("duration_ms"),
         "sample_sum",
     )
+
+
+# --- MM6: REAL JPEG (lossy) round-trip ---------------------------------------
+
+
+@query(
+    "mm6_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 13 + 4 AS INT) AS width,
+           CAST(doc_id % 11 + 3 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+               AS channels,
+           true AS within_bound
+    FROM documents WHERE doc_id < 500
+    ORDER BY media_id
+    """,
+)
+def mm6_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy codec path, oracle-checked: deterministic images
+    (md5-cycled pixels, gray/RGB by id parity) are ENCODED as baseline
+    JFIF by the from-scratch pure-Python JPEG codec (ecostream/jpeg.py
+    — DCT, quantization, zigzag, canonical Huffman, byte stuffing) in
+    one Arrow stage and DECODED + verified in another.  JPEG being
+    lossy, the oracle pins what IS exactly predictable — dimensions
+    and channel count from id arithmetic — plus the round-trip ERROR
+    BOUND as a boolean (all-ones quant tables: measured max |err| = 3
+    across the id range, asserted ≤ 4 here for libm-rounding margin;
+    the exact ≤ 3 figure is pinned by tests/test_multimodal.py).  A
+    structural failure (bad marker, wrong Huffman table, mis-parsed
+    SOF) surfaces as wrong dims or err = -1 and fails the hash.
+    Replaces the final image branch of the former decode stub; both
+    stages map-only, payloads never leave the partition.  Bounded at
+    500 docs (the d3b device) so evaluation cost is sf-independent."""
+    from ..multimodal import jpeg_roundtrip_check, synth_jpeg_media
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    checked = jpeg_roundtrip_check(synth_jpeg_media(docs))
+    return checked.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        ((F.col("max_err") >= 0) & (F.col("max_err") <= 4)).alias(
+            "within_bound"
+        ),
+    ).orderBy("media_id")

@@ -36,12 +36,13 @@ def test_media_decode_stub_roundtrip(spark):
 
 
 def test_real_codec_raises(spark):
+    """Only VIDEO decode remains stubbed (png/jpeg/wav are real)."""
     from ecostream.multimodal import decode_media, docs_as_media
     from ecostream.schema import load_table
 
     media = docs_as_media(load_table(spark, SF_SMOKE, "documents"))
     with pytest.raises(NotImplementedError):
-        decode_media(media, codec="jpeg")
+        decode_media(media, codec="h264")
 
 
 def test_metadata_query_prunes_binary(spark):
@@ -147,3 +148,103 @@ def test_decode_png_bad_input_raises_valueerror():
         pos += 12 + length
     with pytest.raises(ValueError):
         decode_png(bytes(out))
+
+
+# --- JPEG codec (ecostream/jpeg.py) ------------------------------------------
+
+
+def test_jpeg_roundtrip_error_bound_and_dims():
+    """Encode→decode over the mm6 fixture family: dims/channels exact,
+    max per-sample error ≤ 3 at all-ones quant tables (the measured
+    worst case over the full id range; mm6's oracle boolean allows 4
+    for libm margin)."""
+    from ecostream.jpeg import decode_jpeg, encode_jpeg
+    from ecostream.multimodal import _jpeg_pixels
+
+    worst = 0
+    for mid in range(0, 200):
+        w, h, c, pix = _jpeg_pixels(mid)
+        dw, dh, dc, got = decode_jpeg(
+            encode_jpeg(w, h, pix, channels=c, quality=None)
+        )
+        assert (dw, dh, dc) == (w, h, c)
+        worst = max(worst, max(abs(a - b) for a, b in zip(pix, got)))
+    assert worst <= 3, worst
+
+
+def test_jpeg_container_structure():
+    """The emitted bytes are a structurally valid JFIF baseline file:
+    SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI all present, entropy data
+    byte-stuffed (no bare 0xFF followed by a non-marker byte)."""
+    from ecostream.jpeg import encode_jpeg
+
+    blob = encode_jpeg(16, 12, bytes(range(256)) * (16 * 12 * 3 // 256 + 1)
+                       [: 16 * 12 * 3] if False else bytes(
+                           (i * 7) % 256 for i in range(16 * 12 * 3)
+                       ), channels=3, quality=75)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in blob[:32]
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in blob, marker
+
+
+def test_jpeg_lossy_quality_mode_decodes_smooth_image():
+    """IJG-scaled Annex K tables at quality 50 must still round-trip a
+    smooth gradient within a loose lossy bound — the honest behavior
+    of a real lossy codec, not a disguised lossless one."""
+    import math
+
+    from ecostream.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 24, 17
+    smooth = bytes(
+        int(127 + 100 * math.sin(x / 5.0) * math.cos(y / 4.0))
+        for y in range(h)
+        for x in range(w)
+    )
+    dw, dh, dc, got = decode_jpeg(encode_jpeg(w, h, smooth, 1, quality=50))
+    assert (dw, dh, dc) == (w, h, 1)
+    err = max(abs(a - b) for a, b in zip(smooth, got))
+    assert err <= 32, err
+    # and on an image big enough to amortize the fixed table segments
+    # (~350 bytes of APP0+DQT+DHT) the lossy file genuinely compresses
+    big_w = big_h = 64
+    big = bytes(
+        int(127 + 100 * math.sin(x / 5.0) * math.cos(y / 4.0))
+        for y in range(big_h)
+        for x in range(big_w)
+    )
+    assert len(encode_jpeg(big_w, big_h, big, 1, quality=50)) < big_w * big_h
+
+
+def test_jpeg_decoder_rejects_corruption():
+    from ecostream.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    blob = bytearray(encode_jpeg(8, 8, bytes(64), 1))
+    blob[3] = 0xC2  # SOF0 -> progressive SOF2 marker id byte
+    # flipping a marker to out-of-scope or corrupting structure raises
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob.replace(b"\xff\xc0", b"\xff\xc2")))
+
+
+def test_decode_media_jpeg_spark_stage(spark):
+    """The Spark jpeg decode stage returns the same dims the local
+    codec produces, end to end through Arrow batches."""
+    from ecostream.multimodal import decode_media, synth_jpeg_media
+    from ecostream.schema import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") < 40)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    rows = decode_media(synth_jpeg_media(docs), codec="jpeg").collect()
+    assert len(rows) == 40
+    for r in rows:
+        mid = r["media_id"]
+        assert r["width"] == mid % 13 + 4
+        assert r["height"] == mid % 11 + 3
+        assert r["n_frames"] == 1
+        assert 0.0 <= r["feature"][0] <= 1.0
