@@ -321,3 +321,89 @@ def fh1_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy(
         "doc_id", F.expr(_FH_SPARK).cast("long").alias("bucket")
     ).agg(F.count("*").alias("cnt"))
+
+
+# --- QC1: linear quality classifier (fasttext-style scoring pass) ------------
+
+
+def _qc_weight(name: str) -> int:
+    """Deterministic md5-derived integer weight in [-1000, 1000]
+    milli-units — the plane_weight device: a plain NUMBER both engines
+    inline as a literal, so the whole scoring pass is oracle-checkable.
+    (A trained classifier would ship its weights the same way: as a
+    broadcast constant vector.)"""
+    import hashlib
+
+    return (int(hashlib.md5(name.encode()).hexdigest()[:4], 16) % 2001) - 1000
+
+
+_QC_W = {
+    n: _qc_weight(n)
+    for n in ("n_tokens", "n_distinct", "n_stop", "n_chars", "bias")
+}
+# Calibrated operating point: the md5-derived weights are all negative
+# on this corpus (scores ~[-287k, -25k] at sf0.01), so the accept
+# threshold sits near the score median — exactly how a real quality
+# classifier is deployed (threshold tuned on a histogram, cf. CCNet's
+# per-bucket perplexity cutoffs).
+_QC_THRESHOLD = -160_000
+
+
+@query(
+    "qc1_linear_quality",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS nt,
+               len(list_distinct(string_split(text, ' '))) AS nd,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('a', 'the'))) AS ns,
+               length(text) AS nc
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({_QC_W["n_tokens"]} * nt + {_QC_W["n_distinct"]} * nd
+                + {_QC_W["n_stop"]} * ns + {_QC_W["n_chars"]} * nc
+                + {_QC_W["bias"]} AS BIGINT) AS score_milli,
+           ({_QC_W["n_tokens"]} * nt + {_QC_W["n_distinct"]} * nd
+            + {_QC_W["n_stop"]} * ns + {_QC_W["n_chars"]} * nc
+            + {_QC_W["bias"]} >= {_QC_THRESHOLD}) AS accept
+    FROM f ORDER BY doc_id
+    """,
+)
+def qc1_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as a scoring pass (the
+    fasttext-classifier gate of CCNet/GPT-3-style pipelines, Wenzek et
+    al. 2020): a linear model over cheap per-doc features — token
+    count, type count, stopword count, char length — scored map-side
+    and thresholded into an accept flag.  Weights are integer
+    milli-units and features are integer counts, so every score is an
+    exact BIGINT: both engines agree on every boundary document, which
+    a float dot product could not promise (the dq2/fs1 exactness
+    discipline applied to model inference).
+
+    Plan: zero shuffles — the features, dot product, and threshold are
+    one map-side projection over the scan; the 'model' is five literal
+    integers (a broadcast constant at real scale).  Ordering is for
+    the oracle only; the production form drops it."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("long").alias("ns"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    score = (
+        _QC_W["n_tokens"] * F.col("nt")
+        + _QC_W["n_distinct"] * F.col("nd")
+        + _QC_W["n_stop"] * F.col("ns")
+        + _QC_W["n_chars"] * F.col("nc")
+        + _QC_W["bias"]
+    )
+    return f.select(
+        "doc_id",
+        score.cast("long").alias("score_milli"),
+        (score >= _QC_THRESHOLD).alias("accept"),
+    ).orderBy("doc_id")

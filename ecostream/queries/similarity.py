@@ -995,3 +995,92 @@ def eval3_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(
         sim1_cosine_topk(spark, sf_dir), sim6_pq_adc(spark, sf_dir)
     )
+
+
+# --- SEMDEDUP1: semantic dedup via cluster-then-prune ------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_THETA = 0.4
+
+
+@query(
+    "semdedup1_cluster_prune",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb
+              WHERE vec_id < {_SEMDEDUP_K}),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM emb e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS did
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_THETA}
+    )
+    SELECT s.vec_id, s.cell, (d.did IS NULL) AS keep
+    FROM assigned s LEFT JOIN dropped d ON d.did = s.vec_id
+    ORDER BY s.vec_id
+    """,
+)
+def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication by cluster-then-prune (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): embed → k-means cells → WITHIN each cell compare
+    pairwise cosine → drop all but one of every semantic-duplicate
+    group.  Cosine never crosses a cell boundary, which is the whole
+    trick: the quadratic term is (n/k)² per cell, not n², and k grows
+    with corpus size to keep cells bounded (the paper runs 50k clusters
+    over LAION).  Keep rule: the LOWEST vec_id of a qualifying pair
+    survives (the engine's d1/d5 keep-min convention; the paper keeps
+    the item farthest from the centroid — same mechanism, different
+    tiebreak).  θ = {_SEMDEDUP_THETA} is corpus-calibrated (these
+    uniform random embeddings peak at ~0.49 within-cell cosine; real
+    text embeddings concentrate much higher and use θ ≈ 0.95+).
+
+    Deterministic coarse quantizer (first-{_SEMDEDUP_K} centroids, the
+    sim4 device) so the ENTIRE pipeline — assignment argmax, in-cell
+    pair search, drop set, keep flags — replays in DuckDB.  The
+    k-means-trained path swaps in sim5/sim5b centroids unchanged.
+
+    Plan: centroids broadcast onto one corpus scan (argmax via
+    partial-agg min-struct), one shuffle on cell for the self-join,
+    one anti-join for the flags — no global pairwise stage anywhere."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.where(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    assigned = ivf_assign(emb, centroids)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell"
+    )
+    cos = F.round(
+        dot(F.col("av"), F.col("bv")) / (norm(F.col("av")) * norm(F.col("bv"))),
+        6,
+    )
+    dropped = (
+        a.join(b, (a["cell"] == b["cell"]) & (F.col("a_id") < F.col("b_id")))
+        .where(cos >= _SEMDEDUP_THETA)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", F.col("_d").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )

@@ -338,3 +338,14 @@ def test_j28_banded_interval_join_is_equi_join(spark):
     p = plan(QUERIES["j28_banded_interval_join"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_qc1_zero_shuffle_map_only(spark):
+    """The quality-classifier scoring pass is a pure map-side
+    projection: no exchange at all before the (oracle-only) sort."""
+    df = QUERIES["qc1_linear_quality"](spark, SF_SMOKE)
+    # drop the oracle-ordering sort: production form is unordered
+    p = plan(df.limit(2**31 - 1))
+    body = p.split("Sort")[0] if "Sort" in p else p
+    assert "Exchange hashpartitioning" not in body, p
+    assert "Scan parquet" in p

@@ -233,3 +233,36 @@ def test_eval_recall_floors_all_ann_families(spark):
     assert mean_recall(eval2_ann_recall_ivf(spark, SF_SMOKE)) >= 0.7
     assert mean_recall(eval3_ann_recall_pq(spark, SF_SMOKE)) >= 0.25
     assert mean_recall(eval1_ann_recall(spark, SF_SMOKE)) >= 0.1
+
+
+def test_semdedup_matches_numpy_brute_force(spark, vectors):
+    """semdedup1's keep flags must equal an independent numpy replay:
+    assign to nearest first-8 centroid (dot/|c| argmax, lowest-id
+    ties), then within each cell drop the higher id of every pair with
+    rounded cosine >= theta."""
+    from ecostream.queries.similarity import (
+        _SEMDEDUP_K,
+        _SEMDEDUP_THETA,
+        semdedup1_cluster_prune,
+    )
+
+    ids, mat = vectors
+    cents = mat[:_SEMDEDUP_K]
+    # assignment score: dot(v, c) / |c| (no |v| term — same argmax)
+    scores = mat @ cents.T / np.linalg.norm(cents, axis=1)
+    cell = scores.argmax(axis=1)  # argmax returns FIRST max = lowest id
+    cos = _cosine_matrix(mat)
+    dropped = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and round(cos[i, j], 6) >= _SEMDEDUP_THETA:
+                dropped.add(int(ids[j]))
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semdedup1_cluster_prune(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == n
+    for k, vid in enumerate(ids):
+        assert got[int(vid)] == (int(cell[k]), int(vid) not in dropped)
+    assert dropped, "theta should drop at least one vector at this SF"
