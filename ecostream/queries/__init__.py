@@ -77,6 +77,10 @@ try:
     from . import corpus  # noqa: F401  (repetition gates, inverted index, LM)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import tokenizer  # noqa: F401  (BPE merge training)
+except ImportError:  # pragma: no cover
+    pass
 
 # ---------------------------------------------------------------------------
 # Declaration-order rotation.
@@ -134,9 +138,11 @@ _ROUND_HEAD = [
 # round-4 head below is driver-signed, the remaining never-signed
 # oracle-bearing queries are roughly:
 #   m4b k4 w1-w9 w3 r1 r2 r3 a9 a9_approx a10 h1 c1 c2 prof1 dq1 v1
-#   arr1 b1 fs1 ts1 ts2 str1 str2 cdc1 cal1 t4 ql1 + anything added in
-#   round 4 after this head was frozen.  Swap them in; that completes
-#   driver-signed coverage of every oracle-bearing query.
+#   arr1 b1 fs1 ts1 ts2 str1 str2 cdc1 cal1 t4 ql1, plus the round-4
+#   additions landed after this head froze: semdedup1_cluster_prune,
+#   qc1_linear_quality, bpe1_merge_train, lm2_perplexity_gate,
+#   sim9_knn_classify, mm6_jpeg_roundtrip.  Swap them in; that
+#   completes driver-signed coverage of every oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
 

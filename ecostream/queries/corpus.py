@@ -407,3 +407,117 @@ def qc1_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("long").alias("score_milli"),
         (score >= _QC_THRESHOLD).alias("accept"),
     ).orderBy("doc_id")
+
+
+# --- LM2: perplexity-based quality filtering ---------------------------------
+
+# Accept threshold in nats — calibrated to the corpus median (sf0.01
+# cross-entropy spans 3.26..3.61 nats, median 3.387) so the gate
+# genuinely splits it, the way a deployed LM filter's cutoff is tuned
+# on a held-out score histogram (CCNet picks per-bucket perplexity
+# cutoffs the same way).
+_LM2_CE_MAX = 3.387
+
+_LM2_DUCK_Q = (
+    "CAST(ROUND(ln(CAST(cnt + 1 AS DOUBLE) / (cur_total + vocab)) * 1000000)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "lm2_perplexity_gate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    doc_bg AS (
+        SELECT doc_id, string_split(bg, ' ')[1] AS cur,
+               string_split(bg, ' ')[2] AS nxt
+        FROM (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM toks)
+    ),
+    cnts AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(count(*)) OVER (PARTITION BY cur) AS BIGINT)
+                   AS cur_total
+        FROM doc_bg GROUP BY cur, nxt
+    ),
+    v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    scored AS (
+        SELECT d.doc_id, {_LM2_DUCK_Q} AS q
+        FROM doc_bg d JOIN cnts USING (cur, nxt) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(-SUM(q) AS DOUBLE) / 1000000.0 / count(*), 6)
+               AS cross_entropy,
+           (CAST(-SUM(q) AS DOUBLE) / 1000000.0 / count(*)
+            <= {_LM2_CE_MAX}) AS keep
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def lm2_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet/GPT-3 LM gate,
+    Wenzek et al. 2020, here with lm1's add-one bigram LM as the scorer
+    instead of a pretrained KenLM): per-document cross-entropy
+    -avg ln P(next|cur), thresholded into a keep flag — high-perplexity
+    (surprising, likely low-quality) documents are dropped.
+
+    Float discipline: each bigram's ln-probability is quantized to
+    integer MICRO-NATS before summing (the sim5b/sim8 device), so the
+    per-doc sum is an exact BIGINT — immune to float summation order —
+    and the single final division is performed on identical integer
+    operands by both engines.  A raw AVG(ln p) would hash-mismatch at
+    the round(6) boundary with probability ~n_docs x 1e-4 from
+    partition-order drift alone.
+
+    Scale shape: the bigram count table is vocab-squared-bounded (join
+    it broadcast when small, shuffle on the bigram key when not); the
+    doc-side explode reuses the same key for a co-partitioned join; one
+    final partial-agg on doc_id.  |V| is a broadcast scalar."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("tokens"))
+    doc_bg = (
+        docs.where(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("cur"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("nxt"),
+        )
+    )
+    cnts = (
+        doc_bg.groupBy("cur", "nxt")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cur_total", F.sum("cnt").over(Window.partitionBy("cur"))
+        )
+    )
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("vocab"))
+    )
+    q = F.round(
+        F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("cur_total") + F.col("vocab"))
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        doc_bg.join(cnts, ["cur", "nxt"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", q.alias("q"))
+    )
+    ce = -F.sum("q").cast("double") / 1_000_000.0 / F.count("*")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(ce, 6).alias("cross_entropy"),
+            (ce <= _LM2_CE_MAX).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1084,3 +1084,93 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", F.col("_d").isNull().alias("keep"))
         .orderBy("vec_id")
     )
+
+
+# --- SIM9: kNN-join classification -------------------------------------------
+
+_KNN_K = 15
+_KNN_NQ = 10
+
+
+@query(
+    "sim9_knn_classify",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id, c.label,
+               ROUND({_COS_SQL}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= {_KNN_NQ}
+        WHERE q.vec_id < {_KNN_NQ}
+    ), knn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, match_id)
+                       AS rnk
+            FROM scored
+        ) WHERE rnk <= {_KNN_K}
+    ), tallied AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        FROM knn GROUP BY query_id, label
+    )
+    SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, label) AS vr
+        FROM tallied
+    ) WHERE vr = 1 ORDER BY query_id
+    """,
+)
+def sim9_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-join classification: label each query vector by the majority
+    label of its {k} nearest labeled neighbors (exact cosine; vote ties
+    break to the smallest label — deterministic in both engines).  The
+    similarity-search primitive applied to labeling/weak-supervision:
+    propagate labels from a labeled corpus onto unlabeled points.
+
+    Scale shape: the sim1 pattern — queries broadcast onto one
+    partition-parallel corpus scan, salted two-stage top-k (no skew
+    funnel through |queries| partitions), then a |queries| x |labels|
+    vote tally.  Only |queries| x k rows survive the rank filter; at
+    real scale the exact scan swaps for any of the ANN paths
+    (sim2/sim4/sim6) unchanged, since the voter is oblivious to how
+    the neighbor list was produced."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("match_id"), F.col("label"), F.col("v").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "match_id",
+        "label",
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (norm(F.col("qv")) * norm(F.col("cv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    knn = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos_sim"), F.col("match_id")],
+        k=_KNN_K,
+        salt_col=F.col("match_id"),
+    )
+    tallied = knn.groupBy("query_id", "label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        tallied.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+sim9_knn_classify.__doc__ = sim9_knn_classify.__doc__.format(k=_KNN_K)

@@ -1,0 +1,135 @@
+"""Tokenizer-training operators: distributed BPE merge learning.
+
+The reference has no tokenizer layer (its events are already discrete
+species/stage symbols, consumer.py:407); this extends the engine's
+training-data family with the pass every pretraining build runs before
+chunking: learning a merge table from corpus statistics (Sennrich et
+al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units").  Real BPE merges characters inside words; the mechanism here
+is identical but operates token-level (words -> phrases, i.e. the
+phrase-merge/wordpiece-over-words variant) so every intermediate stays
+a plain string both engines can replay.
+
+Distributed shape per merge round (the standard scalable BPE recipe):
+one partial-aggregated pair-count shuffle, a 1-row argmax collect (the
+MODEL crosses the driver, never data), and a map-side string rewrite.
+The oracle unrolls all rounds as CTE levels and recomputes the argmax
+itself, so the driver hash-checks that both engines learn the SAME
+merge table — rule by rule, frequency by frequency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import load_table
+from .registry import query
+
+_BPE_ROUNDS = 6
+
+# Tokens are corpus words ([a-z]+) and, after a merge, words joined by
+# '+': neither ever contains the '|' separator, so '|'-delimited pair
+# keys split back into exactly (lhs, rhs), and the '|l|r|' match
+# pattern cannot straddle a token boundary.  Both engines' replace()
+# is a left-to-right non-overlapping scan, which IS greedy BPE
+# application ("a a a" + merge(a,a) -> [a+a, a]): the shared boundary
+# separator is consumed by the first match, exactly like the greedy
+# tokenizer.
+
+# Adjacent-pair keys from the token array (the ql2 bigram device: the
+# CASE guard avoids Spark's descending sequence(1, 0) on 1-token docs).
+_PAIRS_SPARK = (
+    "CASE WHEN size(t) >= 2 THEN "
+    "transform(sequence(1, size(t) - 1), "
+    "i -> concat(element_at(t, i), '|', "
+    "element_at(t, CAST(i + 1 AS INT)))) "
+    "ELSE array() END"
+)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay: s{k} = corpus after k merges, m{k} = the
+    k-th learned rule.  range(1, len(t)) is end-exclusive (empty for
+    1-token docs), and the scalar subqueries inline each round's rule
+    into the next round's rewrite."""
+    parts = [
+        "WITH s0 AS (SELECT doc_id,"
+        " '|' || replace(text, ' ', '|') || '|' AS s FROM documents)"
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f""",
+    p{k} AS (
+        SELECT pr, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT t[i] || '|' || t[i + 1] AS pr
+            FROM (SELECT list_filter(string_split(s, '|'),
+                                     x -> x <> '') AS t FROM {prev}) z,
+                 LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+        ) GROUP BY pr
+    ),
+    m{k} AS (SELECT pr, freq FROM p{k} ORDER BY freq DESC, pr LIMIT 1),
+    s{k} AS (
+        SELECT doc_id,
+               replace(s, '|' || (SELECT pr FROM m{k}) || '|',
+                       '|' || replace((SELECT pr FROM m{k}), '|', '+')
+                           || '|') AS s
+        FROM {prev}
+    )"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank,"
+        f" string_split(pr, '|')[1] AS lhs,"
+        f" string_split(pr, '|')[2] AS rhs, freq FROM m{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({rows}) ORDER BY merge_rank"
+
+
+@query("bpe1_merge_train", oracle=_bpe_oracle(_BPE_ROUNDS))
+def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a {n}-rule BPE merge table from the corpus: each round
+    counts adjacent token pairs, adopts the most frequent pair (ties:
+    lexicographically smallest key — deterministic in both engines,
+    binary collation) as a merge rule, and rewrites the corpus with the
+    merged token before the next count.
+
+    Scale shape per round: ONE partial-aggregated shuffle for the pair
+    counts, a 1-ROW collect for the argmax (the learned rule is the
+    model — at any corpus size only the rule crosses the driver), and a
+    map-side ``replace`` to apply it.  The rewrite lineage is {n} narrow
+    map stages; a 100 TB run checkpoints the corpus string every few
+    rounds to truncate recomputation, exactly like any iterative
+    dataflow (the functions/pagerank.py discipline).  Corpus order
+    never matters: pair counts are order-independent aggregates, so the
+    learned table is partitioning-invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        F.concat(F.lit("|"), F.expr("replace(text, ' ', '|')"), F.lit("|")).alias("s")
+    )
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        toks = cur.select(
+            F.expr("filter(split(s, '\\\\|'), x -> x <> '')").alias("t")
+        )
+        top = (
+            toks.select(F.explode(F.expr(_PAIRS_SPARK)).alias("pr"))
+            .groupBy("pr")
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pr"))
+            .limit(1)
+            .collect()
+        )[0]
+        lhs, rhs = top["pr"].split("|")
+        merges.append((rank, lhs, rhs, int(top["freq"])))
+        # tokens are [a-z+]-only (asserted by construction above), so
+        # inlining them as SQL literals is injection-safe
+        pat, rep = f"|{lhs}|{rhs}|", f"|{lhs}+{rhs}|"
+        cur = cur.select(F.expr(f"replace(s, '{pat}', '{rep}')").alias("s"))
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, lhs string, rhs string, freq bigint"
+    ).orderBy("merge_rank")
+
+
+bpe1_merge_train.__doc__ = bpe1_merge_train.__doc__.format(n=_BPE_ROUNDS)

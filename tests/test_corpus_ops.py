@@ -95,3 +95,52 @@ def test_lm1_matches_pure_python(spark):
         for r in QUERIES["lm1_bigram_lm"](spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_lm2_matches_pure_python(spark):
+    """Replay the perplexity gate end-to-end in Python: add-one bigram
+    LM, per-bigram micro-nat quantization (half-away-from-zero, the
+    engines' ROUND), exact integer sum, single final division."""
+    import math
+
+    from ecostream.queries.corpus import _LM2_CE_MAX
+
+    def round_half_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    docs = _docs()
+    counts: Counter = Counter()
+    cur_tot: Counter = Counter()
+    vocab = set()
+    doc_bgs = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        vocab.update(toks)
+        bgs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        doc_bgs[doc_id] = bgs
+        counts.update(bgs)
+        cur_tot.update(b[0] for b in bgs)
+    V = len(vocab)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["keep"])
+        for r in QUERIES["lm2_perplexity_gate"](spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, bgs in doc_bgs.items():
+        s = sum(
+            round_half_away(
+                math.log((counts[b] + 1) / (cur_tot[b[0]] + V)) * 1_000_000
+            )
+            for b in bgs
+        )
+        ce_raw = -s / 1_000_000.0 / len(bgs)
+        n, ce, keep = got[doc_id]
+        assert n == len(bgs)
+        assert abs(ce - ce_raw) < 1e-6
+        assert keep == (ce_raw <= _LM2_CE_MAX)
+
+
+def test_lm2_gate_splits_corpus(spark):
+    rows = QUERIES["lm2_perplexity_gate"](spark, SF_SMOKE).collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows), f"degenerate gate: {kept}/{len(rows)}"

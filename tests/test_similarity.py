@@ -266,3 +266,41 @@ def test_semdedup_matches_numpy_brute_force(spark, vectors):
     for k, vid in enumerate(ids):
         assert got[int(vid)] == (int(cell[k]), int(vid) not in dropped)
     assert dropped, "theta should drop at least one vector at this SF"
+
+
+def test_sim9_knn_matches_numpy(spark, vectors):
+    """sim9's predictions must equal an independent numpy replay:
+    rank corpus (vec_id >= NQ) per query by (round(cos, 6) DESC, id),
+    take K, majority label with smallest-label ties."""
+    from collections import Counter
+
+    import duckdb
+
+    from ecostream.queries.similarity import (
+        _KNN_K,
+        _KNN_NQ,
+        sim9_knn_classify,
+    )
+
+    ids, mat = vectors
+    labels = dict(
+        duckdb.sql(
+            f"SELECT vec_id, label FROM '{SF_SMOKE}/embeddings.parquet'"
+        ).fetchall()
+    )
+    cos = _cosine_matrix(mat)
+    idx = {int(v): k for k, v in enumerate(ids)}
+    corpus = [int(v) for v in ids if v >= _KNN_NQ]
+    expected = {}
+    for q in (int(v) for v in ids if v < _KNN_NQ):
+        ranked = sorted(
+            corpus, key=lambda c: (-round(cos[idx[q], idx[c]], 6), c)
+        )[:_KNN_K]
+        votes = Counter(labels[c] for c in ranked)
+        pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected[q] = (pred, n)
+    got = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in sim9_knn_classify(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

@@ -1,0 +1,61 @@
+"""Third-implementation check for BPE merge training: the oracle pins
+Spark==DuckDB; this replays the whole training loop in pure Python
+(str.replace shares the left-to-right non-overlapping scan semantics
+both engines' replace() uses, which IS greedy BPE application), so a
+shared misreading — an off-by-one in the pair window, a wrong
+replacement boundary — can't slip through both engines unnoticed."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from ecostream.queries.registry import QUERIES
+from ecostream.queries.tokenizer import _BPE_ROUNDS
+
+from .conftest import SF_SMOKE
+
+
+def test_bpe1_matches_pure_python(spark):
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    ]
+    corpus = ["|" + t.replace(" ", "|") + "|" for t in texts]
+    expected = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        counts: Counter[str] = Counter()
+        for s in corpus:
+            toks = [x for x in s.split("|") if x]
+            counts.update(
+                f"{toks[i]}|{toks[i + 1]}" for i in range(len(toks) - 1)
+            )
+        # argmax with the engine tiebreak: freq DESC, pair key ASC
+        pr, freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        lhs, rhs = pr.split("|")
+        expected.append((rank, lhs, rhs, freq))
+        corpus = [
+            s.replace(f"|{lhs}|{rhs}|", f"|{lhs}+{rhs}|") for s in corpus
+        ]
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+        for r in QUERIES["bpe1_merge_train"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    assert all(f > 0 for *_, f in got)
+
+
+def test_bpe1_rules_actually_fire(spark):
+    """Every learned rule must describe a pair that existed when it was
+    adopted — freq is positive and rank-1 is the true global argmax
+    (checked against an independent Counter in the test above); here we
+    additionally pin that later rules can reference earlier MERGED
+    tokens or base tokens, but never contain the separator."""
+    rows = QUERIES["bpe1_merge_train"](spark, SF_SMOKE).collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+    for r in rows:
+        assert r["lhs"] and r["rhs"]
+        assert "|" not in r["lhs"] and "|" not in r["rhs"]
