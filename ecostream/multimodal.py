@@ -5,12 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages (the only sanctioned Python hot
 path — decoding is genuinely not expressible in SQL expressions).
 
-The container has no image/audio libraries, so the codecs are
+The container has no image/audio/video libraries, so the codecs are
 implemented from scratch against the public specs: PNG (ecostream.png,
-lossless, zlib), baseline JPEG (ecostream.jpeg, lossy, numpy DCT), and
-WAV (stdlib ``wave``).  Only VIDEO decode remains stubbed
-(``decode_media`` raises NotImplementedError for codec names like
-h264); a deterministic fake decoder is kept for the plumbing-only
+lossless, zlib), baseline JPEG (ecostream.jpeg, lossy, numpy DCT),
+WAV (stdlib ``wave``), and MJPEG AVI video (ecostream.avi, RIFF
+container + per-frame JPEG).  Only INTER-frame video codecs remain
+gated (``decode_media`` raises NotImplementedError for codec names
+like h264 — motion compensation is a codec project, not an analytics
+engine's); a deterministic fake decoder is kept for the plumbing-only
 metadata queries — the Spark-side contract (schemas, batch iteration,
 partition parallelism) is real and tested end-to-end in all cases.
 
@@ -485,3 +487,133 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=WAV_DECODED_SCHEMA)
+
+
+# --- MJPEG AVI video: REAL from-scratch container + lossy frames -------------
+
+VIDEO_FPS = 10
+
+
+def _video_geometry(mid: int) -> tuple[int, int, int, int]:
+    """(w, h, channels, n_frames) from id arithmetic alone — the mm4
+    device, video edition (channels = 3 always: MJPEG AVI declares
+    24-bit frames in BITMAPINFOHEADER)."""
+    return mid % 13 + 4, mid % 11 + 3, 3, mid % 4 + 2
+
+
+def _video_frame_pixels(mid: int, k: int) -> bytes:
+    """Deterministic RGB pixels for frame ``k`` of video ``mid``:
+    md5(f"{mid}:{k}") cycled to fill w*h*3 bytes."""
+    import hashlib
+
+    w, h, c, _ = _video_geometry(mid)
+    npix = w * h * c
+    dig = hashlib.md5(f"{mid}:{k}".encode()).digest()
+    return (dig * (npix // 16 + 1))[:npix]
+
+
+def synth_avi_media(df: DataFrame) -> DataFrame:
+    """Encode REAL MJPEG AVI payloads from id-derived frames: each
+    frame is a baseline JFIF image produced by the from-scratch JPEG
+    codec, wrapped in the from-scratch RIFF/AVI container
+    (ecostream.avi).  Map-only Arrow stage — the video sibling of
+    synth_png_media/synth_jpeg_media."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import encode_avi_mjpeg
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, c, n = _video_geometry(mid)
+                frames = [
+                    encode_jpeg(
+                        w,
+                        h,
+                        _video_frame_pixels(mid, k),
+                        channels=c,
+                        quality=None,
+                    )
+                    for k in range(n)
+                ]
+                blobs.append(encode_avi_mjpeg(frames, w, h, fps=VIDEO_FPS))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "content": blobs}
+            )
+
+    return df.select("media_id").mapInPandas(_synth, schema=schema)
+
+
+VIDEO_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("max_err", T.LongType(), True),
+    ]
+)
+
+
+def avi_roundtrip_check(df: DataFrame) -> DataFrame:
+    """Decode (media_id, content) MJPEG AVI payloads — container walk,
+    then the real JPEG decoder on EVERY frame — and compare every
+    sample of every frame against the re-synthesized id-derived source
+    pixels, emitting the per-video max absolute error.  Container
+    fields (dims, frame count, fps) must be EXACT; frame samples are
+    bounded by the lossy JPEG codec's error (≤4, the mm6 bound).  A
+    structural failure — bad RIFF tree, idx1/movi mismatch, frame-dim
+    drift — surfaces as max_err = -1 or wrong counts and fails the
+    hash.  Map-only Arrow stage; payloads never leave the partition."""
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import decode_avi_mjpeg
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            ws, hs, nfs, fpss, errs = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                ew, eh, ec, en = _video_geometry(mid)
+                w, h, fps, frames = decode_avi_mjpeg(bytes(b))
+                ws.append(w)
+                hs.append(h)
+                nfs.append(len(frames))
+                fpss.append(fps)
+                err = -1
+                if (w, h, len(frames)) == (ew, eh, en):
+                    err = 0
+                    for k, fb in enumerate(frames):
+                        dw, dh, dc, got = decode_jpeg(fb)
+                        if (dw, dh, dc) != (ew, eh, ec):
+                            err = -1
+                            break
+                        expected = _video_frame_pixels(mid, k)
+                        err = max(
+                            err,
+                            max(
+                                abs(a - g) for a, g in zip(expected, got)
+                            ),
+                        )
+                errs.append(err)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "fps": pd.Series(fpss, dtype="int32"),
+                    "max_err": pd.Series(errs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_check, schema=VIDEO_VERIFY_SCHEMA)

@@ -248,3 +248,72 @@ def test_decode_media_jpeg_spark_stage(spark):
         assert r["height"] == mid % 11 + 3
         assert r["n_frames"] == 1
         assert 0.0 <= r["feature"][0] <= 1.0
+
+
+def test_avi_container_roundtrip_and_structure():
+    """Pure-local AVI checks: byte-exact frame payload recovery,
+    header fields, even-padding handling (odd-length frames), and
+    loud failure on corrupt input."""
+    import struct
+
+    import pytest
+
+    from ecostream.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = [b"frame-one-jfif!", b"f2", b"odd"]  # odd lengths force pads
+    data = encode_avi_mjpeg(frames, 12, 7, fps=10)
+    w, h, fps, got = decode_avi_mjpeg(data)
+    assert (w, h, fps) == (12, 7, 10)
+    assert got == frames
+
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFX" + data[4:])
+    # corrupt idx1 count (one extra entry) must raise, not reorder
+    bad = bytearray(data)
+    i = bad.rfind(b"idx1")
+    (sz,) = struct.unpack("<I", bad[i + 4 : i + 8])
+    bad[i + 4 : i + 8] = struct.pack("<I", sz + 16)
+    bad.extend(b"\x00" * 16)
+    bad[4:8] = struct.pack("<I", len(bad) - 8)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bytes(bad))
+
+
+def test_video_roundtrip_error_bound_local():
+    """Per-frame JPEG loss through the AVI path stays within the mm6
+    bound (measured <= 2 on the id range; assert the documented <= 4)."""
+    from ecostream.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from ecostream.jpeg import decode_jpeg, encode_jpeg
+    from ecostream.multimodal import _video_frame_pixels, _video_geometry
+
+    for mid in (0, 1, 7, 12, 255, 299):
+        w, h, c, n = _video_geometry(mid)
+        enc = [
+            encode_jpeg(
+                w, h, _video_frame_pixels(mid, k), channels=c, quality=None
+            )
+            for k in range(n)
+        ]
+        dw, dh, fps, dec = decode_avi_mjpeg(encode_avi_mjpeg(enc, w, h, 10))
+        assert (dw, dh, fps, len(dec)) == (w, h, 10, n)
+        for k, fb in enumerate(dec):
+            jw, jh, jc, got = decode_jpeg(fb)
+            assert (jw, jh, jc) == (w, h, c)
+            exp = _video_frame_pixels(mid, k)
+            assert max(abs(a - g) for a, g in zip(exp, got)) <= 2
+
+
+def test_mm7_video_roundtrip_spark(spark):
+    """End-to-end Spark stage: every video within bound, container
+    fields exact."""
+    from ecostream.queries.registry import QUERIES
+
+    rows = QUERIES["mm7_video_roundtrip"](spark, SF_SMOKE).collect()
+    assert len(rows) == 300
+    for r in rows:
+        mid = r["media_id"]
+        assert r["width"] == mid % 13 + 4
+        assert r["height"] == mid % 11 + 3
+        assert r["n_frames"] == mid % 4 + 2
+        assert r["fps"] == 10
+        assert r["within_bound"]
