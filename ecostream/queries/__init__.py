@@ -141,7 +141,8 @@ _ROUND_HEAD = [
 #   arr1 b1 fs1 ts1 ts2 str1 str2 cdc1 cal1 t4 ql1, plus the round-4
 #   additions landed after this head froze: semdedup1_cluster_prune,
 #   qc1_linear_quality, bpe1_merge_train, lm2_perplexity_gate,
-#   sim9_knn_classify, mm6_jpeg_roundtrip, mm7_video_roundtrip.  Swap
+#   sim9_knn_classify, mm6_jpeg_roundtrip, mm7_video_roundtrip,
+#   d10_sparse_cosine_verify.  Swap
 #   them in; that completes driver-signed coverage of every
 #   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are

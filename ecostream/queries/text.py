@@ -1403,3 +1403,159 @@ def d9_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id", "b_id", hamming.cast("long").alias("hamming")
         )
     )
+
+
+# --- D10: sparse-cosine verification of LSH candidates -----------------------
+
+
+@query(
+    "d10_sparse_cosine_verify",
+    oracle="""
+    WITH cand AS (
+        SELECT a_id, b_id FROM (
+            WITH shingles AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(string_split(text, ' ')) - 1,
+                                             1) + 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                coalesce(string_split(text, ' ')[i + 1], '')
+                       ))) AS sh
+                FROM documents WHERE doc_id < 500
+            ),
+            hashes AS (
+                SELECT doc_id, u.p,
+                       ('0x' || substr(md5(CAST(u.p AS VARCHAR) || ':' || sh),
+                                       1, 15))::UBIGINT::BIGINT AS h
+                FROM shingles, unnest(generate_series(0, 31)) AS u(p)
+            ),
+            sig AS (
+                SELECT doc_id, p, min(h) AS mh FROM hashes GROUP BY doc_id, p
+            ),
+            bands AS (
+                SELECT doc_id, CAST(floor(p / 4) AS BIGINT) AS band,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bkey
+                FROM sig GROUP BY doc_id, 2
+            )
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        )
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 500
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n
+          FROM documents WHERE doc_id < 500),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ((n.n * 1000) // dfreq.df) AS w
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    norm2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT c.a_id, c.b_id,
+               CAST(sum(wa.w * wb.w) AS BIGINT) AS dot,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.a_id
+        JOIN w wb ON wb.doc_id = c.b_id AND wb.term = wa.term
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT d.a_id, d.b_id, d.n_shared,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos_sim,
+           (4 * CAST(d.dot AS HUGEINT) * d.dot
+            >= CAST(na.n2 AS HUGEINT) * nb.n2) AS dup_verified
+    FROM dots d
+    JOIN norm2 na ON na.doc_id = d.a_id
+    JOIN norm2 nb ON nb.doc_id = d.b_id
+    ORDER BY a_id, b_id
+    """,
+)
+def d10_sparse_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFICATION stage of the production near-dup funnel
+    (Bayardo et al. 2007's all-pairs problem, candidate-bounded):
+    d3b's LSH banding proposes candidate pairs, and each is re-scored
+    by true tf-idf sparse cosine — banding has false positives by
+    construction, so real dedup pipelines always verify before
+    dropping.  Weights reuse t11's exact-integer idf (tf x
+    floor(N*1000/df) — libm-log-free), so dot products and squared
+    norms are EXACT integer sums (order-free), the cosine is one
+    double division on identical integers, and the >= 0.5 drop
+    decision is the cross-multiplied integer inequality
+    4*dot^2 >= |a|^2*|b|^2 in 128-bit intermediates (the dq2
+    discipline) — no boundary pair can flip between engines.
+
+    Scale shape: the quadratic stage never exists — scoring is bounded
+    by |candidates|, and the candidate-bounded side is BROADCAST at
+    every join (pairs onto the weight table, pair-dots onto the norm
+    table): the |docs|-sized weight/norm relations are never shuffled
+    for the verify, only scanned.  The df table is vocab-sized
+    (broadcast here; at a 100 TB vocab it shuffle-joins on term with
+    the same plan shape)."""
+    cand = d3b_minhash_lsh_md5(spark, sf_dir).select("a_id", "b_id")
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr("(n * 1000) div df")).alias("w"),
+        )
+    )
+    norm2 = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("a_id"), "term", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("b_id"), "term", F.col("w").alias("wb")
+    )
+    # broadcast the CANDIDATE-bounded side at every join: the weight
+    # and norm tables are |docs|-sized and must never be broadcast —
+    # the pair set is the small relation by construction
+    dots = (
+        F.broadcast(F.broadcast(cand).join(wa, "a_id"))
+        .join(wb, ["b_id", "term"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
+            F.count("*").cast("long").alias("n_shared"),
+        )
+    )
+    na = norm2.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("na2"))
+    nb = norm2.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("nb2"))
+    d_dec = F.col("dot").cast("decimal(20,0)")
+    na_dec = F.col("na2").cast("decimal(20,0)")
+    nb_dec = F.col("nb2").cast("decimal(20,0)")
+    return (
+        F.broadcast(F.broadcast(dots).join(na, "a_id"))
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2")),
+                6,
+            ).alias("cos_sim"),
+            (4 * d_dec * d_dec >= na_dec * nb_dec).alias("dup_verified"),
+        )
+        .orderBy("a_id", "b_id")
+    )

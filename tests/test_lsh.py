@@ -113,3 +113,33 @@ def test_d9_banding_is_complete_vs_bruteforce(spark):
         for r in QUERIES["d9_simhash_pairs"](spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_d10_verify_consistent_and_candidate_bounded(spark):
+    """Every verified pair must be a d3b candidate, the integer
+    inequality must agree with the float cosine away from the
+    boundary, and the plan must broadcast the candidate-bounded side
+    (never the |docs|-sized weight/norm tables)."""
+    from ecostream.queries.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["d3b_minhash_lsh_md5"](spark, SF_SMOKE).collect()
+    }
+    rows = QUERIES["d10_sparse_cosine_verify"](spark, SF_SMOKE).collect()
+    assert rows, "no candidate pairs to verify at this SF"
+    assert len(rows) == len(cands)
+    for r in rows:
+        assert (r["a_id"], r["b_id"]) in cands
+        assert 0.0 < r["cos_sim"] <= 1.0
+        if abs(r["cos_sim"] - 0.5) > 1e-6:
+            assert r["dup_verified"] == (r["cos_sim"] >= 0.5), r
+    plan = (
+        QUERIES["d10_sparse_cosine_verify"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
