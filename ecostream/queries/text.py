@@ -1516,6 +1516,7 @@ def d10_sparse_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             (F.col("tf") * F.expr("(n * 1000) div df")).alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     norm2 = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
