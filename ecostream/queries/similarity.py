@@ -1061,16 +1061,30 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
     )
-    assigned = ivf_assign(emb, centroids)
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "cell"
+    # assignment is referenced three times (both self-join sides + the
+    # keep-flag output); one lazy checkpoint runs the argmax scan once
+    # (the d10/d5 plan-economy lesson)
+    assigned = ivf_assign(emb, centroids).localCheckpoint(eager=False)
+    # per-vector norms computed ONCE before the quadratic stage: the
+    # in-cell pair join then evaluates one dot per pair instead of
+    # three array aggregates.  norm(v) here is the identical expression
+    # on identical data, so dot/(na*nb) is bit-equal to the per-pair
+    # form and the round(6) oracle boundary cannot move.
+    with_norm = assigned.withColumn("nv", norm(F.col("v")))
+    a = with_norm.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nv").alias("na"),
+        "cell",
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), "cell"
+    b = with_norm.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nv").alias("nb"),
+        "cell",
     )
     cos = F.round(
-        dot(F.col("av"), F.col("bv")) / (norm(F.col("av")) * norm(F.col("bv"))),
-        6,
+        dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6
     )
     dropped = (
         a.join(b, (a["cell"] == b["cell"]) & (F.col("a_id") < F.col("b_id")))
