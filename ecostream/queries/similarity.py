@@ -1188,3 +1188,57 @@ def sim9_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim9_knn_classify.__doc__ = sim9_knn_classify.__doc__.format(k=_KNN_K)
+
+
+# --- RAG1: retrieve-then-read (ANN top-k joined back to documents) -----------
+
+
+@query(
+    "rag1_retrieve_read",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               ROUND({_COS_SQL}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, match_id) AS rnk
+        FROM scored
+    ), hits AS (
+        SELECT query_id, match_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    )
+    SELECT h.query_id, h.rnk, h.match_id AS doc_id, d.source,
+           substring(d.text, 1, 40) AS snippet, h.cos_sim
+    FROM hits h JOIN documents d ON d.doc_id = h.match_id
+    ORDER BY query_id, rnk
+    """,
+)
+def rag1_retrieve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-augmented read: the RAG data path as one declared
+    dataflow — embed-space top-5 retrieval (sim1's exact scorer; any
+    ANN family swaps in unchanged) followed by the READ join that
+    fetches each hit's document content (vec_id doubles as doc_id in
+    this corpus: every document carries one embedding row).
+
+    Scale shape: retrieval output is |queries| x k rows — it BROADCASTS
+    onto the documents scan, so the corpus is read once, filtered by
+    the broadcast hash join, and only hit rows ever materialize text.
+    The snippet projection keeps the result narrow (chunked serving
+    would join chunk1's windows instead of raw text, same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = sim1_cosine_topk(spark, sf_dir).where(F.col("rnk") <= 5)
+    return (
+        F.broadcast(hits)
+        .join(docs, hits["match_id"] == docs["doc_id"])
+        .select(
+            "query_id",
+            "rnk",
+            "doc_id",
+            "source",
+            F.substring("text", 1, 40).alias("snippet"),
+            "cos_sim",
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -304,3 +304,30 @@ def test_sim9_knn_matches_numpy(spark, vectors):
         for r in sim9_knn_classify(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_rag1_reads_match_retrieval(spark):
+    """Every RAG row must be sim1's top-5 hit joined to the REAL
+    document content (snippet is the text prefix of that doc_id)."""
+    import duckdb
+
+    from ecostream.queries.similarity import (
+        rag1_retrieve_read,
+        sim1_cosine_topk,
+    )
+
+    top5 = {
+        (r["query_id"], r["rnk"]): r["match_id"]
+        for r in sim1_cosine_topk(spark, SF_SMOKE).collect()
+        if r["rnk"] <= 5
+    }
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    rows = rag1_retrieve_read(spark, SF_SMOKE).collect()
+    assert len(rows) == len(top5) == 25
+    for r in rows:
+        assert top5[(r["query_id"], r["rnk"])] == r["doc_id"]
+        assert texts[r["doc_id"]].startswith(r["snippet"])
