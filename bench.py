@@ -46,6 +46,11 @@ HEADLINE = [
     "t12_inverted_index",         # inverted-index build (round 3)
     "g6_cooccurrence_triangles",  # triangle counting (round 3)
     "cdc1_scd2_intervals",        # SCD2 interval compaction (round 3)
+    "semdedup1_cluster_prune",    # semantic dedup cluster-prune (round 4)
+    "d10_sparse_cosine_verify",   # LSH-candidate sparse-cosine verify (round 4)
+    "bpe1_merge_train",           # distributed BPE merge training (round 4)
+    "lm2_perplexity_gate",        # bigram-LM perplexity filter (round 4)
+    "rag1_retrieve_read",         # RAG retrieve-then-read join (round 4)
 ]
 
 

@@ -349,3 +349,29 @@ def test_qc1_zero_shuffle_map_only(spark):
     body = p.split("Sort")[0] if "Sort" in p else p
     assert "Exchange hashpartitioning" not in body, p
     assert "Scan parquet" in p
+
+
+def test_semdedup1_no_global_pairwise(spark):
+    """SemDeDup's quadratic stage must be cell-scoped: the self-join
+    carries the cell equi-key (no cartesian / nested-loop between the
+    corpus sides)."""
+    p = plan(QUERIES["semdedup1_cluster_prune"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_rag1_broadcasts_retrieval_onto_corpus(spark):
+    """The read join must broadcast the |queries|x k retrieval output,
+    never shuffle the documents scan into a sort-merge join."""
+    p = plan(QUERIES["rag1_retrieve_read"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_d10_candidate_side_broadcast_only(spark):
+    """Every verify join must be broadcast (candidate-bounded side);
+    the weight/norm tables are never sort-merge-joined."""
+    p = plan(QUERIES["d10_sparse_cosine_verify"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
