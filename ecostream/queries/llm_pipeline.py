@@ -455,3 +455,92 @@ def ql1_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= 10)
         .select("source", "doc_id", F.col("pos").cast("long").alias("pos"))
     )
+
+
+# --- MIX1: temperature-scaled source mixing ----------------------------------
+
+_MIX1_BUDGET = 100  # target corpus size after mixing
+
+
+@query(
+    "mix1_temperature_sampling",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source
+    ),
+    wts AS (
+        SELECT source, c,
+               CAST(ROUND(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+    quota AS (
+        SELECT source, c, w, ({_MIX1_BUDGET} * w) // tw AS q
+        FROM wts CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT d.source, d.doc_id, q.q,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS pos
+        FROM documents d JOIN quota q USING (source)
+    )
+    SELECT source, CAST(q AS BIGINT) AS quota, doc_id,
+           CAST(pos AS BIGINT) AS pos
+    FROM ranked WHERE pos <= q ORDER BY source, pos
+    """,
+)
+def mix1_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multinomial-with-alpha
+    rebalancing of XLM-R / GPT-3 data recipes, alpha = 0.5): each
+    source's share of the mixed corpus is proportional to c_s^alpha,
+    which up-weights small sources relative to raw proportional
+    sampling — THE standard knob against head-domain domination.
+    Selection within a source is md5-hash order (the ql1/samp1 device:
+    deterministic, repartition-stable, engine-portable).
+
+    Float discipline: sqrt is IEEE-754 correctly-rounded (identical in
+    both engines, unlike ln/exp), and each sqrt is quantized to integer
+    MICRO-units before the sum (the lm2 device) — so the weight total
+    is an exact BIGINT, quotas are integer floor-division, and no
+    boundary document can flip between engines.
+
+    Scale shape: a |sources|-row count aggregate, quota arithmetic on
+    that tiny table (broadcast back), one shuffle on source for the
+    per-source hash-order window.  A hot source is one window task —
+    the salted two-stage top-k is the documented upgrade, same as
+    ql1."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("c"))
+    wts = counts.select(
+        "source",
+        "c",
+        F.round(F.sqrt(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("long").alias("tw"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr(f"({_MIX1_BUDGET} * w) div tw").alias("q")
+    )
+    w_ord = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        docs.join(F.broadcast(quota), "source")
+        .select(
+            "source",
+            "doc_id",
+            "q",
+            F.row_number().over(w_ord).alias("pos"),
+        )
+        .where(F.col("pos") <= F.col("q"))
+    )
+    return ranked.select(
+        "source",
+        F.col("q").cast("long").alias("quota"),
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+    ).orderBy("source", "pos")

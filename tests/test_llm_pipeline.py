@@ -231,3 +231,52 @@ def test_ql1_domain_quota_cap_and_stability(spark):
         ).where(F.col("pos") <= 10).collect()
     }
     assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_mix1_matches_pure_python(spark):
+    """Replay temperature mixing in Python: sqrt weights quantized to
+    micro-units, integer quota floor-division, md5-order selection —
+    and check the alpha<1 property (smaller sources get a LARGER
+    sampled fraction than bigger ones, pre-flooring)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from ecostream.queries.llm_pipeline import (
+        _MIX1_BUDGET,
+        mix1_temperature_sampling,
+    )
+    from .conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(list)
+    for doc_id, src in rows:
+        by_src[src].append(doc_id)
+    w = {
+        s: int(math.floor(abs(math.sqrt(len(ids)) * 1_000_000) + 0.5))
+        for s, ids in by_src.items()
+    }
+    tw = sum(w.values())
+    quota = {s: (_MIX1_BUDGET * w[s]) // tw for s in by_src}
+    expected = set()
+    for s, ids in by_src.items():
+        ordered = sorted(
+            ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        for pos, d in enumerate(ordered[: quota[s]], start=1):
+            expected.add((s, quota[s], d, pos))
+    got = {
+        (r["source"], r["quota"], r["doc_id"], r["pos"])
+        for r in mix1_temperature_sampling(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # alpha = 0.5 property on the raw weights: sampled fraction
+    # w_s/c_s is strictly decreasing in source size
+    sizes = sorted((len(ids), s) for s, ids in by_src.items())
+    for (c1, s1), (c2, s2) in zip(sizes, sizes[1:]):
+        if c1 < c2:
+            assert w[s1] * c2 > w[s2] * c1
