@@ -411,12 +411,13 @@ def qc1_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LM2: perplexity-based quality filtering ---------------------------------
 
-# Accept threshold in nats — calibrated to the corpus median (sf0.01
-# cross-entropy spans 3.26..3.61 nats, median 3.387) so the gate
-# genuinely splits it, the way a deployed LM filter's cutoff is tuned
-# on a held-out score histogram (CCNet picks per-bucket perplexity
-# cutoffs the same way).
-_LM2_CE_MAX = 3.387
+# Accept threshold in MICRO-nats — calibrated to the corpus median
+# (sf0.01 cross-entropy spans 3.26..3.61 nats, median ~3.387) so the
+# gate genuinely splits it, the way a deployed LM filter's cutoff is
+# tuned on a held-out score histogram (CCNet picks per-bucket
+# perplexity cutoffs the same way).  Integer units keep the decision
+# -sum(q) <= threshold * n an EXACT BIGINT inequality.
+_LM2_CE_MAX_MICRO = 3_387_000
 
 _LM2_DUCK_Q = (
     "CAST(ROUND(ln(CAST(cnt + 1 AS DOUBLE) / (cur_total + vocab)) * 1000000)"
@@ -451,10 +452,9 @@ _LM2_DUCK_Q = (
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(-SUM(q) AS DOUBLE) / 1000000.0 / count(*), 6)
-               AS cross_entropy,
-           (CAST(-SUM(q) AS DOUBLE) / 1000000.0 / count(*)
-            <= {_LM2_CE_MAX}) AS keep
+           CAST(ROUND(CAST(-SUM(q) AS DOUBLE) / count(*)) AS BIGINT)
+               AS ce_micro_nats,
+           (-SUM(q) <= {_LM2_CE_MAX_MICRO} * count(*)) AS keep
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -468,10 +468,14 @@ def lm2_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: each bigram's ln-probability is quantized to
     integer MICRO-NATS before summing (the sim5b/sim8 device), so the
     per-doc sum is an exact BIGINT — immune to float summation order —
-    and the single final division is performed on identical integer
-    operands by both engines.  A raw AVG(ln p) would hash-mismatch at
-    the round(6) boundary with probability ~n_docs x 1e-4 from
-    partition-order drift alone.
+    and the keep decision is the EXACT integer inequality
+    -sum(q) <= threshold_micro * n.  The reported score is also integer
+    micro-nats: a scale-6 ROUND of the float average is NOT portable
+    (Spark's BigDecimal HALF_UP vs DuckDB's multiply-by-1e6 disagreed
+    on 2 of 5000 docs at sf0.1 — found by the full-scale sweep), while
+    round-to-INTEGER of one exact-operand division is, because .5
+    boundaries are exactly representable doubles that both engines
+    round away from zero.
 
     Scale shape: the bigram count table is vocab-squared-bounded (join
     it broadcast when small, shuffle on the bigram key when not); the
@@ -511,13 +515,15 @@ def lm2_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", q.alias("q"))
     )
-    ce = -F.sum("q").cast("double") / 1_000_000.0 / F.count("*")
+    neg_s = -F.sum("q")
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.round(ce, 6).alias("cross_entropy"),
-            (ce <= _LM2_CE_MAX).alias("keep"),
+            F.round(neg_s.cast("double") / F.count("*"))
+            .cast("long")
+            .alias("ce_micro_nats"),
+            (neg_s <= _LM2_CE_MAX_MICRO * F.count("*")).alias("keep"),
         )
         .orderBy("doc_id")
     )

@@ -103,7 +103,7 @@ def test_lm2_matches_pure_python(spark):
     engines' ROUND), exact integer sum, single final division."""
     import math
 
-    from ecostream.queries.corpus import _LM2_CE_MAX
+    from ecostream.queries.corpus import _LM2_CE_MAX_MICRO
 
     def round_half_away(x: float) -> int:
         return int(math.copysign(math.floor(abs(x) + 0.5), x))
@@ -122,7 +122,7 @@ def test_lm2_matches_pure_python(spark):
         cur_tot.update(b[0] for b in bgs)
     V = len(vocab)
     got = {
-        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["keep"])
+        r["doc_id"]: (r["n_bigrams"], r["ce_micro_nats"], r["keep"])
         for r in QUERIES["lm2_perplexity_gate"](spark, SF_SMOKE).collect()
     }
     assert len(got) == len(docs)
@@ -133,11 +133,10 @@ def test_lm2_matches_pure_python(spark):
             )
             for b in bgs
         )
-        ce_raw = -s / 1_000_000.0 / len(bgs)
-        n, ce, keep = got[doc_id]
+        n, ce_micro, keep = got[doc_id]
         assert n == len(bgs)
-        assert abs(ce - ce_raw) < 1e-6
-        assert keep == (ce_raw <= _LM2_CE_MAX)
+        assert ce_micro == round_half_away(-s / len(bgs))
+        assert keep == (-s <= _LM2_CE_MAX_MICRO * len(bgs))
 
 
 def test_lm2_gate_splits_corpus(spark):
