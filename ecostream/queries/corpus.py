@@ -81,14 +81,15 @@ _BIGRAMS_DUCK = (
     )
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tok,
-           ROUND(CAST(top_cnt AS DOUBLE) / n_tok, 6) AS top_tok_frac,
-           ROUND(CASE WHEN len(bg) = 0 THEN 0.0
-                      ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
-                                 / len(bg) END, 6) AS dup_bigram_frac,
-           CASE WHEN CAST(top_cnt AS DOUBLE) / n_tok <= {_TOP_TOK_MAX}
+           CAST((2 * top_cnt * 1000000 + n_tok) // (2 * n_tok) AS DOUBLE)
+               / 1000000 AS top_tok_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE CAST((2 * (len(bg) - len(list_distinct(bg))) * 1000000
+                           + len(bg)) // (2 * len(bg)) AS DOUBLE) / 1000000
+           END AS dup_bigram_frac,
+           CASE WHEN top_cnt * 100 <= 12 * n_tok
                  AND (len(bg) = 0 OR
-                      1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-                          <= {_DUP_BIGRAM_MAX})
+                      (len(bg) - len(list_distinct(bg))) * 100 <= 8 * len(bg))
                 THEN 1 ELSE 0 END AS keep
     FROM stats
     """,
@@ -121,18 +122,37 @@ def ql2_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_cnt"),
         F.expr(_BIGRAMS_SPARK).alias("bg"),
     )
-    top_frac = F.col("top_cnt").cast("double") / F.col("n_tok")
-    dup_frac = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+    # ROUND(ratio, 6) of a small-denominator count ratio is NOT
+    # engine-portable (the lm2 double-rounding trap: Spark's BigDecimal
+    # HALF_UP vs DuckDB's multiply-by-1e6 can disagree when the true
+    # ratio lands on a 7-digit terminating decimal like c/640).  Round
+    # in the INTEGER domain instead — (2*a*1e6 + b) div (2*b) is exact
+    # half-away-up for non-negative ratios — then one exact-operand
+    # division back to double.  The gate itself is the cross-multiplied
+    # integer inequality, so no boundary doc can flip either.
+    top_frac_r = F.expr(
+        "CAST((2 * top_cnt * 1000000 + n_tok) div (2 * n_tok) AS DOUBLE)"
+        " / 1000000"
+    )
+    dup_r = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        F.expr(
+            "CAST((2 * (size(bg) - size(array_distinct(bg))) * 1000000"
+            " + size(bg)) div (2 * size(bg)) AS DOUBLE) / 1000000"
+        )
+    )
+    keep = (F.col("top_cnt") * 100 <= 12 * F.col("n_tok")) & (
+        (F.size("bg") == 0)
+        | (
+            (F.size("bg") - F.size(F.array_distinct("bg"))) * 100
+            <= 8 * F.size("bg")
+        )
     )
     return stats.select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
-        F.round(top_frac, 6).alias("top_tok_frac"),
-        F.round(dup_frac, 6).alias("dup_bigram_frac"),
-        (
-            (top_frac <= _TOP_TOK_MAX) & (dup_frac <= _DUP_BIGRAM_MAX)
-        ).cast("int").alias("keep"),
+        top_frac_r.alias("top_tok_frac"),
+        dup_r.alias("dup_bigram_frac"),
+        keep.cast("int").alias("keep"),
     )
 
 
@@ -223,8 +243,8 @@ def t12_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
     )
     SELECT cur, nxt, CAST(cnt AS BIGINT) AS cnt,
-           ROUND((CAST(cnt AS DOUBLE) + 1) / (cur_total + vocab), 6)
-               AS p_add1
+           CAST((2 * (cnt + 1) * 1000000 + (cur_total + vocab))
+                // (2 * (cur_total + vocab)) AS DOUBLE) / 1000000 AS p_add1
     FROM tot, v
     ORDER BY cnt DESC, cur, nxt
     LIMIT 200
@@ -266,10 +286,12 @@ def lm1_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cur",
             "nxt",
             F.col("cnt").cast("long").alias("cnt"),
-            F.round(
-                (F.col("cnt").cast("double") + 1)
-                / (F.col("cur_total") + F.col("vocab")),
-                6,
+            # integer-domain round-6 (the ql2/lm2 portability device):
+            # the probability is a small-denominator count ratio, where
+            # a float ROUND(x, 6) can double-round differently per engine
+            F.expr(
+                "CAST((2 * (cnt + 1) * 1000000 + (cur_total + vocab))"
+                " div (2 * (cur_total + vocab)) AS DOUBLE) / 1000000"
             ).alias("p_add1"),
         )
         .orderBy(F.desc("cnt"), "cur", "nxt")

@@ -32,18 +32,24 @@ def test_ql2_matches_pure_python(spark):
         )
         for r in QUERIES["ql2_gopher_repetition"](spark, SF_SMOKE).collect()
     }
+    def iround6(a: int, b: int) -> float:
+        # integer-domain round-half-up at scale 6 (the engine's device)
+        return ((2 * a * 1_000_000 + b) // (2 * b)) / 1_000_000
+
     for doc_id, text in _docs():
         toks = text.split(" ")
         n = len(toks)
         top = max(Counter(toks).values())
         bgs = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
-        dup = 0.0 if not bgs else 1.0 - len(set(bgs)) / len(bgs)
-        tf, df_ = top / n, dup
+        n_dup = len(bgs) - len(set(bgs))
         exp = (
             n,
-            round(tf, 6),
-            round(df_, 6),
-            int(tf <= 0.12 and df_ <= 0.08),
+            iround6(top, n),
+            0.0 if not bgs else iround6(n_dup, len(bgs)),
+            int(
+                top * 100 <= 12 * n
+                and (not bgs or n_dup * 100 <= 8 * len(bgs))
+            ),
         )
         assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
 
@@ -86,7 +92,11 @@ def test_lm1_matches_pure_python(spark):
     expected = {
         (cur, nxt): (
             n,
-            round((n + 1) / (cur_tot[cur] + len(vocab)), 6),
+            (
+                (2 * (n + 1) * 1_000_000 + (cur_tot[cur] + len(vocab)))
+                // (2 * (cur_tot[cur] + len(vocab)))
+            )
+            / 1_000_000,
         )
         for (cur, nxt), n in ordered
     }
