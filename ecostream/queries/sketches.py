@@ -688,3 +688,94 @@ def k8_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# --- KMV: k-minimum-values distinct sketch -----------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = 1 << 40  # 40-bit md5-derived hash space
+
+
+@query(
+    "kmv1_distinct_estimate",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                   ::UBIGINT::BIGINT + 1 AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(max(nd) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN max(nd) < {_KMV_K} THEN max(nd)
+                ELSE ({_KMV_K - 1} * {_KMV_SCALE})
+                     // max(CASE WHEN rn = {_KMV_K} THEN h END)
+           END AS BIGINT) AS kmv_est
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def kmv1_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002; the
+    theta-sketch ancestor): hash every element into (0, 1], keep the k
+    smallest hashes per group, estimate distinct = (k-1)/u_(k).  The
+    third distinct-count device beside the exact twin (k2) and HLL
+    (k2_approx/mergeable), and the one whose ESTIMATE is itself
+    engine-portable: the md5 hash family and the integer-domain
+    estimator (k-1)*2^40 div h_(k) make every digit of the estimate
+    reproducible, so the oracle pins the estimate VALUE, not just an
+    error bound.  Sketches merge by unioning hash sets and re-taking
+    the k smallest — same property HLL is prized for at 100 TB, with
+    the bonus that KMV supports set intersection estimates.
+
+    Scale shape: one distinct shuffle on (group, hash), then the
+    salted two-stage top-k (functions/topk.py — no skew funnel through
+    ≤|groups| partitions), and a ≤|groups|-row exact-count join.
+    Small groups (nd < k) fall back to the exact count, the standard
+    KMV small-set rule."""
+    ev = _events(spark, sf_dir)
+    hashed = (
+        ev.select(
+            "event_type",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 10),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    from ..functions.topk import topk_per_group
+
+    top = topk_per_group(
+        hashed, ["event_type"], [F.asc("h")], k=_KMV_K, salt_col=F.col("h")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    kth = top.groupBy("event_type").agg(
+        F.max(F.when(F.col("rnk") == _KMV_K, F.col("h"))).alias("hk")
+    )
+    return (
+        exact.join(F.broadcast(kth), "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(F.col("n_exact") < _KMV_K, F.col("n_exact"))
+            .otherwise(
+                F.expr(f"({_KMV_K - 1} * {_KMV_SCALE}) div hk")
+            )
+            .cast("long")
+            .alias("kmv_est"),
+        )
+        .orderBy("event_type")
+    )

@@ -264,3 +264,22 @@ def test_cms_heavy_hitters_invariants(spark):
     for key, cnt in truth.items():
         if cnt * 200 >= n:
             assert key in got, f"true heavy hitter {key} missing"
+
+
+def test_kmv1_estimate_accuracy_and_small_set_rule(spark):
+    """KMV estimates must land within the ~1/sqrt(k-2) error regime
+    (4x slack pinned), and groups smaller than k must fall back to the
+    exact count."""
+    from ecostream.queries.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["kmv1_distinct_estimate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n, est = r["n_exact"], r["kmv_est"]
+        if n < 64:
+            assert est == n, r
+        else:
+            # rsd ~ 1/sqrt(62) ~ 12.7%; assert within 4 rsd
+            assert abs(est - n) <= max(2, 0.51 * n), r
