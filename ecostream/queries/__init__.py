@@ -143,7 +143,8 @@ _ROUND_HEAD = [
 #   qc1_linear_quality, bpe1_merge_train, lm2_perplexity_gate,
 #   sim9_knn_classify, mm6_jpeg_roundtrip, mm7_video_roundtrip,
 #   d10_sparse_cosine_verify, rag1_retrieve_read,
-#   mix1_temperature_sampling, kmv1_distinct_estimate.  Swap
+#   mix1_temperature_sampling, kmv1_distinct_estimate,
+#   kmv2_intersection_estimate.  Swap
 #   them in; that completes driver-signed coverage of every
 #   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are

@@ -779,3 +779,164 @@ def kmv1_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "kmv2_intersection_estimate",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                   ::UBIGINT::BIGINT + 1 AS h
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+        SELECT a.event_type AS a_type, b.event_type AS b_type
+        FROM (SELECT DISTINCT event_type FROM hashed) a
+        JOIN (SELECT DISTINCT event_type FROM hashed) b
+          ON a.event_type < b.event_type
+    ),
+    uni AS (
+        SELECT p.a_type, p.b_type, s.h,
+               row_number() OVER (PARTITION BY p.a_type, p.b_type
+                                  ORDER BY s.h) AS rn
+        FROM pairs p
+        JOIN (SELECT DISTINCT event_type, h FROM sk) s
+          ON s.event_type IN (p.a_type, p.b_type)
+        GROUP BY p.a_type, p.b_type, s.h
+    ),
+    topu AS (SELECT * FROM uni WHERE rn <= {_KMV_K}),
+    stats AS (
+        SELECT t.a_type, t.b_type,
+               max(CASE WHEN t.rn = {_KMV_K} THEN t.h END) AS hk,
+               CAST(count(*) AS BIGINT) AS nu,
+               CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        FROM topu t
+        LEFT JOIN sk sa ON sa.event_type = t.a_type AND sa.h = t.h
+        LEFT JOIN sk sb ON sb.event_type = t.b_type AND sb.h = t.h
+        GROUP BY t.a_type, t.b_type
+    ),
+    exact AS (
+        SELECT a.event_type AS a_type, b.event_type AS b_type,
+               CAST(count(*) AS BIGINT) AS n_inter_exact
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.a_type, e.b_type, e.n_inter_exact,
+           CAST(CASE WHEN s.nu < {_KMV_K} THEN s.n_both
+                ELSE (s.n_both * (({_KMV_K - 1} * {_KMV_SCALE}) // s.hk))
+                     // {_KMV_K}
+           END AS BIGINT) AS kmv_inter_est
+    FROM exact e JOIN stats s USING (a_type, b_type)
+    ORDER BY a_type, b_type
+    """,
+)
+def kmv2_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimation (the theta-sketch a-priori
+    trick, Beyer et al. 2007): for each event-type pair, merge the two
+    KMV sketches, re-take the k smallest, and scale the fraction of
+    union-sketch hashes present in BOTH sketches by the union estimate
+    — |A∩B| ≈ (n_both/k)·est(|A∪B|).  THE capability that separates
+    KMV from HLL: sketches of k hashes answer arbitrary pairwise
+    overlap questions without rescanning raw data.  Portable md5 hash
+    family + integer-domain arithmetic (the kmv1 device, with the
+    scale factor computed integer-first) keep every digit of the
+    estimate oracle-pinned; pairs whose union fits inside one sketch
+    fall back to the exact overlap count.
+
+    Scale shape: sketches are ≤ |groups|·k rows — tiny, broadcast
+    everywhere after ONE distinct shuffle + salted top-k over raw
+    data; the pair stage touches only sketch rows.  (The exact
+    intersection column exists for the oracle/accuracy audit; a
+    production run drops it and with it the raw-data self-join.)"""
+    ev = _events(spark, sf_dir)
+    hashed = (
+        ev.select(
+            "event_type",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 10),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    from ..functions.topk import topk_per_group
+
+    sk = topk_per_group(
+        hashed, ["event_type"], [F.asc("h")], k=_KMV_K, salt_col=F.col("h")
+    ).select("event_type", "h")
+    types = hashed.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("a_type"))
+        .crossJoin(types.select(F.col("event_type").alias("b_type")))
+        .where(F.col("a_type") < F.col("b_type"))
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            sk.select("event_type", "h"),
+            F.col("event_type").isin(F.col("a_type"), F.col("b_type")),
+        )
+        .select("a_type", "b_type", "h")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("a_type", "b_type").orderBy("h")
+    topu = (
+        uni.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    sa = sk.select(F.col("event_type").alias("a_type"), "h", F.lit(1).alias("_a"))
+    sb = sk.select(F.col("event_type").alias("b_type"), "h", F.lit(1).alias("_b"))
+    stats = (
+        topu.join(F.broadcast(sa), ["a_type", "h"], "left")
+        .join(F.broadcast(sb), ["b_type", "h"], "left")
+        .groupBy("a_type", "b_type")
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+            F.count("*").alias("nu"),
+            F.sum(
+                (F.col("_a").isNotNull() & F.col("_b").isNotNull()).cast("long")
+            ).alias("n_both"),
+        )
+    )
+    dtypes = ev.select("event_type", "user_id").distinct()
+    ea = dtypes.select(F.col("event_type").alias("a_type"), "user_id")
+    eb = dtypes.select(F.col("event_type").alias("b_type"), "user_id")
+    exact = (
+        ea.join(eb, "user_id")
+        .where(F.col("a_type") < F.col("b_type"))
+        .groupBy("a_type", "b_type")
+        .agg(F.count("*").cast("long").alias("n_inter_exact"))
+    )
+    est = F.when(F.col("nu") < _KMV_K, F.col("n_both")).otherwise(
+        F.expr(
+            f"(n_both * (({_KMV_K - 1} * {_KMV_SCALE}) div hk)) div {_KMV_K}"
+        )
+    )
+    return (
+        exact.join(F.broadcast(stats), ["a_type", "b_type"])
+        .select(
+            "a_type",
+            "b_type",
+            "n_inter_exact",
+            est.cast("long").alias("kmv_inter_est"),
+        )
+        .orderBy("a_type", "b_type")
+    )

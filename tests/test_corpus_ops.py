@@ -153,3 +153,9 @@ def test_lm2_gate_splits_corpus(spark):
     rows = QUERIES["lm2_perplexity_gate"](spark, SF_SMOKE).collect()
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows), f"degenerate gate: {kept}/{len(rows)}"
+
+
+def test_qc1_gate_splits_corpus(spark):
+    rows = QUERIES["qc1_linear_quality"](spark, SF_SMOKE).collect()
+    kept = sum(r["accept"] for r in rows)
+    assert 0 < kept < len(rows), f"degenerate gate: {kept}/{len(rows)}"

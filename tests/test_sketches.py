@@ -283,3 +283,19 @@ def test_kmv1_estimate_accuracy_and_small_set_rule(spark):
         else:
             # rsd ~ 1/sqrt(62) ~ 12.7%; assert within 4 rsd
             assert abs(est - n) <= max(2, 0.51 * n), r
+
+
+def test_kmv2_intersection_accuracy(spark):
+    """Pairwise intersection estimates must track the exact overlap
+    within the KMV error regime (generous 0.6 relative slack at k=64
+    for the product of two estimators), and the small-union rule must
+    return the exact sketch overlap."""
+    from ecostream.queries.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["kmv2_intersection_estimate"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        n, est = r["n_inter_exact"], r["kmv_inter_est"]
+        assert abs(est - n) <= max(4, 0.6 * n), tuple(r)
