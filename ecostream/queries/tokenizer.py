@@ -133,3 +133,62 @@ def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe1_merge_train.__doc__ = bpe1_merge_train.__doc__.format(n=_BPE_ROUNDS)
+
+
+def _tok1_oracle(rounds: int) -> str:
+    """Reuse the bpe1 CTE tower up to s{rounds}, then count the final
+    tokens per document."""
+    base = _bpe_oracle(rounds)
+    tower = base[: base.rindex(" SELECT * FROM (")]
+    return (
+        tower
+        + f""" SELECT doc_id,
+           CAST(len(list_filter(string_split(s, '|'), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(s, '|'),
+                                x -> x LIKE '%+%')) AS BIGINT)
+               AS n_merged_tokens
+    FROM s{rounds} ORDER BY doc_id"""
+    )
+
+
+@query("tok1_bpe_apply", oracle=_tok1_oracle(_BPE_ROUNDS))
+def tok1_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merge table — the serving half of the
+    tokenizer loop (bpe1 trains it): run the {n} merge rules in rank
+    order over every document and report its post-merge token count
+    plus how many tokens are merged units.  Greedy left-to-right
+    application is the replace() scan itself (the bpe1 device), so
+    after training the merges once, tokenization is a pure MAP over
+    the corpus — zero shuffles, embarrassingly parallel, exactly how
+    a 100 TB corpus is tokenized in practice (train small, apply
+    wide).  The oracle replays training AND application end to end,
+    so a drifting merge table or a wrong application order fails the
+    per-document hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    # training: same loop as bpe1 (one pair-count shuffle + 1-row
+    # collect per round), yielding literal rules
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe1_merge_train(spark, sf_dir).collect()
+    ]
+    s = F.concat(F.lit("|"), F.expr("replace(text, ' ', '|')"), F.lit("|"))
+    cur = docs.select("doc_id", s.alias("s"))
+    for lhs, rhs in merges:
+        cur = cur.select(
+            "doc_id",
+            F.expr(
+                f"replace(s, '|{lhs}|{rhs}|', '|{lhs}+{rhs}|')"
+            ).alias("s"),
+        )
+    toks = F.expr("filter(split(s, '\\\\|'), x -> x <> '')")
+    return cur.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.contains("+")))
+        .cast("long")
+        .alias("n_merged_tokens"),
+    ).orderBy("doc_id")
+
+
+tok1_bpe_apply.__doc__ = tok1_bpe_apply.__doc__.format(n=_BPE_ROUNDS)

@@ -59,3 +59,33 @@ def test_bpe1_rules_actually_fire(spark):
     for r in rows:
         assert r["lhs"] and r["rhs"]
         assert "|" not in r["lhs"] and "|" not in r["rhs"]
+
+
+def test_tok1_apply_consistent_with_training(spark):
+    """Post-merge token counts must equal the pure-Python application
+    of the learned rules, and merged-token counts must be positive
+    somewhere (the rules actually fire on the corpus)."""
+    import duckdb
+
+    from ecostream.queries.tokenizer import bpe1_merge_train, tok1_bpe_apply
+
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe1_merge_train(spark, SF_SMOKE).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    expected = {}
+    for doc_id, text in rows:
+        s = "|" + text.replace(" ", "|") + "|"
+        for lhs, rhs in merges:
+            s = s.replace(f"|{lhs}|{rhs}|", f"|{lhs}+{rhs}|")
+        toks = [x for x in s.split("|") if x]
+        expected[doc_id] = (len(toks), sum("+" in t for t in toks))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_merged_tokens"])
+        for r in tok1_bpe_apply(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert sum(m for _, m in got.values()) > 0
