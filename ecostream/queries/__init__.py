@@ -144,7 +144,8 @@ _ROUND_HEAD = [
 #   sim9_knn_classify, mm6_jpeg_roundtrip, mm7_video_roundtrip,
 #   d10_sparse_cosine_verify, rag1_retrieve_read,
 #   mix1_temperature_sampling, kmv1_distinct_estimate,
-#   kmv2_intersection_estimate, tok1_bpe_apply.  Swap
+#   kmv2_intersection_estimate, tok1_bpe_apply,
+#   mmr1_diverse_rerank.  Swap
 #   them in; that completes driver-signed coverage of every
 #   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are

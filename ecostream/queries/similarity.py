@@ -1242,3 +1242,173 @@ def rag1_retrieve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# --- MMR1: Maximal Marginal Relevance diversity re-ranking -------------------
+
+_MMR_NQ = 3
+_MMR_POOL = 8
+_MMR_K = 4
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR replay: sel{t} picks the argmax of
+    lambda*rel - (1-lambda)*max-sim-to-selected among the remaining
+    pool, one CTE level per selection step."""
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    parts = [f"""
+    WITH rel0 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               ROUND({_COS_SQL}, 6) AS rel
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_MMR_NQ}
+    ),
+    pool AS (
+        SELECT query_id, match_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, match_id) AS rn
+            FROM rel0
+        ) WHERE rn <= {_MMR_POOL}
+    ),
+    sim AS (
+        SELECT p1.query_id, p1.match_id AS a, p2.match_id AS b,
+               ROUND(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 6) AS s
+        FROM pool p1
+        JOIN pool p2 ON p1.query_id = p2.query_id
+                    AND p1.match_id <> p2.match_id
+        JOIN embeddings ea ON ea.vec_id = p1.match_id
+        JOIN embeddings eb ON eb.vec_id = p2.match_id
+    ),
+    sel1 AS (
+        SELECT query_id, match_id, rel, 1 AS pick FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, match_id) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    ),
+    all1 AS (SELECT * FROM sel1)"""]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+    sc{t} AS (
+        SELECT p.query_id, p.match_id, p.rel,
+               {lam} * p.rel - {mu} * max(s.s) AS score
+        FROM pool p
+        JOIN sim s ON s.query_id = p.query_id AND s.a = p.match_id
+        JOIN all{t - 1} sel ON sel.query_id = s.query_id
+                           AND sel.match_id = s.b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM all{t - 1} x
+            WHERE x.query_id = p.query_id AND x.match_id = p.match_id
+        )
+        GROUP BY p.query_id, p.match_id, p.rel
+    ),
+    sel{t} AS (
+        SELECT query_id, match_id, rel, {t} AS pick FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, match_id) AS rn
+            FROM sc{t}
+        ) WHERE rn = 1
+    ),
+    all{t} AS (SELECT * FROM all{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    parts.append(f"""
+    SELECT query_id, CAST(pick AS BIGINT) AS pick, match_id, rel
+    FROM all{_MMR_K} ORDER BY query_id, pick""")
+    return "".join(parts)
+
+
+@query("mmr1_diverse_rerank", oracle=_mmr_oracle())
+def mmr1_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity step between retrieval and serving: greedily
+    select k = {k} of the top-{p} candidates, each step maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-selected,
+    so near-duplicate hits don't crowd the result list (the RAG
+    counterpart of semantic dedup).
+
+    Distribution of labor: the EXPENSIVE part — corpus-wide relevance
+    scoring and the pool's pairwise similarity matrix — is dataflow
+    (broadcast queries onto the corpus scan, pool-bounded sim joins);
+    the greedy loop runs on the |queries| x pool-sized score model at
+    the driver (the bpe1/markov model-sized sanction — at any corpus
+    scale only pool x pool floats cross).  All inputs to the greedy
+    are round(6) cosines, so driver Python, Spark, and the oracle's
+    unrolled CTE replay compute bit-identical selections (same IEEE
+    doubles, ties broken by id)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("rel"),
+        )
+    )
+    pool = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("rel"), F.col("match_id")],
+        k=_MMR_POOL,
+        salt_col=F.col("match_id"),
+    ).select("query_id", "match_id", "rel")
+    pv = pool.join(
+        emb.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv")),
+        "match_id",
+    )
+    a = pv.select("query_id", F.col("match_id").alias("a"), F.col("mv").alias("av"))
+    b = pv.select("query_id", F.col("match_id").alias("b"), F.col("mv").alias("bv"))
+    sims = (
+        F.broadcast(a)
+        .join(b, ["query_id"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(
+                dot(F.col("av"), F.col("bv"))
+                / (norm(F.col("av")) * norm(F.col("bv"))),
+                6,
+            ).alias("s"),
+        )
+    )
+    pool_rows = pool.collect()
+    sim_rows = sims.collect()
+    rel = {}
+    for r in pool_rows:
+        rel.setdefault(r["query_id"], {})[r["match_id"]] = r["rel"]
+    smap = {(r["query_id"], r["a"], r["b"]): r["s"] for r in sim_rows}
+    out = []
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    for qid, cands in rel.items():
+        selected = []
+        for pick in range(1, _MMR_K + 1):
+            remaining = [m for m in cands if m not in selected]
+            if pick == 1:
+                best = min(remaining, key=lambda m: (-cands[m], m))
+            else:
+                def score(m):
+                    mx = max(smap[(qid, m, s)] for s in selected)
+                    return lam * cands[m] - mu * mx
+                best = min(remaining, key=lambda m: (-score(m), m))
+            selected.append(best)
+            out.append((qid, pick, best, cands[best]))
+    return spark.createDataFrame(
+        out, "query_id bigint, pick bigint, match_id bigint, rel double"
+    ).orderBy("query_id", "pick")
+
+
+mmr1_diverse_rerank.__doc__ = mmr1_diverse_rerank.__doc__.format(
+    k=_MMR_K, p=_MMR_POOL
+)

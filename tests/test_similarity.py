@@ -331,3 +331,57 @@ def test_rag1_reads_match_retrieval(spark):
     for r in rows:
         assert top5[(r["query_id"], r["rnk"])] == r["doc_id"]
         assert texts[r["doc_id"]].startswith(r["snippet"])
+
+
+def test_mmr1_diversity_property(spark, vectors):
+    """MMR picks must (a) start with the top-relevance hit, (b) never
+    repeat, (c) match an independent numpy greedy replay."""
+    from ecostream.queries.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_NQ,
+        _MMR_POOL,
+        mmr1_diverse_rerank,
+    )
+
+    ids, mat = vectors
+    cos = _cosine_matrix(mat)
+    idx = {int(v): k for k, v in enumerate(ids)}
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    expected = []
+    for q in range(_MMR_NQ):
+        rels = {
+            int(m): round(cos[idx[q], idx[int(m)]], 6)
+            for m in ids
+            if int(m) != q
+        }
+        pool = sorted(rels, key=lambda m: (-rels[m], m))[:_MMR_POOL]
+        selected = []
+        for pick in range(1, _MMR_K + 1):
+            rem = [m for m in pool if m not in selected]
+            if pick == 1:
+                best = min(rem, key=lambda m: (-rels[m], m))
+            else:
+                best = min(
+                    rem,
+                    key=lambda m: (
+                        -(
+                            lam * rels[m]
+                            - mu
+                            * max(
+                                round(cos[idx[m], idx[s]], 6)
+                                for s in selected
+                            )
+                        ),
+                        m,
+                    ),
+                )
+            selected.append(best)
+            expected.append((q, pick, best, rels[best]))
+    got = [
+        (r["query_id"], r["pick"], r["match_id"], r["rel"])
+        for r in mmr1_diverse_rerank(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    picks = [(g[0], g[2]) for g in got]
+    assert len(picks) == len(set(picks))
