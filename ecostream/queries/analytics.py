@@ -994,3 +994,81 @@ def drift1_tvd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tvd"),
     )
+
+
+# --- REG1: closed-form linear regression (normal-equation statistics) --------
+
+# Feature vector per event: x = [1, hour(ts), user_id % 7,
+# length(event_type)]; target y = cent-scaled value.  j = 4 denotes y.
+_REG1_XS_SPARK = [
+    "CAST(1 AS BIGINT)",
+    "CAST(hour(ts) AS BIGINT)",
+    "CAST(pmod(user_id, 7) AS BIGINT)",
+    "CAST(length(event_type) AS BIGINT)",
+]
+_REG1_XS_DUCK = [
+    "CAST(1 AS BIGINT)",
+    "CAST(hour(ts) AS BIGINT)",
+    "CAST(user_id % 7 AS BIGINT)",
+    "CAST(length(event_type) AS BIGINT)",
+]
+_REG1_Y_SPARK = "CAST(ROUND(value * 100) AS BIGINT)"
+_REG1_Y_DUCK = "CAST(ROUND(value * 100) AS BIGINT)"
+_REG1_PAIRS = [(i, j) for i in range(4) for j in range(i, 5)]
+
+
+def _reg1_oracle() -> str:
+    sums = []
+    for i, j in _REG1_PAIRS:
+        rhs = _REG1_XS_DUCK[j] if j < 4 else _REG1_Y_DUCK
+        sums.append(
+            f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j,"
+            f" CAST(SUM(({_REG1_XS_DUCK[i]}) * ({rhs})) AS BIGINT) AS s"
+            " FROM events"
+        )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(sums)
+        + ") ORDER BY i, j"
+    )
+
+
+@query("reg1_normal_equations", oracle=_reg1_oracle())
+def reg1_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed linear-model training: the sufficient
+    statistics of least squares / ridge — the upper triangle of the
+    Gram matrix X^T X and the moment vector X^T y — computed as ONE
+    map-side partial-aggregated pass over the events scan (j = 4
+    denotes y).  The d x d model solve (w = (G + lambda*I)^-1 b) is
+    driver arithmetic on a 14-number model; THE STATISTICS ARE THE
+    DATAFLOW, which is how closed-form models train at 100 TB (the
+    same shape MLlib's normal-equation solver uses, and the exact
+    pattern of dq2/fs1: exact integer sums, no float accumulation —
+    features and cent-scaled targets are integers, so every statistic
+    is an exact BIGINT and both engines agree bit-for-bit).
+
+    Plan: zero joins, zero windows — 14 integer SUM aggregates over
+    one scan, partial-aggregated map-side into a single final row,
+    unpivoted to (i, j, s) for the declared long format."""
+    ev = _events(spark, sf_dir)
+    aggs = []
+    for i, j in _REG1_PAIRS:
+        rhs = _REG1_XS_SPARK[j] if j < 4 else _REG1_Y_SPARK
+        aggs.append(
+            F.sum(F.expr(f"({_REG1_XS_SPARK[i]}) * ({rhs})"))
+            .cast("long")
+            .alias(f"s_{i}_{j}")
+        )
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), s_{i}_{j}"
+        for i, j in _REG1_PAIRS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_REG1_PAIRS)}, {stack}) AS (i, j, s)"
+            )
+        )
+        .orderBy("i", "j")
+    )

@@ -106,3 +106,41 @@ def test_tfidf_retrieval_matches_python_recomputation(spark):
         for r in t11_tfidf_retrieval(spark, SF_SMOKE).collect()
     ]
     assert got == want
+
+
+def test_reg1_stats_match_pure_python_and_solve(spark):
+    """The normal-equation statistics must equal a pure-Python
+    recompute over the raw parquet, and solving them must yield the
+    least-squares optimum (gradient b - G w = 0 up to float solve
+    precision)."""
+    import duckdb
+    import numpy as np
+
+    from ecostream.queries.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT hour(ts), user_id % 7, length(event_type), "
+        f"CAST(ROUND(value * 100) AS BIGINT) "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    X = np.array([[1, h, u, l] for h, u, l, _ in rows], dtype=np.int64)
+    y = np.array([c for *_, c in rows], dtype=np.int64)
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in QUERIES["reg1_normal_equations"](spark, SF_SMOKE).collect()
+    }
+    G = np.zeros((4, 4), dtype=np.int64)
+    b = np.zeros(4, dtype=np.int64)
+    for i in range(4):
+        for j in range(i, 4):
+            exp = int((X[:, i] * X[:, j]).sum())
+            assert got[(i, j)] == exp, (i, j, got[(i, j)], exp)
+            G[i, j] = G[j, i] = exp
+        exp_b = int((X[:, i] * y).sum())
+        assert got[(i, 4)] == exp_b
+        b[i] = exp_b
+    w = np.linalg.solve(G.astype(float), b.astype(float))
+    grad = b - G @ w
+    assert np.abs(grad).max() <= 1e-6 * max(1.0, np.abs(b).max())
