@@ -144,3 +144,28 @@ def test_reg1_stats_match_pure_python_and_solve(spark):
     w = np.linalg.solve(G.astype(float), b.astype(float))
     grad = b - G @ w
     assert np.abs(grad).max() <= 1e-6 * max(1.0, np.abs(b).max())
+
+
+def test_integer_domain_round6_property():
+    """Property: the (2a*1e6 + b) // (2b) device equals true
+    round-half-away-from-zero of the rational a/b at scale 6, for any
+    non-negative a and positive b — checked with exact Fraction
+    arithmetic (the float ROUND it replaces cannot promise this)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.integers(min_value=0, max_value=10**12),
+        b=st.integers(min_value=1, max_value=10**9),
+    )
+    def check(a, b):
+        got = (2 * a * 1_000_000 + b) // (2 * b)
+        x = Fraction(a, b) * 1_000_000
+        frac = x - int(x)
+        exp = int(x) + (1 if frac >= Fraction(1, 2) else 0)
+        assert got == exp, (a, b, got, exp)
+
+    check()

@@ -317,3 +317,29 @@ def test_mm7_video_roundtrip_spark(spark):
         assert r["n_frames"] == mid % 4 + 2
         assert r["fps"] == 10
         assert r["within_bound"]
+
+
+def test_avi_roundtrip_property():
+    """Property: ANY list of frame payloads round-trips byte-exactly
+    through the container, whatever the lengths (odd sizes exercise
+    RIFF even-padding; empty frames are legal 0-byte chunks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecostream.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        frames=st.lists(st.binary(min_size=0, max_size=64), max_size=12),
+        w=st.integers(min_value=1, max_value=4096),
+        h=st.integers(min_value=1, max_value=4096),
+        fps=st.integers(min_value=1, max_value=120),
+    )
+    def check(frames, w, h, fps):
+        dw, dh, dfps, got = decode_avi_mjpeg(
+            encode_avi_mjpeg(frames, w, h, fps=fps)
+        )
+        assert (dw, dh, dfps) == (w, h, fps)
+        assert got == frames
+
+    check()
