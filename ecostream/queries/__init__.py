@@ -145,7 +145,8 @@ _ROUND_HEAD = [
 #   d10_sparse_cosine_verify, rag1_retrieve_read,
 #   mix1_temperature_sampling, kmv1_distinct_estimate,
 #   kmv2_intersection_estimate, tok1_bpe_apply,
-#   mmr1_diverse_rerank, reg1_normal_equations.  Swap
+#   mmr1_diverse_rerank, reg1_normal_equations,
+#   lm3_perplexity_buckets.  Swap
 #   them in; that completes driver-signed coverage of every
 #   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are

@@ -549,3 +549,85 @@ def lm2_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- LM3: CCNet-style perplexity buckets -------------------------------------
+
+
+def _lm3_oracle() -> str:
+    """Tercile thresholds from the exact integer score distribution,
+    applied as CASE cutoffs — composed over the lm2 oracle."""
+    from .registry import ORACLES
+
+    lm2 = ORACLES["lm2_perplexity_gate"]
+    return f"""
+    WITH lm2 AS ({lm2}),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lm2),
+    sc AS (SELECT ce_micro_nats AS ce, CAST(count(*) AS BIGINT) AS c
+           FROM lm2 GROUP BY 1),
+    cum AS (SELECT ce, CAST(SUM(c) OVER (ORDER BY ce) AS BIGINT) AS cum
+            FROM sc),
+    t AS (SELECT
+        (SELECT min(ce) FROM cum, n WHERE cum * 3 >= n) AS t1,
+        (SELECT min(ce) FROM cum, n WHERE cum * 3 >= 2 * n) AS t2)
+    SELECT doc_id, ce_micro_nats,
+           CAST(CASE WHEN ce_micro_nats <= t1 THEN 1
+                     WHEN ce_micro_nats <= t2 THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket
+    FROM lm2, t ORDER BY doc_id
+    """
+
+
+@query("lm3_perplexity_buckets", oracle=_lm3_oracle())
+def lm3_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    the corpus by LM cross-entropy and cut it into terciles — bucket 1
+    (head, lowest perplexity) is the cleanest third, the tail is
+    usually dropped or down-sampled.  The deployed form of perplexity
+    filtering: thresholds learned from the score DISTRIBUTION, not a
+    hand-picked constant (lm2's single cutoff is the simpler gate).
+
+    Scale shape — deliberately NOT a global ntile(): a global-order
+    window funnels the corpus through one partition (the shuffle1
+    lesson).  Instead the tercile CUTOFFS come from the aggregated
+    score table (|distinct scores| rows, window-scanned once — at
+    100 TB you histogram scores first, same plan one level coarser),
+    cross-multiplied against n so the boundary is an exact integer
+    decision (cum*3 >= n ⟺ cum >= ceil(n/3)), then broadcast back
+    onto the per-doc scores as a map-side CASE.  Ties share a bucket
+    by construction — threshold semantics, identical in both
+    engines."""
+    lm2 = lm2_perplexity_gate(spark, sf_dir).select(
+        "doc_id", "ce_micro_nats"
+    )
+    n = lm2.agg(F.count("*").cast("long").alias("n"))
+    sc = lm2.groupBy(F.col("ce_micro_nats").alias("ce")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cum = sc.select(
+        "ce", F.sum("c").over(Window.orderBy("ce")).alias("cum")
+    )
+    t = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("ce"))).alias(
+                "t1"
+            ),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("ce"))
+            ).alias("t2"),
+        )
+    )
+    return (
+        lm2.crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            "ce_micro_nats",
+            F.when(F.col("ce_micro_nats") <= F.col("t1"), 1)
+            .when(F.col("ce_micro_nats") <= F.col("t2"), 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -159,3 +159,23 @@ def test_qc1_gate_splits_corpus(spark):
     rows = QUERIES["qc1_linear_quality"](spark, SF_SMOKE).collect()
     kept = sum(r["accept"] for r in rows)
     assert 0 < kept < len(rows), f"degenerate gate: {kept}/{len(rows)}"
+
+
+def test_lm3_buckets_are_ordered_terciles(spark):
+    """Bucket scores must be totally ordered (max(b1) <= min(b2) <=
+    ... modulo shared-score ties, which by construction share a
+    bucket), and each bucket holds roughly a third of the corpus."""
+    rows = QUERIES["lm3_perplexity_buckets"](spark, SF_SMOKE).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["ce_micro_nats"])
+    assert set(by_bucket) == {1, 2, 3}
+    assert max(by_bucket[1]) <= min(by_bucket[2])
+    assert max(by_bucket[2]) <= min(by_bucket[3])
+    n = len(rows)
+    for b in (1, 2, 3):
+        assert abs(len(by_bucket[b]) - n / 3) <= max(4, 0.05 * n), (
+            b,
+            len(by_bucket[b]),
+            n,
+        )
