@@ -1560,3 +1560,73 @@ def d10_sparse_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# --- D11: source-priority dedup (keep the best-provenance duplicate) ---------
+
+# Priority map: lower rank wins (curated > web-ish sources).  A real
+# pipeline ships this as config; literals keep it oracle-checkable.
+_D11_PRIORITY = {"src0": 0, "src1": 1, "src2": 2, "src3": 3, "src4": 4}
+_D11_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {p}" for s, p in _D11_PRIORITY.items())
+    + " ELSE 99 END"
+)
+
+
+@query(
+    "d11_priority_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY {_D11_CASE}, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY h) AS group_size
+        FROM fp
+    )
+    SELECT doc_id, source, CAST(group_size AS BIGINT) AS group_size,
+           (rn = 1) AS keep
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def d11_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a PROVENANCE-priority keep rule: within each
+    vocab-fingerprint duplicate group (t8's sorted-distinct-token key —
+    this corpus has no byte-exact duplicates, only order-shuffled
+    ones), keep the copy from the
+    highest-priority source (curated beats crawl), ties to the lowest
+    doc_id — the production refinement of d1's keep-min convention
+    (dedup pipelines preserve the best-provenance copy, not an
+    arbitrary one; cf. the source hierarchies in GPT-3/Pile corpus
+    construction).  The priority map is a broadcast literal CASE — a
+    real deployment ships it as config the same way.
+
+    Scale shape: identical to d1/t8 — ONE shuffle on the fingerprint,
+    the keep decision is a per-group window over co-partitioned rows;
+    no joins, no second pass."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        )
+    )
+    w = Window.partitionBy(fp).orderBy(F.expr(_D11_CASE), F.col("doc_id"))
+    wc = Window.partitionBy(fp)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.count("*").over(wc).cast("long").alias("group_size"),
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

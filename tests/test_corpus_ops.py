@@ -179,3 +179,41 @@ def test_lm3_buckets_are_ordered_terciles(spark):
             len(by_bucket[b]),
             n,
         )
+
+
+def test_d11_priority_beats_doc_id(spark):
+    """Within every duplicate group the kept doc must be from the
+    best-priority source present (not merely the min doc_id — the d1
+    rule it refines)."""
+    from collections import defaultdict
+
+    from ecostream.queries.text import _D11_PRIORITY
+
+    from .conftest import SF_CORRECT
+
+    # sf0.001 has no exact-duplicate groups; the dedup behavior needs
+    # the sf0.01 corpus (the driver's correctness scale)
+    rows = QUERIES["d11_priority_dedup"](spark, SF_CORRECT).collect()
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_CORRECT}/documents.parquet'"
+        ).fetchall()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        import hashlib
+
+        fp = " ".join(sorted(set(docs[r["doc_id"]].split(" "))))
+        groups[hashlib.md5(fp.encode()).hexdigest()].append(r)
+    assert any(len(g) > 1 for g in groups.values())
+    for g in groups.values():
+        assert len(g) == g[0]["group_size"]
+        kept = [r for r in g if r["keep"]]
+        assert len(kept) == 1
+        best = min(
+            (_D11_PRIORITY.get(r["source"], 99), r["doc_id"]) for r in g
+        )
+        assert (
+            _D11_PRIORITY.get(kept[0]["source"], 99),
+            kept[0]["doc_id"],
+        ) == best
