@@ -169,3 +169,31 @@ def test_integer_domain_round6_property():
         assert got == exp, (a, b, got, exp)
 
     check()
+
+
+def test_round4_results_invariant_to_shuffle_partitions(spark):
+    """Re-plan a representative set of round-4 operators under a
+    different spark.sql.shuffle.partitions and require IDENTICAL rows:
+    hash-order selection, integer-quantized sums, pair counting, and
+    sketch estimators all claim partitioning-invariance — pin it."""
+    from ecostream.queries import QUERIES
+
+    names = [
+        "mix1_temperature_sampling",
+        "lm2_perplexity_gate",
+        "kmv1_distinct_estimate",
+        "d10_sparse_cosine_verify",
+        "qc1_linear_quality",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {
+        n: sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect()))
+        for n in names
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            got = sorted(map(tuple, QUERIES[n](spark, SF_SMOKE).collect()))
+            assert got == base[n], f"{n} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
