@@ -146,7 +146,8 @@ _ROUND_HEAD = [
 #   mix1_temperature_sampling, kmv1_distinct_estimate,
 #   kmv2_intersection_estimate, tok1_bpe_apply,
 #   mmr1_diverse_rerank, reg1_normal_equations,
-#   lm3_perplexity_buckets, d11_priority_dedup.  Swap
+#   lm3_perplexity_buckets, d11_priority_dedup,
+#   shuffle2_epoch_orders.  Swap
 #   them in; that completes driver-signed coverage of every
 #   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are

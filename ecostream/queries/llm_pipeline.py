@@ -544,3 +544,75 @@ def mix1_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
     ).orderBy("source", "pos")
+
+
+# --- SHUFFLE2: per-epoch reshuffling -----------------------------------------
+
+_SHUFFLE2_EPOCHS = 3
+_SHUFFLE2_HEAD = 100
+
+
+@query(
+    "shuffle2_epoch_orders",
+    oracle=f"""
+    WITH epochs AS (
+        SELECT unnest(generate_series(0, {_SHUFFLE2_EPOCHS - 1})) AS epoch
+    ),
+    ranked AS (
+        SELECT e.epoch, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                                || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS pos
+        FROM documents d CROSS JOIN epochs e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos,
+           doc_id
+    FROM ranked WHERE pos <= {_SHUFFLE2_HEAD}
+    ORDER BY epoch, pos
+    """,
+)
+def shuffle2_epoch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EPOCH reshuffling (shuffle1's multi-epoch form): epoch e's
+    training order ranks by md5(e || ':' || doc_id), so every epoch
+    sees a different — but individually reproducible and
+    engine-portable — permutation, which is exactly the contract a
+    training loop needs from 'reshuffle each epoch' (distinct orders:
+    test-pinned; same corpus membership per epoch: by construction).
+
+    Scale shape: the epoch spine is a {e}-row broadcast cross join
+    (each epoch's ranking is an independent partition of the work);
+    the per-epoch rank is a PARTITIONED window — never the
+    single-partition global window (the shuffle1 lesson; partitioning
+    by epoch bounds each window task at one epoch's order, and real
+    epoch counts are single digits so the per-task volume equals the
+    shuffle1 prefix-sum variant's).  Declared head of {h} rows per
+    epoch keeps the pinned result bounded."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    epochs = spark.range(_SHUFFLE2_EPOCHS).select(
+        F.col("id").cast("long").alias("epoch")
+    )
+    ranked = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    return (
+        ranked.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= _SHUFFLE2_HEAD)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
+
+
+shuffle2_epoch_orders.__doc__ = shuffle2_epoch_orders.__doc__.format(
+    e=_SHUFFLE2_EPOCHS, h=_SHUFFLE2_HEAD
+)

@@ -280,3 +280,30 @@ def test_mix1_matches_pure_python(spark):
     for (c1, s1), (c2, s2) in zip(sizes, sizes[1:]):
         if c1 < c2:
             assert w[s1] * c2 > w[s2] * c1
+
+
+def test_shuffle2_epochs_are_distinct_permutation_heads(spark):
+    """Each epoch's order head must be a duplicate-free id list, and
+    the three epochs must produce pairwise DIFFERENT orders (the point
+    of per-epoch reshuffling)."""
+    from ecostream.queries.llm_pipeline import (
+        _SHUFFLE2_EPOCHS,
+        _SHUFFLE2_HEAD,
+        shuffle2_epoch_orders,
+    )
+    from .conftest import SF_SMOKE
+
+    rows = shuffle2_epoch_orders(spark, SF_SMOKE).collect()
+    orders = {}
+    for r in rows:
+        orders.setdefault(r["epoch"], []).append((r["pos"], r["doc_id"]))
+    assert set(orders) == set(range(_SHUFFLE2_EPOCHS))
+    for e, o in orders.items():
+        o.sort()
+        assert [p for p, _ in o] == list(range(1, _SHUFFLE2_HEAD + 1))
+        ids = [d for _, d in o]
+        assert len(set(ids)) == len(ids)
+    seqs = [tuple(d for _, d in sorted(orders[e])) for e in sorted(orders)]
+    for i in range(len(seqs)):
+        for j in range(i + 1, len(seqs)):
+            assert seqs[i] != seqs[j], (i, j)
