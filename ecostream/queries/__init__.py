@@ -147,7 +147,7 @@ _ROUND_HEAD = [
 #   kmv2_intersection_estimate, tok1_bpe_apply,
 #   mmr1_diverse_rerank, reg1_normal_equations,
 #   lm3_perplexity_buckets, d11_priority_dedup,
-#   shuffle2_epoch_orders.  Swap
+#   shuffle2_epoch_orders, semdedup2_trained_prune.  Swap
 #   them in; that completes driver-signed coverage of every
 #   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are

@@ -1061,15 +1061,22 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
     )
-    # assignment is referenced three times (both self-join sides + the
-    # keep-flag output); one lazy checkpoint runs the argmax scan once
-    # (the d10/d5 plan-economy lesson)
-    assigned = ivf_assign(emb, centroids).localCheckpoint(eager=False)
-    # per-vector norms computed ONCE before the quadratic stage: the
-    # in-cell pair join then evaluates one dot per pair instead of
-    # three array aggregates.  norm(v) here is the identical expression
-    # on identical data, so dot/(na*nb) is bit-equal to the per-pair
-    # form and the round(6) oracle boundary cannot move.
+    return _cluster_prune(ivf_assign(emb, centroids))
+
+
+def _cluster_prune(assigned: DataFrame) -> DataFrame:
+    """In-cell cosine prune shared by semdedup1/semdedup2: drop the
+    higher id of every same-cell pair with rounded cosine >= theta.
+
+    The assignment is referenced three times (both self-join sides +
+    the keep-flag output), so one lazy checkpoint runs the argmax scan
+    once (the d10/d5 plan-economy lesson); per-vector norms are
+    computed ONCE before the quadratic stage — the in-cell pair join
+    then evaluates one dot per pair instead of three array aggregates
+    (norm(v) is the identical expression on identical data, so
+    dot/(na*nb) is bit-equal to the per-pair form and the round(6)
+    oracle boundary cannot move)."""
+    assigned = assigned.localCheckpoint(eager=False)
     with_norm = assigned.withColumn("nv", norm(F.col("v")))
     a = with_norm.select(
         F.col("vec_id").alias("a_id"),
@@ -1098,6 +1105,47 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", F.col("_d").isNull().alias("keep"))
         .orderBy("vec_id")
     )
+
+
+def _semdedup2_oracle() -> str:
+    """Compose the sim5b portable-k-means tower (init + every Lloyd
+    round + final assignment) with the semdedup prune."""
+    tower = _sim5b_oracle()
+    marker = ",\n    queries AS"
+    tower = tower[: tower.index(marker)]
+    a_final = f"a{_KMB_ITERS + 1}"
+    return (
+        tower
+        + f""",
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS did
+        FROM {a_final} a JOIN {a_final} b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6)
+              >= {_SEMDEDUP_THETA}
+    )
+    SELECT s.vec_id, s.cell, (d.did IS NULL) AS keep
+    FROM {a_final} s LEFT JOIN dropped d ON d.did = s.vec_id
+    ORDER BY s.vec_id
+    """
+    )
+
+
+@query("semdedup2_trained_prune", oracle=_semdedup2_oracle())
+def semdedup2_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED cells — the composition semdedup1's
+    docstring promises: the coarse quantizer is the portable
+    k-means (sim5b's init + Lloyd rounds, integer-quantized mean sums
+    so training is bit-portable), and the prune is the shared in-cell
+    cosine drop.  Trained cells track the embedding distribution, so
+    semantic duplicates land in the same cell far more reliably than
+    under the deterministic first-k quantizer — this is the form the
+    paper actually runs.  The oracle replays EVERYTHING: init, every
+    Lloyd round, the final assignment, the pair search, and the keep
+    flags."""
+    emb = _emb(spark, sf_dir)
+    centroids = kmeans_centroids_portable(spark, emb.select("vec_id", "v"))
+    return _cluster_prune(ivf_assign(emb, centroids))
 
 
 # --- SIM9: kNN-join classification -------------------------------------------

@@ -385,3 +385,41 @@ def test_mmr1_diversity_property(spark, vectors):
     assert got == expected
     picks = [(g[0], g[2]) for g in got]
     assert len(picks) == len(set(picks))
+
+
+def test_semdedup2_prune_matches_numpy_given_trained_cells(spark, vectors):
+    """Given the trained centroids (training itself is oracle- and
+    monotonicity-tested via sim5b), the trained-cell prune must equal
+    a numpy replay: assign by dot/|c| argmax (lowest-id ties), drop
+    the higher id of every same-cell pair with round-6 cosine >=
+    theta."""
+    from ecostream.queries.similarity import (
+        _SEMDEDUP_THETA,
+        kmeans_centroids_portable,
+        semdedup2_trained_prune,
+        _emb,
+    )
+
+    ids, mat = vectors
+    cents_rows = kmeans_centroids_portable(
+        spark, _emb(spark, SF_SMOKE).select("vec_id", "v")
+    ).collect()
+    cents = {r["cent_id"]: np.array(r["cv_cent"]) for r in cents_rows}
+    cids = sorted(cents)
+    C = np.array([cents[c] for c in cids])
+    scores = mat @ C.T / np.linalg.norm(C, axis=1)
+    cell = np.array([cids[k] for k in scores.argmax(axis=1)])
+    cos = _cosine_matrix(mat)
+    dropped = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and round(cos[i, j], 6) >= _SEMDEDUP_THETA:
+                dropped.add(int(ids[j]))
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semdedup2_trained_prune(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == n
+    for k, vid in enumerate(ids):
+        assert got[int(vid)] == (int(cell[k]), int(vid) not in dropped)
