@@ -712,7 +712,8 @@ def b1_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            ROUND(CAST(min(xi) AS DOUBLE) / 100, 6) AS lo,
            ROUND(CAST(max(xi) AS DOUBLE) / 100, 6) AS hi,
-           ROUND(CAST(SUM(xi) AS DOUBLE) / (count(*) * 100), 6) AS mean
+           CAST((2 * CAST(SUM(xi) AS HUGEINT) * 1000000 + 100 * count(*))
+                // (200 * count(*)) AS DOUBLE) / 1000000 AS mean
     FROM q GROUP BY 1 ORDER BY bucket
     """,
 )
@@ -740,12 +741,21 @@ def hist1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             # DECIMAL(38,0) sum: a long sum wraps silently past ~9e18
             # while DuckDB's BIGINT sum widens to HUGEINT (the dq2/sim8
             # hardening applied here too).
-            F.round(
-                F.sum(F.col("xi").cast("decimal(38,0)")).cast("double")
-                / (F.count("*") * 100),
-                6,
-            ).alias("mean"),
+            F.sum(F.col("xi").cast("decimal(38,0)")).alias("_s"),
         )
+        # integer-domain round-6 of the exact rational mean (the
+        # lm2/ql2 device; xi >= 0 in this corpus, matching `div`
+        # truncation to floor) — float ROUND(s/n, 6) can double-round
+        # differently per engine.  lo/hi keep the float ROUND: a
+        # 2-decimal cent value can never land on a scale-6 boundary.
+        .withColumn(
+            "mean",
+            F.expr(
+                "CAST((2 * _s * 1000000 + 100 * n) div (200 * n)"
+                " AS DOUBLE) / 1000000"
+            ),
+        )
+        .drop("_s")
         .orderBy("bucket")
     )
 
@@ -775,7 +785,8 @@ def hist1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                    > 9 * (CAST(stats.n AS HUGEINT) * stats.s2
                           - stats.s1 * stats.s1)
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           ROUND(CAST(stats.s1 AS DOUBLE) / (stats.n * 100), 6) AS mean
+           CAST((2 * stats.s1 * 1000000 + 100 * stats.n)
+                // (200 * stats.n) AS DOUBLE) / 1000000 AS mean
     FROM q JOIN stats ON stats.event_type = q.event_type
     GROUP BY q.event_type, stats.n, stats.s1, stats.s2
     """,
@@ -823,8 +834,10 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n"),
             "n_outliers",
-            F.round(
-                F.col("s1").cast("double") / (F.col("n") * 100), 6
+            # integer-domain round-6 (the lm2/ql2 device; xi >= 0)
+            F.expr(
+                "CAST((2 * s1 * 1000000 + 100 * n) div (200 * n)"
+                " AS DOUBLE) / 1000000"
             ).alias("mean"),
         )
     )
@@ -846,9 +859,11 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY event_type
     )
     SELECT q.user_id, q.event_id, q.event_type,
-           ROUND(CASE WHEN stats.hi = stats.lo THEN 0.5
-                      ELSE CAST(q.xi - stats.lo AS DOUBLE)
-                           / (stats.hi - stats.lo) END, 6) AS scaled
+           CASE WHEN stats.hi = stats.lo THEN 0.5
+                ELSE CAST((2 * (q.xi - stats.lo) * 1000000
+                           + (stats.hi - stats.lo))
+                          // (2 * (stats.hi - stats.lo)) AS DOUBLE)
+                     / 1000000 END AS scaled
     FROM q JOIN stats ON stats.event_type = q.event_type
     """,
 )
@@ -878,13 +893,16 @@ def fs1_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.round(
-            F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
-                (F.col("xi") - F.col("lo")).cast("double")
-                / (F.col("hi") - F.col("lo"))
-            ),
-            6,
-        ).alias("scaled"),
+        # integer-domain round-6 of the exact rational (xi-lo)/(hi-lo)
+        # (the lm2/ql2 device; numerator >= 0 by min/max construction)
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.5))
+        .otherwise(
+            F.expr(
+                "CAST((2 * (xi - lo) * 1000000 + (hi - lo))"
+                " div (2 * (hi - lo)) AS DOUBLE) / 1000000"
+            )
+        )
+        .alias("scaled"),
     )
 
 
@@ -921,7 +939,10 @@ def fs1_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT np AS n_early, nq AS n_late,
            CAST(count(*) AS BIGINT) AS n_buckets,
-           ROUND(CAST(tot.l1 AS DOUBLE) / (2.0 * tot.np * tot.nq), 6) AS tvd
+           CAST((2 * tot.l1 * 1000000
+                 + 2 * CAST(tot.np AS HUGEINT) * tot.nq)
+                // (4 * CAST(tot.np AS HUGEINT) * tot.nq) AS DOUBLE)
+               / 1000000 AS tvd
     FROM per CROSS JOIN tot
     GROUP BY np, nq, tot.l1
     """,
@@ -988,10 +1009,12 @@ def drift1_tvd_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_early"),
         F.col("nq").alias("n_late"),
         F.col("n_buckets").cast("long").alias("n_buckets"),
-        F.round(
-            F.col("l1").cast("double")
-            / (2.0 * F.col("np") * F.col("nq")),
-            6,
+        # integer-domain round-6 of l1/(2*np*nq) in decimal(38,0)
+        # intermediates (the lm2/ql2 device; l1 >= 0 by |abs|)
+        F.expr(
+            "CAST((2 * l1 * 1000000 + 2 * CAST(np AS DECIMAL(38,0)) * nq)"
+            " div (4 * CAST(np AS DECIMAL(38,0)) * nq) AS DOUBLE)"
+            " / 1000000"
         ).alias("tvd"),
     )
 
