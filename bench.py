@@ -76,7 +76,26 @@ def main() -> None:
     # the engine, not the weather.  N is overridable for quick local
     # iteration via ECOSTREAM_BENCH_RUNS.
     n_runs = max(1, int(os.environ.get("ECOSTREAM_BENCH_RUNS", "5")))
+    # Cold column (VERDICT r4 #2): repeated warm runs can hit
+    # CacheManager-cached sub-plans (any .persist() inside a query is
+    # found again by canonicalized-plan match on the next run), which
+    # can mask a per-query regression.  For the cold measurement the
+    # CacheManager is cleared BEFORE every run, so each run re-executes
+    # the full lineage.  Both medians are recorded; round-over-round
+    # comparisons should read warm-vs-warm and cold-vs-cold.
+    n_cold = max(1, int(os.environ.get("ECOSTREAM_BENCH_COLD_RUNS", "3")))
+
+    def median(times: list[float]) -> float:
+        times = sorted(times)
+        mid = len(times) // 2
+        return (
+            times[mid]
+            if len(times) % 2
+            else (times[mid - 1] + times[mid]) / 2
+        )
+
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         times = []
@@ -84,14 +103,15 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - start)
-        times.sort()
-        mid = len(times) // 2
-        med = (
-            times[mid]
-            if len(times) % 2
-            else (times[mid - 1] + times[mid]) / 2
-        )
-        per_query[name] = round(med, 4)
+        per_query[name] = round(median(times), 4)
+        cold_times = []
+        for _ in range(n_cold):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            cold_times.append(time.perf_counter() - start)
+        per_query_cold[name] = round(median(cold_times), 4)
+    spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 4)
     sf = None
@@ -108,10 +128,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "value_cold": round(sum(per_query_cold.values()), 4),
+                "queries_cold": per_query_cold,
                 "sf": sf,
                 "warmup_sec": round(warmup, 4),
                 "n_queries": len(per_query),
                 "runs_per_query": n_runs,
+                "cold_runs_per_query": n_cold,
                 "stat": "median",
             }
         )

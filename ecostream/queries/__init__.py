@@ -95,61 +95,50 @@ except ImportError:  # pragma: no cover
 # extension shapes (VERDICT r2 "Next round" #1).  Queries already signed
 # in earlier rounds keep their coverage via tests/test_oracle_parity.py.
 #
-# Every head entry is oracle-checked: the rows-only-by-design keys
-# (d3/d5/d6/sim5 — hash-family-specific, see their docstrings) cede
-# their slots to their oracle-checked mechanism twins (d3b, sim5b) and
-# to the queries whose oracles landed this round (m4, g5, mm4), so all
-# 50 driver-signed rows are value-hash comparisons, not rows-only.
+# Every head entry is oracle-checked, so all 50 driver-signed rows are
+# value-hash comparisons, not rows-only.
+#
+# ROUND 5: the 50 head slots hold 50 of the 51 oracle-bearing queries
+# the driver has never hash-signed (hash_match never true in
+# CORRECTNESS_r01..r04) — the round-4 flagship LLM-pipeline operators
+# plus the window/rollup/analytics/series families (VERDICT r4 "Next
+# round" #1).  The one documented leftover is a9_percentiles_approx
+# (the approx variant of a9_percentiles, which IS in this head); it
+# plus any round-5 additions rotate in round 6, completing
+# driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # dedup / text-retrieval (never-signed r3 families + the new d5b twin)
-    "d5b_dedup_clusters_md5", "d8_repeated_spans", "d9_simhash_pairs",
-    "pe1_token_positions", "norm1_normalized_vocab",
-    "t11_tfidf_retrieval", "t12_inverted_index", "lm1_bigram_lm",
-    "ql2_gopher_repetition", "fh1_feature_hash",
-    # similarity / ANN quality evals (every ANN family now evaluated)
-    "sim6_pq_adc", "sim8_label_centroids",
-    "eval1_ann_recall", "eval2_ann_recall_ivf", "eval3_ann_recall_pq",
-    # sketches
-    "k2_hll_sketch_mergeable", "k5_representative_sample",
-    "k6_freq_items", "k7_stratified_sample", "k8_cms_heavy_hitters",
-    # graph
-    "g1_habitat_edges", "g1b_first_seen_nodes", "g2_hash_walk",
-    "g3_walk_frequencies", "g6_cooccurrence_triangles",
-    # generator / multimodal
-    "s1_seeded_generator", "s2_native_stats", "s3_datasource_stats",
-    "mm1_binary_metadata", "mm2_decode_frame_sample", "mm3_resize_dims",
-    "mm5_wav_roundtrip",
-    # set ops / null semantics / unpivot / as-of
-    "u1_union_distinct", "u2_intersect", "u3_except", "u4_intersect_all",
-    "u5_except_all", "n1_null_semantics", "p1_unpivot_measures",
-    "aj1_asof_last_view",
-    # streaming / storage merge paths
-    "st9_stream_merge_upsert", "st10_available_now_etl", "s8_merge_upsert",
-    # joins / top-k / recursion / shared-SQL device
-    "j28_banded_interval_join", "tk1_salted_topk_orders",
-    "rc1_transitive_closure", "sql1_shared_text_pricing",
-    # exact-arithmetic analytics
-    "dq2_zscore_outliers", "hist1_value_histogram", "drift1_tvd_halves",
+    # round-4 flagship LLM-pipeline operators
+    "semdedup1_cluster_prune", "semdedup2_trained_prune",
+    "bpe1_merge_train", "tok1_bpe_apply",
+    "lm2_perplexity_gate", "lm3_perplexity_buckets",
+    "d10_sparse_cosine_verify", "d11_priority_dedup",
+    "rag1_retrieve_read", "sim9_knn_classify", "mmr1_diverse_rerank",
+    "mix1_temperature_sampling", "shuffle2_epoch_orders",
+    "qc1_linear_quality", "reg1_normal_equations",
+    "kmv1_distinct_estimate", "kmv2_intersection_estimate",
+    "mm6_jpeg_roundtrip", "mm7_video_roundtrip",
+    # window-function family
+    "w1_running_revenue", "w2_order_rank_per_customer",
+    "w3_gap_sessionize", "w4_order_gap_days", "w5_balance_quartiles",
+    "w6_price_position", "w7_order_shipping_span",
+    "w8_weekly_moving_revenue", "w9_trailing_30d_revenue",
+    # rollup / cube / grouping sets
+    "r1_rollup_revenue", "r2_cube_counts", "r3_grouping_sets",
+    # analytics
+    "a9_percentiles", "a10_numeric_stats", "h1_having_active_users",
+    "c1_cohort_retention", "c2_funnel_conversion",
+    "prof1_profile_events", "dq1_constraint_violations",
+    "v1_variant_props", "arr1_user_event_sequences",
+    "b1_value_quartile_buckets",
+    # series / string / CDC ops
+    "fs1_minmax_scale", "ts1_gap_fill", "ts2_rolling_median_deviation",
+    "str1_fuzzy_part_match", "str2_name_prefix_counts",
+    "cdc1_scd2_intervals",
+    # domain quota / sketch / markov stragglers
+    "ql1_domain_quota", "k4_minhash_jaccard",
+    "m4b_dtmc_classification_distributed",
 ]
-
-
-# ROUND-5 ROTATION PLAN (do this at the start of round 5): after the
-# round-4 head below is driver-signed, the remaining never-signed
-# oracle-bearing queries are roughly:
-#   m4b k4 w1-w9 w3 r1 r2 r3 a9 a9_approx a10 h1 c1 c2 prof1 dq1 v1
-#   arr1 b1 fs1 ts1 ts2 str1 str2 cdc1 cal1 t4 ql1, plus the round-4
-#   additions landed after this head froze: semdedup1_cluster_prune,
-#   qc1_linear_quality, bpe1_merge_train, lm2_perplexity_gate,
-#   sim9_knn_classify, mm6_jpeg_roundtrip, mm7_video_roundtrip,
-#   d10_sparse_cosine_verify, rag1_retrieve_read,
-#   mix1_temperature_sampling, kmv1_distinct_estimate,
-#   kmv2_intersection_estimate, tok1_bpe_apply,
-#   mmr1_diverse_rerank, reg1_normal_equations,
-#   lm3_perplexity_buckets, d11_priority_dedup,
-#   shuffle2_epoch_orders, semdedup2_trained_prune.  Swap
-#   them in; that completes driver-signed coverage of every
-#   oracle-bearing query.
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
 

@@ -540,11 +540,18 @@ def kmeans_centroids_portable(
     return spark.createDataFrame(cur, schema)
 
 
-def _sim5b_oracle(k: int = _KMB_K, iters: int = _KMB_ITERS) -> str:
+def _sim5b_oracle(
+    k: int = _KMB_K,
+    iters: int = _KMB_ITERS,
+    k_sql: str | None = None,
+) -> str:
     """DuckDB replay of the FULL portable k-means IVF pipeline: init →
     ``iters`` × (assign, exact-quantized mean) → final assignment →
     probe → per-query top-10.  MATERIALIZED CTEs stop DuckDB from
-    re-inlining each iteration's inputs exponentially."""
+    re-inlining each iteration's inputs exponentially.  ``k_sql``
+    (a scalar-subquery string) replaces the literal ``k`` in the init
+    LIMIT so callers can derive k from corpus size inside the oracle
+    itself (semdedup2's scale-wired k)."""
 
     def assign(t: int) -> str:
         return f""",
@@ -576,7 +583,8 @@ def _sim5b_oracle(k: int = _KMB_K, iters: int = _KMB_ITERS) -> str:
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                ) - 1 AS cent_id,
                v AS cv
-        FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {k_sql or k}
     )"""
     ]
     for t in range(1, iters + 1):
@@ -999,8 +1007,27 @@ def eval3_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SEMDEDUP1: semantic dedup via cluster-then-prune ------------------------
 
-_SEMDEDUP_K = 8
+# k is NOT a constant: it is derived from corpus size so the average
+# cell holds ~_SEMDEDUP_CELL_TARGET vectors regardless of scale.  The
+# in-cell pair term is then n²/k ≈ n·target — LINEAR in corpus size —
+# instead of quadratic at fixed k (the paper's regime: 50k clusters
+# over LAION grows k with the corpus).  Both engines compute the same
+# k = ceil(n / target) from their own COUNT, so the oracle stays a
+# bit-exact replay at every sf (k=8 at n=500, k=32 at sf0.1's n=2000).
+_SEMDEDUP_CELL_TARGET = 64
 _SEMDEDUP_THETA = 0.4
+_SEMDEDUP_K_SQL = (
+    f"(SELECT CAST(CEIL(COUNT(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT) "
+    "FROM emb)"
+)
+
+
+def _semdedup_k(emb: DataFrame) -> int:
+    """k = ceil(n / target): one cheap count-only job (the scan prunes
+    to zero data columns); the result is a scalar, not a data collect."""
+    import math
+
+    return math.ceil(emb.count() / _SEMDEDUP_CELL_TARGET)
 
 
 @query(
@@ -1010,7 +1037,7 @@ _SEMDEDUP_THETA = 0.4
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
     cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb
-              WHERE vec_id < {_SEMDEDUP_K}),
+              WHERE vec_id < {_SEMDEDUP_K_SQL}),
     assigned AS (
         SELECT vec_id, v, cell FROM (
             SELECT e.vec_id, e.v, c.cent_id AS cell,
@@ -1040,25 +1067,28 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplication"): embed → k-means cells → WITHIN each cell compare
     pairwise cosine → drop all but one of every semantic-duplicate
     group.  Cosine never crosses a cell boundary, which is the whole
-    trick: the quadratic term is (n/k)² per cell, not n², and k grows
-    with corpus size to keep cells bounded (the paper runs 50k clusters
-    over LAION).  Keep rule: the LOWEST vec_id of a qualifying pair
+    trick: the quadratic term is (n/k)² per cell, not n², and k is
+    WIRED to corpus size — k = ceil(n/{_SEMDEDUP_CELL_TARGET}) computed
+    from a count in both engines — so total in-cell work stays ~n·64
+    (linear) as data grows (the paper runs 50k clusters over LAION).
+    Keep rule: the LOWEST vec_id of a qualifying pair
     survives (the engine's d1/d5 keep-min convention; the paper keeps
     the item farthest from the centroid — same mechanism, different
     tiebreak).  θ = {_SEMDEDUP_THETA} is corpus-calibrated (these
     uniform random embeddings peak at ~0.49 within-cell cosine; real
     text embeddings concentrate much higher and use θ ≈ 0.95+).
 
-    Deterministic coarse quantizer (first-{_SEMDEDUP_K} centroids, the
-    sim4 device) so the ENTIRE pipeline — assignment argmax, in-cell
-    pair search, drop set, keep flags — replays in DuckDB.  The
-    k-means-trained path swaps in sim5/sim5b centroids unchanged.
+    Deterministic coarse quantizer (first-k centroids, the sim4
+    device) so the ENTIRE pipeline — k derivation, assignment argmax,
+    in-cell pair search, drop set, keep flags — replays in DuckDB.
+    The k-means-trained path swaps in sim5/sim5b centroids unchanged.
 
     Plan: centroids broadcast onto one corpus scan (argmax via
     partial-agg min-struct), one shuffle on cell for the self-join,
     one anti-join for the flags — no global pairwise stage anywhere."""
     emb = _emb(spark, sf_dir)
-    centroids = emb.where(F.col("vec_id") < _SEMDEDUP_K).select(
+    k = _semdedup_k(emb)
+    centroids = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
     )
     return _cluster_prune(ivf_assign(emb, centroids))
@@ -1109,8 +1139,10 @@ def _cluster_prune(assigned: DataFrame) -> DataFrame:
 
 def _semdedup2_oracle() -> str:
     """Compose the sim5b portable-k-means tower (init + every Lloyd
-    round + final assignment) with the semdedup prune."""
-    tower = _sim5b_oracle()
+    round + final assignment) with the semdedup prune.  The tower's k
+    is the scale-wired ceil(n/{target}) scalar subquery, mirroring the
+    engine's count-derived k."""
+    tower = _sim5b_oracle(k_sql=_SEMDEDUP_K_SQL)
     marker = ",\n    queries AS"
     tower = tower[: tower.index(marker)]
     a_final = f"a{_KMB_ITERS + 1}"
@@ -1142,9 +1174,12 @@ def semdedup2_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the deterministic first-k quantizer — this is the form the
     paper actually runs.  The oracle replays EVERYTHING: init, every
     Lloyd round, the final assignment, the pair search, and the keep
-    flags."""
+    flags — including the count-derived k = ceil(n/{target}), so the
+    cell count grows with the corpus exactly as the engine's does."""
     emb = _emb(spark, sf_dir)
-    centroids = kmeans_centroids_portable(spark, emb.select("vec_id", "v"))
+    centroids = kmeans_centroids_portable(
+        spark, emb.select("vec_id", "v"), k=_semdedup_k(emb)
+    )
     return _cluster_prune(ivf_assign(emb, centroids))
 
 

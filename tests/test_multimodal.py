@@ -178,10 +178,11 @@ def test_jpeg_container_structure():
     byte-stuffed (no bare 0xFF followed by a non-marker byte)."""
     from ecostream.jpeg import encode_jpeg
 
-    blob = encode_jpeg(16, 12, bytes(range(256)) * (16 * 12 * 3 // 256 + 1)
-                       [: 16 * 12 * 3] if False else bytes(
-                           (i * 7) % 256 for i in range(16 * 12 * 3)
-                       ), channels=3, quality=75)
+    blob = encode_jpeg(
+        16, 12,
+        bytes((i * 7) % 256 for i in range(16 * 12 * 3)),
+        channels=3, quality=75,
+    )
     assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
     assert b"JFIF\x00" in blob[:32]
     for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):

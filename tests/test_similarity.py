@@ -237,17 +237,20 @@ def test_eval_recall_floors_all_ann_families(spark):
 
 def test_semdedup_matches_numpy_brute_force(spark, vectors):
     """semdedup1's keep flags must equal an independent numpy replay:
-    assign to nearest first-8 centroid (dot/|c| argmax, lowest-id
-    ties), then within each cell drop the higher id of every pair with
-    rounded cosine >= theta."""
+    assign to nearest first-k centroid (k = ceil(n/target), the
+    scale-wired cell count; dot/|c| argmax, lowest-id ties), then
+    within each cell drop the higher id of every pair with rounded
+    cosine >= theta."""
+    import math
+
     from ecostream.queries.similarity import (
-        _SEMDEDUP_K,
+        _SEMDEDUP_CELL_TARGET,
         _SEMDEDUP_THETA,
         semdedup1_cluster_prune,
     )
 
     ids, mat = vectors
-    cents = mat[:_SEMDEDUP_K]
+    cents = mat[: math.ceil(len(ids) / _SEMDEDUP_CELL_TARGET)]
     # assignment score: dot(v, c) / |c| (no |v| term — same argmax)
     scores = mat @ cents.T / np.linalg.norm(cents, axis=1)
     cell = scores.argmax(axis=1)  # argmax returns FIRST max = lowest id
@@ -266,6 +269,43 @@ def test_semdedup_matches_numpy_brute_force(spark, vectors):
     for k, vid in enumerate(ids):
         assert got[int(vid)] == (int(cell[k]), int(vid) not in dropped)
     assert dropped, "theta should drop at least one vector at this SF"
+
+
+def test_semdedup_k_scales_with_corpus(spark):
+    """VERDICT r4 #3 done-criteria: the count-derived k = ceil(n/64)
+    must DIFFER across scale factors, the oracle must stay green at
+    sf0.01 AND sf0.1 under each k, and no cell may exceed 2x the
+    target cardinality — so the in-cell pair term stays ~n*target
+    (linear in corpus size), never quadratic at a frozen k."""
+    from ecostream.queries import ORACLES
+    from ecostream.queries.similarity import (
+        _SEMDEDUP_CELL_TARGET,
+        _emb,
+        _semdedup_k,
+        semdedup1_cluster_prune,
+        semdedup2_trained_prune,
+    )
+
+    from .parity import compare, duck_connection
+
+    ks = []
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ks.append(_semdedup_k(_emb(spark, sf)))
+        for name, fn in (
+            ("semdedup1_cluster_prune", semdedup1_cluster_prune),
+            ("semdedup2_trained_prune", semdedup2_trained_prune),
+        ):
+            df = fn(spark, sf)
+            con = duck_connection(sf)
+            try:
+                compare(df, con, ORACLES[name], f"{name}@{sf}")
+            finally:
+                con.close()
+            cells = df.groupBy("cell").count().collect()
+            assert len(cells) == ks[-1]
+            worst = max(r["count"] for r in cells)
+            assert worst <= 2 * _SEMDEDUP_CELL_TARGET, (name, sf, worst)
+    assert ks == [8, 32]  # 500 and 2000 vectors over target 64
 
 
 def test_sim9_knn_matches_numpy(spark, vectors):
