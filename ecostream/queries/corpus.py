@@ -631,3 +631,189 @@ def lm3_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- DSIR: data selection via importance resampling --------------------------
+
+# Hashed-n-gram feature space (the paper uses 10k buckets over
+# unigrams+bigrams; 1024 keeps the oracle light while exercising the
+# identical mechanism), target slice = the curated provenance tier
+# (d11's priority sources), and a 20% selection budget derived from a
+# count so the operator is scale-free.
+_DSIR_B = 1024
+_DSIR_TARGET_SRC = ("src0", "src1", "src2")
+_DSIR_KEEP_FRAC = 5  # keep ceil(n / 5)
+# (md5-60-bit + 1) / 2^61 is a u in (0, 0.5] — strictly inside (0, 1)
+# even at h's extremes (2^60+2 would ROUND to 2^60 as a double, ulp is
+# 128 up there, letting u reach exactly 1.0 and the Gumbel hit ln(0)),
+# so the double-log never sees 0 or 1 in either engine.
+_DSIR_U_DEN = float(1 << 61)
+
+
+@query(
+    "dsir1_importance_resample",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT
+                   % {_DSIR_B} AS b
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_concat(tokens, {_BIGRAMS_DUCK})) AS g
+            FROM docs
+        )
+    ),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM grams GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM grams
+            WHERE source IN {_DSIR_TARGET_SRC} GROUP BY b),
+    tot AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                   (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt),
+    lam AS (
+        SELECT raw.b,
+               CAST(ROUND((
+                   ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                      / CAST(tt + {_DSIR_B} AS DOUBLE))
+                 - ln(CAST(cr + 1 AS DOUBLE)
+                      / CAST(tr + {_DSIR_B} AS DOUBLE))
+               ) * 1000000) AS BIGINT) AS lam
+        FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+    ),
+    w AS (
+        SELECT doc_id, CAST(SUM(lam) AS BIGINT) AS weight_micro
+        FROM grams JOIN lam USING (b) GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, weight_micro,
+               weight_micro + CAST(ROUND(-ln(-ln(
+                   (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::UBIGINT::BIGINT + 1)
+                   / {_DSIR_U_DEN!r})) * 1000000) AS BIGINT) AS score_micro
+        FROM w
+    ),
+    k AS (SELECT CAST(CEIL(COUNT(*) / {_DSIR_KEEP_FRAC}.0) AS BIGINT) AS k
+          FROM documents)
+    SELECT doc_id, weight_micro, score_micro
+    FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                        AS rn
+          FROM keyed), k
+    WHERE rn <= k.k
+    ORDER BY doc_id
+    """,
+)
+def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    fit two hashed-n-gram bag models — p over a small TARGET slice
+    (here the curated provenance tier) and q over the RAW corpus —
+    weight every raw document by log p(x) - log q(x), add per-document
+    Gumbel noise, and keep the top ceil(n/5): Gumbel-top-k over
+    log-weights IS sampling-without-replacement proportional to the
+    importance weights, so the selected sample is distributed like the
+    target even though every step is a deterministic dataflow.
+
+    Exactness discipline: per-bucket log-ratios are quantized to
+    integer MICRO-NATS once (lm2's device), so each document's weight
+    is an exact BIGINT sum (order-free); the Gumbel key derives u from
+    an md5-60-bit integer — (h+1)/(2^60+2), strictly inside (0,1) —
+    and both engines compute the identical double -ln(-ln(u)), rounded
+    to micro-units and ADDED as integers.  Selection is a pure integer
+    sort, so no boundary document can flip between engines.
+
+    Scale shape: the λ table is feature-space-bounded ({B} rows) and
+    BROADCAST onto one gram scan; the gram relation is lazily
+    checkpointed so its three consumers (raw counts, target counts,
+    per-doc scoring) run the explode once; totals come from the
+    1024-row count tables, never a second corpus pass; the top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort); and
+    the selection budget k = ceil(n/{frac}) comes from a count-only
+    job.  Reference analog: none — the reference has no data-selection
+    surface; this extends the LLM-pipeline family (SURVEY §2.13)."""
+    import math
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.split("text", " ").alias("tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+        % _DSIR_B
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.concat(F.col("tokens"), F.expr(_BIGRAMS_SPARK))
+            ).alias("g"),
+        )
+        .select("doc_id", "source", bucket.alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    raw = grams.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    tgt = grams.where(F.col("source").isin(*_DSIR_TARGET_SRC)).groupBy(
+        "b"
+    ).agg(F.count("*").cast("long").alias("ct"))
+    tot = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + _DSIR_B).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + _DSIR_B).cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lam"),
+        )
+    )
+    w = (
+        grams.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").cast("long").alias("weight_micro"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_DSIR_U_DEN)
+    keyed = w.select(
+        "doc_id",
+        "weight_micro",
+        (
+            F.col("weight_micro")
+            + F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+        ).alias("score_micro"),
+    )
+    k = math.ceil(_docs(spark, sf_dir).count() / _DSIR_KEEP_FRAC)
+    return (
+        keyed.orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+        .orderBy("doc_id")
+    )
+
+
+dsir1_importance_resample.__doc__ = dsir1_importance_resample.__doc__.format(
+    B=_DSIR_B, frac=_DSIR_KEEP_FRAC
+)

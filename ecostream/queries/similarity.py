@@ -1183,6 +1183,146 @@ def semdedup2_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_prune(ivf_assign(emb, centroids))
 
 
+def ivf_assign_within(vec_br: DataFrame, cents_br: DataFrame) -> DataFrame:
+    """Second level of the hierarchical quantizer: argmax over ONLY the
+    centroids of the vector's own branch (equi-join on branch replaces
+    ivf_assign's crossJoin), same max(struct(sim, -cent_id)) partial-agg
+    argmax so ties break to the lowest centroid id identically."""
+    cents = cents_br.withColumn(
+        "cent_norm", F.greatest(norm(F.col("cv_cent")), F.lit(1e-12))
+    )
+    scored = vec_br.join(F.broadcast(cents), "branch").select(
+        "vec_id",
+        "v",
+        "cent_id",
+        (dot(F.col("v"), F.col("cv_cent")) / F.col("cent_norm")).alias(
+            "cent_sim"
+        ),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.max(
+            F.struct(
+                F.col("cent_sim"),
+                (-F.col("cent_id")).cast("long").alias("neg_cent"),
+            )
+        ).alias("m"),
+    )
+    return best.select("vec_id", "v", (-F.col("m.neg_cent")).alias("cell"))
+
+
+_SD3_ARGMAX = """
+        SELECT {l}.{lid} AS out_id, {l}.{lv} AS out_v, {r}.{rid} AS pick,
+               row_number() OVER (
+                   PARTITION BY {l}.{lid}
+                   ORDER BY list_dot_product({l}.{lv}, {r}.{rv})
+                            / sqrt(list_dot_product({r}.{rv}, {r}.{rv})) DESC,
+                            {r}.{rid}
+               ) AS rn
+        FROM {src}"""
+
+
+@query(
+    "semdedup3_hierarchical_prune",
+    oracle=f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    params AS (
+        SELECT CAST(CEIL(COUNT(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT) AS k,
+               CAST(CEIL(SQRT(CEIL(COUNT(*) / {_SEMDEDUP_CELL_TARGET}.0)))
+                    AS BIGINT) AS b
+        FROM emb
+    ),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM emb, params
+              WHERE vec_id < params.k),
+    supers AS (SELECT vec_id AS sup_id, v AS sv FROM emb, params
+               WHERE vec_id < params.b),
+    cent_branch AS (
+        SELECT out_id AS cent_id, out_v AS cv, pick AS branch FROM (
+            {_SD3_ARGMAX.format(l="c", lid="cent_id", lv="cv",
+                                r="s", rid="sup_id", rv="sv",
+                                src="cents c CROSS JOIN supers s")}
+        ) WHERE rn = 1
+    ),
+    vec_branch AS (
+        SELECT out_id AS vec_id, out_v AS v, pick AS branch FROM (
+            {_SD3_ARGMAX.format(l="e", lid="vec_id", lv="v",
+                                r="s", rid="sup_id", rv="sv",
+                                src="emb e CROSS JOIN supers s")}
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT out_id AS vec_id, out_v AS v, pick AS cell FROM (
+            {_SD3_ARGMAX.format(l="vb", lid="vec_id", lv="v",
+                                r="cb", rid="cent_id", rv="cv",
+                                src="vec_branch vb JOIN cent_branch cb"
+                                    " ON cb.branch = vb.branch")}
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS did
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6)
+              >= {_SEMDEDUP_THETA}
+    )
+    SELECT s.vec_id, s.cell, (d.did IS NULL) AS keep
+    FROM assigned s LEFT JOIN dropped d ON d.did = s.vec_id
+    ORDER BY s.vec_id
+    """,
+)
+def semdedup3_hierarchical_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with a HIERARCHICAL (two-level) coarse quantizer — the
+    100 TB refinement the stress harness demanded: with the cell count
+    wired to corpus size (k = ceil(n/64)), semdedup1/2's FLAT argmax
+    scores n·k = n²/64 vector-centroid pairs, which
+    tools/stress_funnel.py measured super-linear.  Here assignment goes
+    through b = ceil(sqrt(k)) super-centroids: vector → nearest super
+    (n·b dots) → argmax over only that branch's centroids (n·k/b
+    expected dots), so assignment work is ~2n·sqrt(k) — n^1.5/8 instead
+    of n²/64, and a depth-d tree generalizes to n·d·k^(1/d) → n·log k
+    (the HNSW/annoy regime real pipelines use for centroid lookup).
+    Branch routing is APPROXIMATE by design (a vector may miss its true
+    nearest centroid when that centroid routed to a different branch —
+    the paper's own FAISS assignment makes the same trade), but it is
+    DETERMINISTIC: both levels use the dot/|c| argmax with
+    lowest-id tie-breaks, so the DuckDB oracle replays the k and b
+    derivations, both argmax levels, the branch-bounded assignment, and
+    the in-cell prune bit-exactly.
+
+    Plan: supers (b rows) broadcast onto one corpus scan, centroid→
+    branch routing is a k×b flyspeck, the level-2 argmax is an
+    equi-join on branch with the (k-row) centroid table broadcast —
+    the corpus is scanned once per level and NEVER shuffled until the
+    one cell shuffle inside the shared in-cell prune."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    k = _semdedup_k(emb)
+    b = math.ceil(math.sqrt(k))
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    supers = emb.where(F.col("vec_id") < b).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    cents_br = ivf_assign(
+        cents.select(
+            F.col("cent_id").alias("vec_id"), F.col("cv_cent").alias("v")
+        ),
+        supers,
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv_cent"),
+        F.col("cell").alias("branch"),
+    )
+    vec_br = ivf_assign(emb, supers).withColumnRenamed("cell", "branch")
+    return _cluster_prune(ivf_assign_within(vec_br, cents_br))
+
+
 # --- SIM9: kNN-join classification -------------------------------------------
 
 _KNN_K = 15

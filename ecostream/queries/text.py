@@ -1500,6 +1500,15 @@ def d10_sparse_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan shape)."""
     cand = d3b_minhash_lsh_md5(spark, sf_dir).select("a_id", "b_id")
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return sparse_cosine_verify(docs, cand)
+
+
+def sparse_cosine_verify(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """d10's verify mechanism over ANY (docs, candidate-pairs) input —
+    the uncapped production form (d10 itself caps docs at 500 only so
+    its DuckDB oracle replay stays affordable).  tools/stress_funnel.py
+    drives this over the full-corpus d3 candidates to measure the
+    funnel's scaling exponent."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )

@@ -375,3 +375,62 @@ def test_d10_candidate_side_broadcast_only(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_semdedup3_no_global_pairwise_and_branch_join(spark):
+    """The hierarchical quantizer must never cross-join the corpus with
+    itself: the prune self-join carries the cell equi-key (full-query
+    plan below, which the lazy checkpoint truncates to the prune
+    stage), and the level-2 assignment — inspected on its own, before
+    the checkpoint — is an equi-join on branch with the k-row centroid
+    table BROADCAST, never a corpus-vs-corpus shuffle join."""
+    p = plan(QUERIES["semdedup3_hierarchical_prune"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ecostream.queries.similarity import (
+        _emb,
+        _semdedup_k,
+        ivf_assign,
+        ivf_assign_within,
+    )
+
+    emb = _emb(spark, SF_SMOKE)
+    k = _semdedup_k(emb)
+    b = math.ceil(math.sqrt(k))
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    supers = emb.where(F.col("vec_id") < b).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    cents_br = ivf_assign(
+        cents.select(
+            F.col("cent_id").alias("vec_id"), F.col("cv_cent").alias("v")
+        ),
+        supers,
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv_cent"),
+        F.col("cell").alias("branch"),
+    )
+    vec_br = ivf_assign(emb, supers).withColumnRenamed("cell", "branch")
+    ap = plan(ivf_assign_within(vec_br, cents_br))
+    assert "BroadcastHashJoin" in ap, ap
+    assert "SortMergeJoin" not in ap, ap
+
+
+def test_dsir1_lambda_broadcast_no_second_corpus_pass(spark):
+    """DSIR's per-doc scoring must join the feature-space-bounded
+    lambda table BROADCAST onto the gram scan (never sort-merge the
+    gram relation), and selection must be TakeOrderedAndProject —
+    per-partition heads, no global sort of the corpus."""
+    df = QUERIES["dsir1_importance_resample"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p

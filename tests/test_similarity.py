@@ -308,6 +308,35 @@ def test_semdedup_k_scales_with_corpus(spark):
     assert ks == [8, 32]  # 500 and 2000 vectors over target 64
 
 
+def test_semdedup3_hierarchical_structure_and_agreement(spark):
+    """The two-level quantizer must (a) keep every vector exactly once,
+    (b) only ever assign cells from the first-k centroid set, and
+    (c) reach the same keep/drop decision as the flat argmax for the
+    overwhelming majority of vectors — branch routing is approximate
+    by design, but on these near-orthogonal random embeddings (the
+    WORST case for routing: argmax margins are tiny) keep-agreement
+    still measures 0.91-0.96, so 0.85 is a real regression floor."""
+    from ecostream.queries.similarity import (
+        _emb,
+        _semdedup_k,
+        semdedup1_cluster_prune,
+        semdedup3_hierarchical_prune,
+    )
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.1"):
+        k = _semdedup_k(_emb(spark, sf))
+        flat = {
+            r["vec_id"]: r["keep"]
+            for r in semdedup1_cluster_prune(spark, sf).collect()
+        }
+        rows = semdedup3_hierarchical_prune(spark, sf).collect()
+        assert len(rows) == len(flat)
+        assert len({r["vec_id"] for r in rows}) == len(rows)
+        assert all(0 <= r["cell"] < k for r in rows)
+        agree = sum(1 for r in rows if r["keep"] == flat[r["vec_id"]])
+        assert agree / len(rows) >= 0.85, (sf, agree / len(rows))
+
+
 def test_sim9_knn_matches_numpy(spark, vectors):
     """sim9's predictions must equal an independent numpy replay:
     rank corpus (vec_id >= NQ) per query by (round(cos, 6) DESC, id),

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Scale-stress the dedup/ANN funnel beyond sf0.1 (VERDICT r4 #6).
+
+Generates deterministic documents/embeddings slices at 1x / 5x / 10x
+the sf0.1 cardinalities (5k/25k/50k docs, 2k/10k/20k vectors) under
+/tmp — NEVER under /root/testdata — with a CONSTANT planted
+near-duplicate density, so the honest workload (candidate pairs,
+verified pairs, cluster edges, in-cell cosine pairs) grows linearly
+with corpus size.  Then times each funnel stage COLD (CacheManager
+cleared before every run, after one untimed warm-up pass so JVM/
+codegen start-up never pollutes the smallest scale) and reports the
+observed scaling exponent  e = ln(t_hi/t_lo) / ln(n_hi/n_lo)  per
+stage.  PLANS.md records the table.
+
+Stage selection: the UNCAPPED production paths.  d3b/d10/d5b are the
+oracle twins of the same mechanisms but cap documents at 500 so their
+full-DuckDB replays stay affordable — stressing a capped query would
+measure a constant.  So the funnel here is d3 (full-corpus banded
+MinHash LSH) → sparse_cosine_verify (d10's mechanism over d3's
+candidates) → d5 (full-corpus pair closure into clusters), plus
+semdedup1 (deterministic cells) and semdedup2 (trained cells), both
+of which already run the whole corpus with the count-derived
+k = ceil(n/64).
+
+Generation model (mirrors the driver's testdata shape):
+- documents: 31-word vocabulary, token count uniform in [10, 100];
+  with probability DUP_RATE a doc is a near-copy of a random earlier
+  doc with ~5% of tokens rewritten — the same per-doc duplicate
+  probability at every scale.
+- embeddings: 64-dim gaussians (sigma 0.12, the testdata magnitude);
+  with probability VEC_DUP_RATE a vector is a prior vector plus small
+  noise (cosine ~0.99, safely past the semdedup theta of 0.4).
+
+Usage: python tools/stress_funnel.py [--scales 1,5,10] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS = 5_000  # sf0.1 cardinalities
+BASE_VECS = 2_000
+DUP_RATE = 0.10
+VEC_DUP_RATE = 0.05
+DIM = 64
+VOCAB = [
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "a", "hash", "slow", "group", "agg", "filter",
+    "query", "big", "key", "window", "row", "table", "stream", "merge",
+    "data", "join", "shuffle", "plan", "stage", "index",
+]
+LANGS = ["en", "de", "zh", "fr", "es"]
+
+
+def gen_slice(outdir: str, mult: int, seed: int = 42) -> tuple[int, int]:
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed + mult)
+    n_docs, n_vecs = BASE_DOCS * mult, BASE_VECS * mult
+
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < DUP_RATE:
+            toks = texts[int(rng.integers(0, i))].split(" ")
+            toks = [
+                VOCAB[int(rng.integers(0, len(VOCAB)))]
+                if rng.random() < 0.05
+                else t
+                for t in toks
+            ]
+        else:
+            length = int(rng.integers(10, 101))
+            toks = [VOCAB[j] for j in rng.integers(0, len(VOCAB), length)]
+        texts.append(" ".join(toks))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(
+                    [LANGS[int(x)] for x in rng.integers(0, len(LANGS), n_docs)]
+                ),
+                "source": pa.array(
+                    [f"src{int(x)}" for x in rng.integers(0, 20, n_docs)]
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(outdir, "documents.parquet"),
+    )
+
+    vecs = rng.normal(0.0, 0.12, size=(n_vecs, DIM)).astype(np.float32)
+    for i in range(1, n_vecs):
+        if rng.random() < VEC_DUP_RATE:
+            j = int(rng.integers(0, i))
+            vecs[i] = vecs[j] + rng.normal(0.0, 0.005, DIM).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vecs), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [int(x) for x in rng.integers(0, 8, n_vecs)], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(outdir, "embeddings.parquet"),
+    )
+    return n_docs, n_vecs
+
+
+def stages():
+    """(name, callable(spark, sf_dir) -> DataFrame, size-driver)."""
+    from ecostream.queries.similarity import (
+        semdedup1_cluster_prune,
+        semdedup2_trained_prune,
+        semdedup3_hierarchical_prune,
+    )
+    from ecostream.queries.text import (
+        _docs,
+        d3_minhash_lsh_candidates,
+        d5_dedup_clusters,
+        sparse_cosine_verify,
+    )
+
+    def verify_full(spark, d):
+        cand = d3_minhash_lsh_candidates(spark, d).select("a_id", "b_id")
+        return sparse_cosine_verify(_docs(spark, d), cand)
+
+    return [
+        ("lsh_candidates (d3)", d3_minhash_lsh_candidates, "docs"),
+        ("sparse_verify (d10 mech)", verify_full, "docs"),
+        ("dedup_clusters (d5)", d5_dedup_clusters, "docs"),
+        ("semdedup1 (first-k)", semdedup1_cluster_prune, "vecs"),
+        ("semdedup2 (trained)", semdedup2_trained_prune, "vecs"),
+        ("semdedup3 (hierarchical)", semdedup3_hierarchical_prune, "vecs"),
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,5,10")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--workdir", default="/tmp/ecostream_stress")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from ecostream.session import get_spark
+
+    spark = get_spark(app_name="ecostream-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    todo = stages()
+
+    sizes: dict[int, tuple[int, int]] = {}
+    for mult in scales:
+        d = os.path.join(args.workdir, f"x{mult}")
+        sizes[mult] = gen_slice(d, mult)
+
+    # Untimed warm-up at the smallest scale: JVM, codegen, parquet
+    # footer caches, broadcast machinery — all paid before any timing.
+    lo = min(scales)
+    lo_dir = os.path.join(args.workdir, f"x{lo}")
+    for _, fn, _ in todo:
+        fn(spark, lo_dir).count()
+
+    results: dict[str, dict[int, float]] = {s: {} for s, _, _ in todo}
+    counts: dict[str, dict[int, int]] = {s: {} for s, _, _ in todo}
+    for mult in scales:
+        d = os.path.join(args.workdir, f"x{mult}")
+        print(f"-- x{mult}: {sizes[mult][0]} docs, {sizes[mult][1]} vecs",
+              flush=True)
+        for name, fn, _ in todo:
+            times = []
+            for _ in range(args.runs):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            results[name][mult] = times[len(times) // 2]
+            counts[name][mult] = n
+            print(f"   {name:26s} {results[name][mult]:7.2f}s "
+                  f"({n} rows)", flush=True)
+
+    hi = max(scales)
+    print("\nstage                       "
+          + "".join(f"x{m:<9}" for m in scales) + "exponent(lo->hi)")
+    report = {}
+    for name, _, unit in todo:
+        row = "".join(f"{results[name][m]:<10.2f}" for m in scales)
+        n_lo = sizes[lo][0] if unit == "docs" else sizes[lo][1]
+        n_hi = sizes[hi][0] if unit == "docs" else sizes[hi][1]
+        e = math.log(results[name][hi] / results[name][lo]) / math.log(
+            n_hi / n_lo
+        )
+        print(f"{name:28s}{row}{e:.2f}")
+        report[name] = {
+            "secs": {str(m): round(results[name][m], 2) for m in scales},
+            "rows": counts[name],
+            "exponent": round(e, 2),
+        }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
