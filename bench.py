@@ -51,6 +51,8 @@ HEADLINE = [
     "bpe1_merge_train",           # distributed BPE merge training (round 4)
     "lm2_perplexity_gate",        # bigram-LM perplexity filter (round 4)
     "rag1_retrieve_read",         # RAG retrieve-then-read join (round 4)
+    "semdedup3_hierarchical_prune",  # two-level quantizer semdedup (round 5)
+    "dsir1_importance_resample",  # DSIR data selection (round 5)
 ]
 
 

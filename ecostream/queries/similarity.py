@@ -1085,7 +1085,10 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: centroids broadcast onto one corpus scan (argmax via
     partial-agg min-struct), one shuffle on cell for the self-join,
-    one anti-join for the flags — no global pairwise stage anywhere."""
+    one anti-join for the flags — no global pairwise stage anywhere.
+    Note the FLAT argmax scores n·k pairs, which is n²/64 once k is
+    count-derived — semdedup3_hierarchical_prune is the sub-quadratic
+    assignment path for real scale (stress-measured in PLANS.md)."""
     emb = _emb(spark, sf_dir)
     k = _semdedup_k(emb)
     centroids = emb.where(F.col("vec_id") < k).select(
