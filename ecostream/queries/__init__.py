@@ -141,6 +141,15 @@ _ROUND_HEAD = [
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
+#
+# ROUND-6 ROTATION PLAN: once this head is driver-signed, the only
+# oracle-bearing queries without a signed hash row are
+# a9_percentiles_approx (this round's documented leftover) plus the
+# round-5 additions: semdedup3_hierarchical_prune,
+# dsir1_importance_resample, d12_incremental_dedup,
+# ent1_token_entropy_gate.  Swap those five to the head (the other 45
+# slots are free for any round-6 additions); that completes
+# driver-signed coverage of every oracle-bearing query.
 
 
 

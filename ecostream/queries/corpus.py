@@ -817,3 +817,84 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 dsir1_importance_resample.__doc__ = dsir1_importance_resample.__doc__.format(
     B=_DSIR_B, frac=_DSIR_KEEP_FRAC
 )
+
+
+# --- ENT1: token-entropy quality gate -----------------------------------------
+
+# Keep threshold in MICRO-nats, calibrated so the gate genuinely
+# splits this corpus (doc entropy spans 1.64..3.35 nats at sf0.01,
+# median ~3.09): low-entropy documents are repetitive/templated text
+# (boilerplate, keyword stuffing, generation loops) — the same signal
+# family as Gopher's repetition rules (ql2) but measured as one
+# distribution statistic instead of per-n-gram ratios.
+_ENT1_MIN_MICRO = 3_000_000
+
+
+@query(
+    "ent1_token_entropy_gate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY doc_id, tok
+    ),
+    s AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT)
+                   * CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1000000)
+                          AS BIGINT)
+               - CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS s_micro
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(ROUND(CAST(s_micro AS DOUBLE) / n) AS BIGINT)
+               AS entropy_micro_nats,
+           (s_micro >= {_ENT1_MIN_MICRO} * n) AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def ent1_token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality gate over the per-document token
+    distribution: H = ln(n) - (1/n)·Σ c·ln(c) — low entropy flags
+    repetitive/templated documents (boilerplate, keyword stuffing,
+    decoder loops), the distributional cousin of Gopher's per-n-gram
+    repetition rules (ql2).
+
+    Exactness discipline (lm2's device, applied twice): ln(c) and
+    ln(n) are each quantized to integer MICRO-NATS once, so
+    s = n·q(ln n) - Σ c·q(ln c) is an exact BIGINT (order-free sums),
+    the keep decision is the EXACT integer inequality
+    s >= threshold·n, and the reported score is round-to-integer of
+    one exact-operand division — no float accumulation anywhere.
+
+    Scale shape: one shuffle on (doc_id, token) for the counts, one
+    partial-agg on doc_id — map-side combine on both; no joins, no
+    second corpus pass."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    c = docs.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    q = lambda col: F.round(F.log(col.cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        (
+            F.sum("c").cast("long") * q(F.sum("c"))
+            - F.sum(F.col("c") * q(F.col("c"))).cast("long")
+        ).alias("s_micro"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(F.col("s_micro").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("entropy_micro_nats"),
+        (F.col("s_micro") >= _ENT1_MIN_MICRO * F.col("n")).alias("keep"),
+    ).orderBy("doc_id")

@@ -1639,3 +1639,89 @@ def d11_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- D12: incremental dedup (new delta batch vs existing base corpus) --------
+
+# The split is count-derived so the operator is scale-free: the first
+# 80% of doc_ids play the already-deduped BASE corpus (yesterday's
+# crawls), the last 20% the incoming DELTA batch.
+_D12_BASE_SQL = (
+    "(SELECT CAST(FLOOR(COUNT(*) * 4 / 5.0) AS BIGINT) FROM documents)"
+)
+
+
+@query(
+    "d12_incremental_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS h
+        FROM documents
+    ),
+    base AS (SELECT DISTINCT h FROM fp WHERE doc_id < {_D12_BASE_SQL}),
+    delta AS (SELECT doc_id, h FROM fp WHERE doc_id >= {_D12_BASE_SQL}),
+    flagged AS (
+        SELECT d.doc_id, d.h, (b.h IS NOT NULL) AS dup_of_base,
+               row_number() OVER (PARTITION BY d.h ORDER BY d.doc_id) AS rn
+        FROM delta d LEFT JOIN base b ON b.h = d.h
+    )
+    SELECT doc_id, dup_of_base,
+           (NOT dup_of_base AND rn = 1) AS keep
+    FROM flagged ORDER BY doc_id
+    """,
+)
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a recurring-crawl pipeline
+    actually runs: a new DELTA batch is deduped against the existing
+    BASE corpus's fingerprint set WITHOUT re-touching base-vs-base
+    pairs (those were settled when base was ingested).  A delta doc is
+    dropped if its vocab fingerprint (d11's sorted-distinct-token key)
+    already exists in base, or if an earlier delta doc claimed the
+    same fingerprint (keep-min within the batch); the emitted relation
+    is delta-sized, with the dup_of_base provenance bit a monitoring
+    dashboard wants.
+
+    Scale shape: base contributes only its DISTINCT fingerprint
+    column — in production that set is a maintained table (or a k1
+    Bloom filter for a cheap pre-filter pass), not a rescan — and the
+    left join + the in-delta window BOTH hash on the fingerprint, so
+    the delta is shuffled once and the join arrives co-partitioned.
+    Incremental cost is O(|delta| + |base fingerprints|) per batch,
+    never O(|corpus|²) — compare st9's streaming MERGE upsert, which
+    is this same idea for keyed state.  Reference analog: none (the
+    reference reloads its whole store per run, consultas.py); this is
+    the batch-incremental member of the dedup family (SURVEY §2.13)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    split = n * 4 // 5
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        )
+    )
+    hashed = docs.select("doc_id", fp.alias("h"))
+    base = hashed.where(F.col("doc_id") < split).select("h").distinct()
+    delta = hashed.where(F.col("doc_id") >= split)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")
+    )
+    return (
+        delta.join(
+            base.withColumn("_b", F.lit(1)), "h", "left"
+        )
+        .select(
+            "doc_id",
+            F.col("_b").isNotNull().alias("dup_of_base"),
+            rn.alias("rn"),
+        )
+        .select(
+            "doc_id",
+            "dup_of_base",
+            (~F.col("dup_of_base") & (F.col("rn") == 1)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

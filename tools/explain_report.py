@@ -112,6 +112,15 @@ REPORT = [
     "kmv1_distinct_estimate",
     "kmv2_intersection_estimate",
     "reg1_normal_equations",
+    "lm3_perplexity_buckets",
+    "tok1_bpe_apply",
+    "d11_priority_dedup",
+    "shuffle2_epoch_orders",
+    "semdedup2_trained_prune",
+    "semdedup3_hierarchical_prune",
+    "dsir1_importance_resample",
+    "d12_incremental_dedup",
+    "ent1_token_entropy_gate",
 ]
 
 
@@ -172,6 +181,65 @@ def main() -> None:
         "aggregates are partial→final (map-side combine), sorts with limits",
         "are TakeOrderedAndProject, multi-group-set aggs use one scan +",
         "Expand.  Regenerate after plan-affecting changes.",
+        "",
+        '## Round-5 scale stress: dedup/ANN funnel beyond sf0.1',
+        '',
+        '`tools/stress_funnel.py` (VERDICT r4 #6): deterministic documents/',
+        'embeddings slices at 1x/5x/10x the sf0.1 cardinalities (5k/25k/50k',
+        'docs, 2k/10k/20k vectors) generated under /tmp with CONSTANT planted',
+        'near-duplicate density; each stage timed COLD (CacheManager cleared',
+        'before every run, one untimed warm-up pass first), median of 3, on',
+        'local[32].  Stages are the UNCAPPED production paths — d3b/d10/d5b',
+        'cap documents at 500 only so their full-DuckDB replays stay',
+        'affordable, so the mechanism twins that actually run at scale are',
+        "what's measured: d3 (banded MinHash LSH), sparse_cosine_verify (d10's",
+        "mechanism over d3's candidates), d5 (pair closure into clusters), and",
+        'the semdedup family (count-derived k = ceil(n/64) everywhere).',
+        '',
+        '| stage | x1 (s) | x5 (s) | x10 (s) | rows x1→x10 | exponent |',
+        '|---|---|---|---|---|---|',
+        '| d3 LSH candidates | 2.22 | 3.74 | 5.95 | 1,102 → 48,462 | **0.43** |',
+        '| sparse-cosine verify | 3.11 | 5.62 | 10.00 | 1,102 → 48,462 | **0.51** |',
+        '| d5 dedup clusters | 3.81 | 6.12 | 8.19 | 1,514 → 32,401 | **0.33** |',
+        '| semdedup1 (flat, first-k) | 0.86 | 8.67 | 39.93 | 2k → 20k vecs | **1.66** |',
+        '| semdedup2 (flat, trained) | 3.77 | 36.62 | 158.54 | 2k → 20k vecs | **1.62** |',
+        '| semdedup3 (hierarchical) | 0.84 | 2.31 | 2.99 | 2k → 20k vecs | **0.55** |',
+        '',
+        'exponent = ln(t_x10/t_x1) / ln(10).',
+        '',
+        'Findings:',
+        '',
+        '- **The document funnel is comfortably sub-linear in wall time**',
+        '  (0.33–0.51, target was ≤ ~1.2): fixed per-job overhead still',
+        '  dominates at these sizes, so the work-term (linear by design:',
+        '  banded buckets, candidate-bounded verify, log-round star CC) stays',
+        '  invisible.  Candidate pairs grew 44x for 10x docs — not an engine',
+        "  artifact but the generator's: each planted near-copy attaches to a",
+        '  uniform random EARLIER doc, so duplicate components form random',
+        '  recursive forests whose sum-of-(size choose 2) grows superlinearly.',
+        '  Even with that extra pair load the verify/CC stages held ~0.5.',
+        "- **Wiring SemDeDup's k to corpus size (r4 verdict #3) makes the FLAT",
+        '  argmax the new bottleneck — measured, not guessed.**  With',
+        '  k = ceil(n/64), assignment scores n·k = n²/64 vector-centroid pairs:',
+        '  the in-cell prune became linear but the quantizer went quadratic',
+        '  (exponents 1.66 / 1.62; semdedup2 pays it in all 4 Lloyd+final',
+        '  assignment passes, 158 s at 20k vectors).  This is exactly why the',
+        '  paper assigns with FAISS rather than a flat scan.',
+        '- **semdedup3_hierarchical_prune is the fix**: route through',
+        '  b = ceil(sqrt(k)) super-centroids (n·b dots), then argmax over only',
+        "  that branch's centroids (~n·k/b expected) — ~2n·sqrt(k) total,",
+        '  n^1.5/8 instead of n²/64.  Measured 0.55 (13x faster than flat at',
+        '  x10, 53x vs trained-flat); a depth-d tree generalizes to',
+        '  n·d·k^(1/d) ≈ n·log k, the HNSW/annoy regime.  Both argmax levels',
+        '  replay in DuckDB (the routing approximation is deterministic), and',
+        '  keep-agreement vs the flat form is test-floored at 0.85 on the',
+        '  WORST case for routing (near-orthogonal random embeddings measure',
+        '  0.91–0.96).',
+        '- The d5 claim from r4 is now visible in a recorded artifact: the',
+        '  cold column in BENCH_r05.json (bench.py clears the CacheManager',
+        '  before every cold run), plus the cold x1 median above (3.81 s',
+        '  includes the planted-dup-heavier synthetic slice; the sf0.1 bench',
+        '  table is the apples-to-apples number).',
         "",
         "## Round-4 plan notes",
         "",
