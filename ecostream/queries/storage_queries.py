@@ -241,3 +241,99 @@ def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- Z-ORDER: multi-dimensional clustering layout -----------------------------
+
+# 8 bits per QUANTIZED dimension (16-bit Morton code, 64 top-prefix
+# buckets): each raw dimension is scaled into 0..255 by its own max —
+# the value-quantized cousin of Delta's rank-quantized z-order (which
+# range-partitions each column first; at scale swap the exact max for
+# sampled range boundaries, same bucket semantics).
+_Z_BITS = 8
+_Z_EPOCH_MIN = 1_704_067_200 // 60  # floor(epoch('2024-01-01') / 60)
+
+_Z_SPARK = " + ".join(
+    f"(shiftleft(shiftright(qx, {i}) & 1, {2 * i})"
+    f" + shiftleft(shiftright(qy, {i}) & 1, {2 * i + 1}))"
+    for i in range(_Z_BITS)
+)
+_Z_DUCK = " + ".join(
+    f"((qx >> {i}) & 1) * {1 << (2 * i)}"
+    f" + ((qy >> {i}) & 1) * {1 << (2 * i + 1)}"
+    for i in range(_Z_BITS)
+)
+
+
+@query(
+    "zorder1_layout_stats",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id AS zx,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) - {_Z_EPOCH_MIN} AS zy
+        FROM events
+    ),
+    mx AS (SELECT MAX(zx) AS mx, MAX(zy) AS my FROM keyed),
+    quant AS (
+        SELECT zx, zy,
+               (zx * 256) // (mx + 1) AS qx,
+               (zy * 256) // (my + 1) AS qy
+        FROM keyed CROSS JOIN mx
+    ),
+    coded AS (SELECT zx, zy, {_Z_DUCK} AS z FROM quant)
+    SELECT CAST(z >> 10 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(MIN(zx) AS BIGINT) AS min_user,
+           CAST(MAX(zx) AS BIGINT) AS max_user,
+           CAST(MIN(zy) AS BIGINT) AS min_minute,
+           CAST(MAX(zy) AS BIGINT) AS max_minute
+    FROM coded GROUP BY 1 ORDER BY 1
+    """,
+)
+def zorder1_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering statistics — the layout decision a
+    100 TB table makes so that file-level min/max stats prune on TWO
+    dimensions at once: quantize (user_id, minutes-since-base) each to
+    8 bits by its own max (one broadcast stat row — Delta's z-order
+    rank-quantizes the same way, with sampled range boundaries instead
+    of an exact max), interleave the bits into a 16-bit Morton key,
+    group rows by the key's top-6-bit prefix (the file an order-by-z
+    writer would place them in), and report each prefix bucket's
+    min/max on BOTH raw dimensions.  The payoff is visible in the
+    output: every bucket bounds user AND time simultaneously, so a
+    predicate on either column skips most buckets — a single-column
+    sort only ever bounds one.  At scale the same key feeds
+    ``df.repartitionByRange(F.col("z")).sortWithinPartitions("z")``
+    before the parquet write (the s6_cluster_roundtrip machinery);
+    this query is the layout's STATISTICS so the decision is
+    oracle-checkable: quantization and interleave are pure integer
+    arithmetic, identical in both engines.
+
+    Plan: one scan + a 1-row max aggregate broadcast back onto it, the
+    16-term interleave folds inside whole-stage codegen, one
+    partial-agg shuffle on the 6-bit prefix."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("zx"),
+        (
+            F.floor(F.unix_timestamp("ts") / 60).cast("long") - _Z_EPOCH_MIN
+        ).alias("zy"),
+    )
+    mx = ev.agg(F.max("zx").alias("mx"), F.max("zy").alias("my"))
+    quant = ev.crossJoin(F.broadcast(mx)).select(
+        "zx",
+        "zy",
+        F.expr("(zx * 256) div (mx + 1)").alias("qx"),
+        F.expr("(zy * 256) div (my + 1)").alias("qy"),
+    )
+    coded = quant.select(F.expr(_Z_SPARK).alias("z"), "zx", "zy")
+    return (
+        coded.groupBy(F.shiftright("z", 10).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("zx").cast("long").alias("min_user"),
+            F.max("zx").cast("long").alias("max_user"),
+            F.min("zy").cast("long").alias("min_minute"),
+            F.max("zy").cast("long").alias("max_minute"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -207,3 +207,20 @@ def test_s8_merge_upsert_semantics(spark):
             ins = got[k + 1_000_000_000]
             assert ins["o_orderstatus"] == "I"
             assert ins["o_custkey"] == r["o_custkey"]
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The whole point of the Morton layout: every top-6-bit prefix
+    bucket (3 bits per dimension) must bound BOTH raw dimensions to
+    ~1/8 of their global range — a single-column sort can only ever
+    bound one.  Bound is range/8 rounded up plus the quantization
+    cell (range/256)."""
+    from ecostream.queries.storage_queries import zorder1_layout_stats
+
+    rows = zorder1_layout_stats(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    gu = max(r["max_user"] for r in rows)
+    gm = max(r["max_minute"] for r in rows)
+    for r in rows:
+        assert r["max_user"] - r["min_user"] <= gu // 8 + gu // 256 + 2, r
+        assert r["max_minute"] - r["min_minute"] <= gm // 8 + gm // 256 + 2, r
