@@ -643,3 +643,117 @@ def st10_available_now_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(str(work / "out"))
+
+
+@query(
+    "st11_stream_outer_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           CAST(count(c.user_id) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                            AND epoch_us(p.ts)
+    GROUP BY p.user_id
+    """,
+)
+def st11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the subtle half of streaming
+    joins: a purchase with no click in its preceding hour can only
+    emit its null-padded row once the WATERMARK has passed its join
+    window (before that, a matching click could still arrive), so
+    outer results are inherently watermark-gated.  A bounded file
+    stream drains its matches but leaves the watermark short of the
+    last rows' windows — so this query appends a SENTINEL micro-batch
+    (one far-future purchase + click for user_id -1, delivered second
+    via maxFilesPerTrigger=1) purely to push the watermark past every
+    real window; Spark's no-data micro-batch then flushes the
+    remaining outer rows, and the drained result equals the batch
+    LEFT JOIN the oracle runs (sentinel user filtered from both).
+    State stays bounded exactly as in st5 — that is the feature."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(tempfile.gettempdir()) / f"ecostream_st11_src_{os.getpid()}"
+    shutil.rmtree(src, ignore_errors=True)
+    src.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a_events.parquet")
+    # the raw read needs the legacy conf (ts is TIMESTAMP(NANOS)); do
+    # not rely on an earlier load_table having set it in this session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(str(src / "a_events.parquet"))
+    sentinel_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # ts arrives as int64 nanos (TIMESTAMP(NANOS) under nanosAsLong) or
+    # as a datetime (timestamp[us] files) depending on the testdata
+    # encoding — push the sentinel ~115 days past max either way
+    if isinstance(sentinel_ts, int):
+        future = sentinel_ts + 10_000_000_000_000_000  # ns
+    else:
+        from datetime import timedelta
+
+        future = sentinel_ts + timedelta(days=115)
+    spark.createDataFrame(
+        [
+            (-1, future, -1, "purchase", 0.0, "{}"),
+            (-2, future, -1, "click", 0.0, "{}"),
+        ],
+        batch.schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "_sentinel"))
+    sent_file = next((src / "_sentinel").glob("part-*.parquet"))
+    shutil.move(str(sent_file), src / "b_sentinel.parquet")
+    shutil.rmtree(src / "_sentinel")
+    now = os.path.getmtime(src / "b_sentinel.parquet")
+    os.utime(src / "a_events.parquet", (now - 60, now - 60))
+
+    from ..schema import normalize_events_ts
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    name = f"st11_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .where(F.col("p_user") >= 0)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("c_user").cast("long").alias("n_matched"),
+            F.sum(F.col("c_user").isNull().cast("long"))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+    )
