@@ -147,7 +147,8 @@ _ROUND_HEAD = [
 # a9_percentiles_approx (this round's documented leftover) plus the
 # round-5 additions: semdedup3_hierarchical_prune,
 # dsir1_importance_resample, d12_incremental_dedup,
-# ent1_token_entropy_gate.  Swap those five to the head (the other 45
+# ent1_token_entropy_gate, zorder1_layout_stats,
+# st11_stream_outer_join.  Swap those seven to the head (the other 43
 # slots are free for any round-6 additions); that completes
 # driver-signed coverage of every oracle-bearing query.
 

