@@ -650,13 +650,12 @@ _DSIR_KEEP_FRAC = 5  # keep ceil(n / 5)
 _DSIR_U_DEN = float(1 << 61)
 
 
-@query(
-    "dsir1_importance_resample",
-    oracle=f"""
-    WITH docs AS (
-        SELECT doc_id, source, string_split(text, ' ') AS tokens
-        FROM documents
-    ),
+def _dsir_oracle_tail(docs_cte: str = "dsel_docs") -> str:
+    """The DSIR CTE chain from (doc_id, source, tokens) rows to the
+    selected (doc_id, weight_micro, score_micro) set — parameterized
+    on the input CTE name so pipeline3 can run the identical selection
+    over its gate's survivors instead of the whole table."""
+    return f"""
     grams AS (
         SELECT doc_id, source,
                ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT
@@ -664,7 +663,7 @@ _DSIR_U_DEN = float(1 << 61)
         FROM (
             SELECT doc_id, source,
                    unnest(list_concat(tokens, {_BIGRAMS_DUCK})) AS g
-            FROM docs
+            FROM {docs_cte}
         )
     ),
     raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM grams GROUP BY b),
@@ -694,13 +693,25 @@ _DSIR_U_DEN = float(1 << 61)
                    / {_DSIR_U_DEN!r})) * 1000000) AS BIGINT) AS score_micro
         FROM w
     ),
-    k AS (SELECT CAST(CEIL(COUNT(*) / {_DSIR_KEEP_FRAC}.0) AS BIGINT) AS k
-          FROM documents)
-    SELECT doc_id, weight_micro, score_micro
-    FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
-                        AS rn
-          FROM keyed), k
-    WHERE rn <= k.k
+    kk AS (SELECT CAST(CEIL(COUNT(*) / {_DSIR_KEEP_FRAC}.0) AS BIGINT) AS k
+           FROM {docs_cte}),
+    selected AS (
+        SELECT doc_id, weight_micro, score_micro
+        FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC,
+                                           doc_id) AS rn
+              FROM keyed), kk
+        WHERE rn <= kk.k
+    )"""
+
+
+@query(
+    "dsir1_importance_resample",
+    oracle=f"""
+    WITH dsel_docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tokens
+        FROM documents
+    ),{_dsir_oracle_tail()}
+    SELECT doc_id, weight_micro, score_micro FROM selected
     ORDER BY doc_id
     """,
 )
@@ -718,8 +729,8 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline: per-bucket log-ratios are quantized to
     integer MICRO-NATS once (lm2's device), so each document's weight
     is an exact BIGINT sum (order-free); the Gumbel key derives u from
-    an md5-60-bit integer — (h+1)/(2^60+2), strictly inside (0,1) —
-    and both engines compute the identical double -ln(-ln(u)), rounded
+    an md5-60-bit integer — (h+1)/2^61, strictly inside (0,1) — and
+    both engines compute the identical double -ln(-ln(u)), rounded
     to micro-units and ADDED as integers.  Selection is a pure integer
     sort, so no boundary document can flip between engines.
 
@@ -732,11 +743,24 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the selection budget k = ceil(n/{frac}) comes from a count-only
     job.  Reference analog: none — the reference has no data-selection
     surface; this extends the LLM-pipeline family (SURVEY §2.13)."""
-    import math
-
     docs = _docs(spark, sf_dir).select(
         "doc_id", "source", F.split("text", " ").alias("tokens")
     )
+    return dsir_select(docs).orderBy("doc_id")
+
+
+dsir1_importance_resample.__doc__ = dsir1_importance_resample.__doc__.format(
+    B=_DSIR_B, frac=_DSIR_KEEP_FRAC
+)
+
+
+def dsir_select(docs: DataFrame) -> DataFrame:
+    """DSIR selection over ANY (doc_id, source, tokens) relation —
+    returns the selected (doc_id, weight_micro, score_micro) rows,
+    unordered.  dsir1 runs it over the whole documents table;
+    pipeline3 over its quality gate's survivors."""
+    import math
+
     bucket = (
         F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
         % _DSIR_B
@@ -806,17 +830,8 @@ def dsir1_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
         ).alias("score_micro"),
     )
-    k = math.ceil(_docs(spark, sf_dir).count() / _DSIR_KEEP_FRAC)
-    return (
-        keyed.orderBy(F.desc("score_micro"), "doc_id")
-        .limit(k)
-        .orderBy("doc_id")
-    )
-
-
-dsir1_importance_resample.__doc__ = dsir1_importance_resample.__doc__.format(
-    B=_DSIR_B, frac=_DSIR_KEEP_FRAC
-)
+    k = math.ceil(docs.count() / _DSIR_KEEP_FRAC)
+    return keyed.orderBy(F.desc("score_micro"), "doc_id").limit(k)
 
 
 # --- ENT1: token-entropy quality gate -----------------------------------------

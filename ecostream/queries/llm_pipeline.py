@@ -616,3 +616,168 @@ def shuffle2_epoch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 shuffle2_epoch_orders.__doc__ = shuffle2_epoch_orders.__doc__.format(
     e=_SHUFFLE2_EPOCHS, h=_SHUFFLE2_HEAD
 )
+
+
+# --- PIPELINE3: the round-5 curation funnel ----------------------------------
+
+
+def _pipeline3_oracle() -> str:
+    from .corpus import _ENT1_MIN_MICRO, _dsir_oracle_tail
+    from .text import _D11_CASE
+
+    return f"""
+    WITH fp AS (
+        SELECT doc_id, source, text,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, text,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY {_D11_CASE}, doc_id
+               ) AS rn
+        FROM fp
+    ),
+    dedup AS (SELECT doc_id, source, text FROM ranked WHERE rn = 1),
+    etoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dedup
+    ),
+    ec AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM etoks GROUP BY doc_id, tok
+    ),
+    es AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT)
+                   * CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1000000)
+                          AS BIGINT)
+               - CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS s_micro
+        FROM ec GROUP BY doc_id
+    ),
+    gate AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM dedup d JOIN es ON es.doc_id = d.doc_id
+        WHERE es.s_micro >= {_ENT1_MIN_MICRO} * es.n
+    ),
+    dsel_docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tokens FROM gate
+    ),{_dsir_oracle_tail()},
+    inp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_input
+            FROM documents GROUP BY source),
+    dcnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dedup
+             FROM dedup GROUP BY source),
+    gcnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gate
+             FROM gate GROUP BY source),
+    scnt AS (SELECT g.source, CAST(count(*) AS BIGINT) AS n_selected
+             FROM selected sel JOIN gate g ON g.doc_id = sel.doc_id
+             GROUP BY g.source)
+    SELECT inp.source, inp.n_input,
+           COALESCE(dcnt.n_dedup, 0) AS n_dedup,
+           COALESCE(gcnt.n_gate, 0) AS n_gate,
+           COALESCE(scnt.n_selected, 0) AS n_selected
+    FROM inp
+    LEFT JOIN dcnt USING (source)
+    LEFT JOIN gcnt USING (source)
+    LEFT JOIN scnt USING (source)
+    ORDER BY source
+    """
+
+
+@query("pipeline3_curation_manifest", oracle=_pipeline3_oracle())
+def pipeline3_curation_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed ROUND-5 curation funnel, manifest-pinned the way
+    pipeline2 pins the training-set build: provenance-priority dedup
+    (d11's keep rule) → token-entropy quality gate (ent1's integer
+    micro-nat inequality) → DSIR importance selection over the
+    survivors (dsir1's mechanism, with the target/raw models and the
+    ceil(n/5) budget refit to the gated pool — selection pools in real
+    pipelines are always post-cleaning).  The declared result is the
+    per-source funnel manifest (n_input → n_dedup → n_gate →
+    n_selected), so a row lost or mis-gated at ANY stage boundary
+    flips the driver hash; the oracle replays all three stages plus
+    the manifest joins end to end.
+
+    Scale shape: each stage is its own one-or-two-shuffle plan
+    (fingerprint window; (doc,token) count + doc agg; broadcast-λ
+    scoring + TakeOrdered) and stages hand off doc_id/source/text
+    columns without re-scanning the corpus; the manifest is four
+    source-keyed partial aggregates joined on a 20-value key."""
+    from pyspark.sql import Window as W
+
+    from .corpus import _ENT1_MIN_MICRO, dsir_select
+    from .text import _D11_CASE
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    fpc = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), " "
+        )
+    )
+    wd = W.partitionBy(fpc).orderBy(F.expr(_D11_CASE), F.col("doc_id"))
+    dedup = (
+        docs.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        dedup.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    q = lambda col: F.round(F.log(col.cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    es = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        (
+            F.sum("c").cast("long") * q(F.sum("c"))
+            - F.sum(F.col("c") * q(F.col("c"))).cast("long")
+        ).alias("s_micro"),
+    )
+    gate = (
+        dedup.join(
+            es.where(
+                F.col("s_micro") >= _ENT1_MIN_MICRO * F.col("n")
+            ).select("doc_id"),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    selected = dsir_select(
+        gate.select("doc_id", "source", F.split("text", " ").alias("tokens"))
+    )
+    inp = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_input")
+    )
+    dcnt = dedup.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_dedup")
+    )
+    gcnt = gate.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_gate")
+    )
+    scnt = (
+        selected.select("doc_id")
+        .join(gate.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_selected"))
+    )
+    return (
+        inp.join(dcnt, "source", "left")
+        .join(gcnt, "source", "left")
+        .join(scnt, "source", "left")
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("n_dedup", F.lit(0)).cast("long").alias("n_dedup"),
+            F.coalesce("n_gate", F.lit(0)).cast("long").alias("n_gate"),
+            F.coalesce("n_selected", F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+        )
+        .orderBy("source")
+    )

@@ -217,3 +217,50 @@ def test_d11_priority_beats_doc_id(spark):
             _D11_PRIORITY.get(kept[0]["source"], 99),
             kept[0]["doc_id"],
         ) == best
+
+
+def test_dsir_selects_target_like_documents(spark, tmp_path):
+    """DSIR's whole purpose, verified on a PLANTED distribution shift:
+    target-tier sources (src0-2) write with vocabulary A, most raw
+    docs with vocabulary B, and 50 raw docs with vocabulary A.  The
+    importance weights must pull the A-vocabulary docs into the
+    selected 20% almost exclusively — the Gumbel noise (O(1) nat) is
+    orders below the planted log-ratio gap (~45 nats/doc)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.corpus import dsir1_importance_resample
+
+    rng = np.random.default_rng(7)
+    va = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    vb = ["omega", "psi", "chi", "phi", "upsilon", "tau"]
+    rows = []
+    for i in range(200):
+        if i < 30:
+            vocab, source = va, f"src{i % 3}"          # target tier, A
+        elif i < 80:
+            vocab, source = va, "src10"                 # raw, A-like
+        else:
+            vocab, source = vb, "src10"                 # raw, B
+        toks = [vocab[j] for j in rng.integers(0, len(vocab), 50)]
+        rows.append((i, " ".join(toks), "en", source))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array([r[2] for r in rows]),
+                "source": pa.array([r[3] for r in rows]),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = dsir1_importance_resample(spark, str(tmp_path)).collect()
+    assert len(got) == 40  # ceil(200/5)
+    a_ids = set(range(80))
+    n_a = sum(1 for r in got if r["doc_id"] in a_ids)
+    assert n_a >= 38, (n_a, sorted(r["doc_id"] for r in got))
