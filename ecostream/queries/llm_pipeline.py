@@ -781,3 +781,86 @@ def pipeline3_curation_manifest(
         )
         .orderBy("source")
     )
+
+
+# --- SAMP2: weighted sampling without replacement (Efraimidis-Spirakis) ------
+
+_SAMP2_K_FRAC = 10  # keep ceil(n / 10)
+_SAMP2_U_DEN = float(1 << 61)  # (md5-60-bit + 1) / 2^61 in (0, 0.5]
+
+
+@query(
+    "samp2_weighted_wor",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               -- ES key u^(1/w): rank by q/w ascending where
+               -- q = round(-ln(u)*1e9) is an exact positive BIGINT,
+               -- so the integer division is engine-identical.
+               CAST(ROUND(-ln(
+                   (('0x' || substr(md5('samp2:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::UBIGINT::BIGINT + 1)
+                   / {_SAMP2_U_DEN!r}) * 1000000000) AS BIGINT)
+               // CAST(n_chars AS BIGINT) AS es_key
+        FROM documents
+    ),
+    kk AS (SELECT CAST(CEIL(COUNT(*) / {_SAMP2_K_FRAC}.0) AS BIGINT) AS k
+           FROM documents)
+    SELECT doc_id, weight, es_key
+    FROM (SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rn
+          FROM keyed), kk
+    WHERE rn <= kk.k
+    ORDER BY doc_id
+    """,
+)
+def samp2_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, the A-ES algorithm — THE distributed weighted reservoir
+    method): each document draws a deterministic uniform u from an
+    md5-derived 60-bit integer and is ranked by key u^(1/w) with
+    w = n_chars; the top ceil(n/10) keys are the sample, and inclusion
+    probability is proportional to weight.  This is how a training
+    pipeline takes a size-weighted corpus subsample in ONE distributed
+    pass — per-partition top-k then a global k-merge, no global sort,
+    no sequential reservoir.
+
+    Exactness discipline: maximizing u^(1/w) == minimizing
+    (-ln u)/w; q = round(-ln(u)*1e9) is an exact POSITIVE BIGINT, so
+    es_key = q div w is an integer both engines compute identically
+    (positive operands — no floor-vs-truncate divergence), and the
+    selection is a pure integer sort with doc_id tie-breaks.
+
+    Scale shape: map-only key derivation on the scan, then
+    TakeOrderedAndProject — partition-local heads, k-merge on the
+    driver side of the exchange; the count-only job sets k."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("samp2:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_SAMP2_U_DEN)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.expr(
+            f"CAST(ROUND(-ln((conv(substring(md5(concat('samp2:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) + 1) "
+            f"/ {_SAMP2_U_DEN!r}) * 1000000000) AS BIGINT) "
+            "div CAST(n_chars AS BIGINT)"
+        ).alias("es_key"),
+    )
+    k = math.ceil(docs.count() / _SAMP2_K_FRAC)
+    return (
+        keyed.orderBy("es_key", "doc_id").limit(k).orderBy("doc_id")
+    )

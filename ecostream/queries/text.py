@@ -1725,3 +1725,83 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- DECON1: benchmark decontamination (the removal decision) ----------------
+
+
+@query(
+    "decon1_remove_contaminated",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 7, 1) + 1),
+                   i -> array_to_string(list_slice(tk, i, i + 7), ' ')
+               ))) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    hits AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN bench b ON b.g = gr.g
+        WHERE gr.source <> 'src0'
+    )
+    SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
+           (h.doc_id IS NULL) AS keep
+    FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    WHERE t.source <> 'src0'
+    ORDER BY t.doc_id
+    """,
+)
+def decon1_remove_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the removal decision t9's detector
+    feeds (GPT-3 Appendix C: drop any training document sharing a
+    13-gram with an eval set; 8-grams here, matching t9's signal):
+    every non-benchmark document is emitted with its contaminated flag
+    and the keep bit a training-set build would filter on.  Detection
+    (t9, ranked overlap counts) and removal (this) are separate
+    operators because real pipelines audit the first and apply the
+    second.
+
+    Scale shape: identical to t9 — the benchmark's distinct-gram set
+    broadcasts, so the corpus side never shuffles; the hit set is
+    |contaminated docs| and joins back LEFT against the doc list
+    (broadcast again at this cardinality)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 7, 1)),"
+                    " i -> concat_ws(' ', slice(toks, i, 8)))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("source") == "src0").select("g").distinct()
+    hits = (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        toks.where(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits.withColumn("_c", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_c").isNotNull().alias("contaminated"),
+            F.col("_c").isNull().alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

