@@ -148,9 +148,11 @@ _ROUND_HEAD = [
 # round-5 additions: semdedup3_hierarchical_prune,
 # dsir1_importance_resample, d12_incremental_dedup,
 # ent1_token_entropy_gate, zorder1_layout_stats,
-# st11_stream_outer_join.  Swap those seven to the head (the other 43
-# slots are free for any round-6 additions); that completes
-# driver-signed coverage of every oracle-bearing query.
+# st11_stream_outer_join, pipeline3_curation_manifest,
+# decon1_remove_contaminated, samp2_weighted_wor,
+# s9_schema_evolution.  Swap those eleven to the head (the other 39
+# slots are free for any round-6 additions);
+# that completes driver-signed coverage of every oracle-bearing query.
 
 
 

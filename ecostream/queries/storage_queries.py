@@ -337,3 +337,64 @@ def zorder1_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@query(
+    "s9_schema_evolution",
+    oracle="""
+    WITH med AS (
+        SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) AS split FROM events
+    )
+    SELECT CASE WHEN event_id < med.split THEN '__legacy__'
+                ELSE event_type END AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events, med
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 write side, SCHEMA-EVOLUTION path: the events table is
+    rewritten as two physical generations — v1 files WITHOUT the
+    event_type column (the schema a year-old ingest job wrote), v2
+    files with it — and read back as ONE relation via
+    ``mergeSchema=true``, v1's missing column surfacing as nulls.
+    That null-for-absent semantics is what lets a 100 TB lake add
+    columns without rewriting history; the declared aggregate labels
+    the legacy rows explicitly so the oracle can replay the
+    generation boundary exactly (v1 = event_id below the median
+    split, a count-derived cut).
+
+    Scale note: merged-schema reads keep per-file pushdown and
+    pruning (each file's own footer schema filters first); the only
+    cost is footer reconciliation at planning time — no data rewrite,
+    no shuffle beyond the aggregate's."""
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    split = n // 2
+    root = _workdir("s9_evo")
+    v1 = ev.where(F.col("event_id") < split).drop("event_type")
+    v2 = ev.where(F.col("event_id") >= split)
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    return (
+        merged.select(
+            F.coalesce("event_type", F.lit("__legacy__")).alias(
+                "event_type"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
