@@ -544,6 +544,7 @@ def _sim5b_oracle(
     k: int = _KMB_K,
     iters: int = _KMB_ITERS,
     k_sql: str | None = None,
+    source_sql: str = "embeddings",
 ) -> str:
     """DuckDB replay of the FULL portable k-means IVF pipeline: init →
     ``iters`` × (assign, exact-quantized mean) → final assignment →
@@ -551,7 +552,9 @@ def _sim5b_oracle(
     re-inlining each iteration's inputs exponentially.  ``k_sql``
     (a scalar-subquery string) replaces the literal ``k`` in the init
     LIMIT so callers can derive k from corpus size inside the oracle
-    itself (semdedup2's scale-wired k)."""
+    itself (semdedup2's scale-wired k); ``source_sql`` swaps the
+    training relation (semdedup4 trains on a bounded md5-sample
+    subquery instead of the whole table)."""
 
     def assign(t: int) -> str:
         return f""",
@@ -571,7 +574,7 @@ def _sim5b_oracle(
     parts = [
         f"""
     WITH emb AS MATERIALIZED (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM {source_sql}
     ),
     qe AS MATERIALIZED (
         SELECT vec_id, v,
@@ -1323,6 +1326,149 @@ def semdedup3_hierarchical_prune(
         F.col("cell").alias("branch"),
     )
     vec_br = ivf_assign(emb, supers).withColumnRenamed("cell", "branch")
+    return _cluster_prune(ivf_assign_within(vec_br, cents_br))
+
+
+def _semdedup4_oracle() -> str:
+    """Tower over the bounded md5-sample (trains the b super-centroids),
+    then branch routing of the FULL corpus, deterministic per-branch
+    leaves, in-branch argmax, and the shared prune — every stage a
+    replayable CTE."""
+    b_sql = (
+        "(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / "
+        f"{_SEMDEDUP_CELL_TARGET}.0))) AS BIGINT) FROM embeddings)"
+    )
+    s_sql = (
+        f"(SELECT {_SEMDEDUP_CELL_TARGET} * CAST(CEIL(SQRT(CEIL(COUNT(*)"
+        f" / {_SEMDEDUP_CELL_TARGET}.0))) AS BIGINT) FROM embeddings)"
+    )
+    src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {s_sql}) AS src"
+    )
+    tower = _sim5b_oracle(k_sql=b_sql, source_sql=src)
+    marker = f",\n    a{_KMB_ITERS + 1} AS MATERIALIZED"
+    tower = tower[: tower.index(marker)]
+    c_final = f"c{_KMB_ITERS}"
+    return (
+        tower
+        + f""",
+    allv AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p4 AS (
+        SELECT CAST(CEIL(COUNT(*) / {_SEMDEDUP_CELL_TARGET}.0) AS BIGINT)
+                   AS k,
+               CAST(CEIL(SQRT(CEIL(COUNT(*) / {_SEMDEDUP_CELL_TARGET}.0)))
+                   AS BIGINT) AS b
+        FROM embeddings
+    ),
+    vec_branch AS MATERIALIZED (
+        SELECT vec_id, v, branch FROM (
+            SELECT e.vec_id, e.v, c.cent_id AS branch,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                                / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM allv e CROSS JOIN {c_final} c
+        ) WHERE rn = 1
+    ),
+    leaves AS (
+        SELECT vec_id AS cent_id, v AS cv, branch FROM (
+            SELECT vb.vec_id, vb.v, vb.branch,
+                   row_number() OVER (
+                       PARTITION BY vb.branch ORDER BY vb.vec_id
+                   ) AS lrn
+            FROM vec_branch vb
+        ), p4
+        WHERE lrn <= CAST(CEIL(p4.k / CAST(p4.b AS DOUBLE)) AS BIGINT)
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vb.vec_id, vb.v, lf.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY vb.vec_id
+                       ORDER BY list_dot_product(vb.v, lf.cv)
+                                / sqrt(list_dot_product(lf.cv, lf.cv)) DESC,
+                                lf.cent_id
+                   ) AS rn
+            FROM vec_branch vb JOIN leaves lf ON lf.branch = vb.branch
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS did
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6)
+              >= {_SEMDEDUP_THETA}
+    )
+    SELECT s.vec_id, s.cell, (d.did IS NULL) AS keep
+    FROM assigned s LEFT JOIN dropped d ON d.did = s.vec_id
+    ORDER BY s.vec_id
+    """
+    )
+
+
+@query("semdedup4_two_level_trained", oracle=_semdedup4_oracle())
+def semdedup4_two_level_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fully SCALE-SHAPED SemDeDup: semdedup2's training cost was
+    the last super-linear stage the stress harness measured (exponent
+    1.62 — every Lloyd round scores n x k pairs with k = ceil(n/64)).
+    Here the quantizer is two-level AND cheaply trained:
+
+    - b = ceil(sqrt(k)) SUPER-centroids are trained with the portable
+      k-means on a BOUNDED md5-sample of 64*b vectors — training cost
+      iters x 64b x b ~ 64k dots, LINEAR in k (FAISS's train-on-sample
+      guideline, ~30-256 points per centroid);
+    - the full corpus routes to its super branch (n*b dots, ~n^1.25);
+    - each branch's leaf centroids are its m = ceil(k/b) LOWEST
+      vec_ids (deterministic — no second training pass), and the cell
+      argmax scans only the branch's leaves (~n*k/b more dots);
+    - the shared in-cell prune finishes the job.
+
+    Everything replays in DuckDB: the sample ordering, the whole
+    training tower (init + every Lloyd round over the sample), branch
+    routing, the per-branch leaf row_numbers, the in-branch argmax,
+    and the prune — so trained routing no longer costs oracle
+    coverage the way sim5's float-avg training does.
+
+    Plan: the training collects are model-sized (b x dim); supers
+    broadcast onto one corpus scan for routing; the routed relation is
+    lazily checkpointed once for its two consumers (leaf derivation +
+    assignment); leaves broadcast for the equi-join argmax; one cell
+    shuffle inside the prune."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    k = _semdedup_k(emb)
+    b = math.ceil(math.sqrt(k))
+    m = math.ceil(k / b)
+    sample = (
+        emb.select("vec_id", "v")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEMDEDUP_CELL_TARGET * b)
+    )
+    supers = kmeans_centroids_portable(spark, sample, k=b)
+    vec_br = (
+        ivf_assign(emb, supers)
+        .withColumnRenamed("cell", "branch")
+        .localCheckpoint(eager=False)
+    )
+    wb = W.partitionBy("branch").orderBy("vec_id")
+    cents_br = (
+        vec_br.withColumn("lrn", F.row_number().over(wb))
+        .where(F.col("lrn") <= m)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv_cent"),
+            "branch",
+        )
+    )
     return _cluster_prune(ivf_assign_within(vec_br, cents_br))
 
 

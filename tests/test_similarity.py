@@ -492,3 +492,31 @@ def test_semdedup2_prune_matches_numpy_given_trained_cells(spark, vectors):
     assert len(got) == n
     for k, vid in enumerate(ids):
         assert got[int(vid)] == (int(cell[k]), int(vid) not in dropped)
+
+
+def test_semdedup4_cells_bounded_and_exact_cover(spark):
+    """The sample-trained two-level quantizer must keep every vector
+    exactly once, produce at most b*ceil(k/b) leaf cells, and bound
+    every cell near the target cardinality — trained routing plus
+    deterministic leaves may not recreate the quadratic cell blowup
+    the design removes (max observed 79/92 at sf0.01/sf0.1; 2x target
+    is the regression bound)."""
+    import math
+    from collections import Counter
+
+    from ecostream.queries.similarity import (
+        _SEMDEDUP_CELL_TARGET,
+        _emb,
+        _semdedup_k,
+        semdedup4_two_level_trained,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        k = _semdedup_k(_emb(spark, sf))
+        b = math.ceil(math.sqrt(k))
+        rows = semdedup4_two_level_trained(spark, sf).collect()
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids))
+        cells = Counter(r["cell"] for r in rows)
+        assert len(cells) <= b * math.ceil(k / b)
+        assert max(cells.values()) <= 2 * _SEMDEDUP_CELL_TARGET

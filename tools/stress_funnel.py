@@ -127,6 +127,7 @@ def stages():
         semdedup1_cluster_prune,
         semdedup2_trained_prune,
         semdedup3_hierarchical_prune,
+        semdedup4_two_level_trained,
     )
     from ecostream.queries.text import (
         _docs,
@@ -146,6 +147,7 @@ def stages():
         ("semdedup1 (first-k)", semdedup1_cluster_prune, "vecs"),
         ("semdedup2 (trained)", semdedup2_trained_prune, "vecs"),
         ("semdedup3 (hierarchical)", semdedup3_hierarchical_prune, "vecs"),
+        ("semdedup4 (2-level trained)", semdedup4_two_level_trained, "vecs"),
     ]
 
 
