@@ -122,6 +122,11 @@ REPORT = [
     "d12_incremental_dedup",
     "ent1_token_entropy_gate",
     "zorder1_layout_stats",
+    "semdedup4_two_level_trained",
+    "decon1_remove_contaminated",
+    "samp2_weighted_wor",
+    "pipeline3_curation_manifest",
+    "s9_schema_evolution",
 ]
 
 
@@ -199,12 +204,13 @@ def main() -> None:
         '',
         '| stage | x1 (s) | x5 (s) | x10 (s) | rows x1→x10 | exponent |',
         '|---|---|---|---|---|---|',
-        '| d3 LSH candidates | 2.22 | 3.74 | 5.95 | 1,102 → 48,462 | **0.43** |',
-        '| sparse-cosine verify | 3.11 | 5.62 | 10.00 | 1,102 → 48,462 | **0.51** |',
-        '| d5 dedup clusters | 3.81 | 6.12 | 8.19 | 1,514 → 32,401 | **0.33** |',
-        '| semdedup1 (flat, first-k) | 0.86 | 8.67 | 39.93 | 2k → 20k vecs | **1.66** |',
-        '| semdedup2 (flat, trained) | 3.77 | 36.62 | 158.54 | 2k → 20k vecs | **1.62** |',
-        '| semdedup3 (hierarchical) | 0.84 | 2.31 | 2.99 | 2k → 20k vecs | **0.55** |',
+        '| d3 LSH candidates | 2.47 | 3.82 | 6.19 | 1,102 → 48,462 | **0.40** |',
+        '| sparse-cosine verify | 3.10 | 5.71 | 9.15 | 1,102 → 48,462 | **0.47** |',
+        '| d5 dedup clusters | 3.70 | 5.56 | 9.03 | 1,514 → 32,401 | **0.39** |',
+        '| semdedup1 (flat, first-k) | 0.98 | 8.39 | 40.61 | 2k → 20k vecs | **1.62** |',
+        '| semdedup2 (flat, trained) | 3.45 | 35.43 | 162.24 | 2k → 20k vecs | **1.67** |',
+        '| semdedup3 (hierarchical) | 0.95 | 1.67 | 3.05 | 2k → 20k vecs | **0.51** |',
+        '| semdedup4 (2-level trained) | 2.51 | 3.49 | 5.42 | 2k → 20k vecs | **0.33** |',
         '',
         'exponent = ln(t_x10/t_x1) / ln(10).',
         '',
@@ -236,6 +242,15 @@ def main() -> None:
         '  keep-agreement vs the flat form is test-floored at 0.85 on the',
         '  WORST case for routing (near-orthogonal random embeddings measure',
         '  0.91–0.96).',
+        '- **semdedup4_two_level_trained closes the TRAINED path too**: the',
+        '  b super-centroids train on a bounded 64·b md5-sample (training',
+        '  linear in k — the FAISS train-on-sample regime), each branch’s',
+        '  leaves are its m = ceil(k/b) lowest members (no second training',
+        '  pass), assignment is branch-bounded.  Measured exponent 0.33 —',
+        '  30x faster than flat-trained at x10 (162.2 s → 5.4 s) — and the',
+        '  ENTIRE pipeline still replays in DuckDB, sample + tower + routing',
+        '  + leaves + prune, so trained routing no longer costs oracle',
+        '  coverage.  Every funnel stage now measures ≤ 0.51.',
         '- The d5 claim from r4 is now visible in recorded artifacts: the',
         '  cold column in BENCH_r05.json (bench.py clears the CacheManager',
         '  before every cold run) plus the cold x1 median above.  Local',
