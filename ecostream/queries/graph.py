@@ -599,3 +599,90 @@ def g6_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
         .orderBy("node")
     )
+
+
+# --- G7: user co-presence communities (connected components) -----------------
+
+
+@query(
+    "g7_user_components",
+    oracle="""
+    WITH RECURSIVE
+    ev AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                        event_type, user_id
+        FROM events WHERE user_id < 300
+    ),
+    p AS (
+        SELECT a.user_id AS src, b.user_id AS dst
+        FROM ev a JOIN ev b
+          ON a.h = b.h AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+    walk(v, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v
+    )
+    SELECT v AS user_id, CAST(min(lbl) AS BIGINT) AS component,
+           (v = min(lbl)) AS is_root
+    FROM walk GROUP BY v ORDER BY user_id
+    """,
+)
+def g7_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User co-presence communities: users sharing the SAME
+    (hour, event_type) activity bucket at least 5 distinct times are
+    linked, and the link graph is closed into connected components —
+    the audience-clustering / sybil-group analysis a platform runs on
+    interaction logs, and the third consumer of the engine's
+    distributed CC machinery (after d5/d5b's dedup closure), here over
+    BEHAVIORAL edges instead of content similarity.
+
+    Mechanism: bucket co-membership is a self-join on the bucket key
+    (banded — never all-pairs; a bucket of m users yields m² pairs, so
+    the hour×type key plays the LSH band's role of bounding the
+    quadratic), pair weights are distinct-bucket counts with a ≥5
+    support threshold — calibrated so the graph has real multi-
+    component structure (7 components at sf0.01, 3 at sf0.1; the
+    sf0.001 smoke slice is legitimately empty — too few events per
+    user pair to clear support), then
+    two-phase large-star/small-star components (functions/cc.py,
+    O(log n) rounds; the ≤1M-edge union-find fast path fires at these
+    caps).  The declared form caps user_id < 300 so the oracle's
+    recursive min-label walk stays affordable (the d3b/d10 convention);
+    the mechanism is cap-free — d5 runs the identical closure uncapped.
+
+    Oracle: DuckDB replays bucketing, pair support, and the transitive
+    closure itself via the recursive min-label fixpoint (d5b's
+    device)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    buckets = ev.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count("*").alias("nb"))
+        .where(F.col("nb") >= 5)
+        .select("src", "dst")
+    )
+    from ..functions.cc import connected_components
+
+    labels = connected_components(None, pairs)
+    return labels.select(
+        F.col("v").alias("user_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("v") == F.col("component")).alias("is_root"),
+    ).orderBy("user_id")
