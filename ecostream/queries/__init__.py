@@ -151,8 +151,9 @@ _ROUND_HEAD = [
 # st11_stream_outer_join, pipeline3_curation_manifest,
 # decon1_remove_contaminated, samp2_weighted_wor,
 # s9_schema_evolution, semdedup4_two_level_trained,
-# g7_user_components.  Swap those thirteen to the head (the other
-# 37 slots are free for any round-6 additions);
+# g7_user_components, curr1_curriculum_schedule.  Swap those
+# fourteen to the head (the other 36 slots are free for any round-6
+# additions);
 # that completes driver-signed coverage of every oracle-bearing query.
 
 

@@ -913,3 +913,54 @@ def ent1_token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("entropy_micro_nats"),
         (F.col("s_micro") >= _ENT1_MIN_MICRO * F.col("n")).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- CURR1: curriculum training schedule --------------------------------------
+
+
+def _curr1_oracle() -> str:
+    """lm3's tercile tower composed with the per-phase deterministic
+    ordering — the whole schedule replays."""
+    from .registry import ORACLES
+
+    lm3 = ORACLES["lm3_perplexity_buckets"]
+    return f"""
+    WITH lm3r AS ({lm3})
+    SELECT doc_id, bucket AS phase,
+           CAST(row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5('curr:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM lm3r ORDER BY doc_id
+    """
+
+
+@query("curr1_curriculum_schedule", oracle=_curr1_oracle())
+def curr1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule (Bengio et al. 2009, the
+    perplexity-ordered variant CCNet's buckets were built for): train
+    on the cleanest tercile first, then middle, then tail — phase =
+    lm3's integer-exact perplexity bucket, and WITHIN each phase a
+    deterministic md5 shuffle (shuffle1's device, keyed 'curr:' so the
+    order is independent of every other declared permutation).  The
+    emitted (doc_id, phase, pos) is the complete training order: sort
+    by (phase, pos) and feed batches.
+
+    Scale shape: no global sort anywhere — the position window is
+    PHASE-partitioned (3 partitions of ~n/3, the lm3/shuffle2 device,
+    never a single-partition global row_number), and the phase
+    assignment itself is lm3's broadcast-CASE over an aggregated score
+    distribution.  The oracle replays lm2's micro-nat scoring, lm3's
+    cutoffs, and the per-phase ordering end to end."""
+    from pyspark.sql import Window as W
+
+    lm3 = lm3_perplexity_buckets(spark, sf_dir)
+    wp = W.partitionBy("bucket").orderBy(
+        F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return lm3.select(
+        "doc_id",
+        F.col("bucket").alias("phase"),
+        F.row_number().over(wp).cast("long").alias("pos"),
+    ).orderBy("doc_id")
