@@ -264,3 +264,50 @@ def test_dsir_selects_target_like_documents(spark, tmp_path):
     a_ids = set(range(80))
     n_a = sum(1 for r in got if r["doc_id"] in a_ids)
     assert n_a >= 38, (n_a, sorted(r["doc_id"] for r in got))
+
+
+def test_d12_incremental_dedup_planted(spark, tmp_path):
+    """Incremental-dedup semantics on a PLANTED corpus: delta docs that
+    token-shuffle a base doc must be flagged dup_of_base, duplicate
+    fingerprints WITHIN the delta keep only their lowest doc_id, and
+    novel delta docs survive.  80 base docs + 20 delta docs (ids
+    80..99): 81/84/87 copy base docs, 90 and 93 share a fresh
+    fingerprint, the rest are unique."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.text import d12_incremental_dedup
+
+    base = [f"tok{i} alpha beta gamma delta w{i % 7}" for i in range(80)]
+    delta = []
+    for i in range(80, 100):
+        if i in (81, 84, 87):  # token-shuffled copy of a base doc
+            delta.append(" ".join(reversed(base[i - 80].split(" "))))
+        elif i in (90, 93):  # in-delta duplicate pair
+            delta.append("omega psi chi phi")
+        else:
+            delta.append(f"fresh{i} upsilon tau sigma rho")
+    texts = base + delta
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 100),
+                "source": pa.array(["src1"] * 100),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["dup_of_base"], r["keep"])
+        for r in d12_incremental_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(80, 100))
+    for i in (81, 84, 87):
+        assert got[i] == (True, False), (i, got[i])
+    assert got[90] == (False, True)
+    assert got[93] == (False, False)  # loses the in-delta keep-min
+    for i in set(range(80, 100)) - {81, 84, 87, 90, 93}:
+        assert got[i] == (False, True), (i, got[i])
