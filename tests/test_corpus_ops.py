@@ -311,3 +311,41 @@ def test_d12_incremental_dedup_planted(spark, tmp_path):
     assert got[93] == (False, False)  # loses the in-delta keep-min
     for i in set(range(80, 100)) - {81, 84, 87, 90, 93}:
         assert got[i] == (False, True), (i, got[i])
+
+
+def test_ent1_entropy_gate_planted(spark, tmp_path):
+    """The entropy gate's purpose on constructed extremes: a one-token
+    loop (entropy exactly 0) must be dropped, an all-distinct doc of
+    30 tokens (entropy ln(30) = 3.40 > the 3.0-nat threshold) must
+    pass, and the reported micro-nat scores must match the closed
+    forms."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.corpus import ent1_token_entropy_gate
+
+    texts = [
+        " ".join(["loop"] * 40),                       # H = 0
+        " ".join(f"t{i}" for i in range(30)),          # H = ln 30
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["src1", "src1"]),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ent1_token_entropy_gate(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["keep"] is False and got[0]["entropy_micro_nats"] == 0
+    assert got[1]["keep"] is True
+    assert got[1]["entropy_micro_nats"] == round(math.log(30) * 1_000_000)
