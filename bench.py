@@ -46,7 +46,10 @@ HEADLINE = [
     "t12_inverted_index",         # inverted-index build (round 3)
     "g6_cooccurrence_triangles",  # triangle counting (round 3)
     "cdc1_scd2_intervals",        # SCD2 interval compaction (round 3)
-    "semdedup1_cluster_prune",    # semantic dedup cluster-prune (round 4)
+    "semdedup4_two_level_trained",  # scale-shaped semantic dedup (round 6:
+                                  # replaces semdedup1, whose flat quantizer
+                                  # is a capped paper-baseline now — VERDICT
+                                  # r5 #2)
     "d10_sparse_cosine_verify",   # LSH-candidate sparse-cosine verify (round 4)
     "bpe1_merge_train",           # distributed BPE merge training (round 4)
     "lm2_perplexity_gate",        # bigram-LM perplexity filter (round 4)
@@ -100,6 +103,11 @@ def main() -> None:
     per_query_cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # The previous query's cold loop ends with the CacheManager
+        # cleared, so one UNTIMED priming execution re-populates any
+        # persisted shared sub-plans — warm medians then measure a warm
+        # cache even with ECOSTREAM_BENCH_RUNS=1 (ADVICE r5).
+        fn(spark, sf_dir).collect()
         times = []
         for _ in range(n_runs):
             start = time.perf_counter()
@@ -123,24 +131,54 @@ def main() -> None:
             sf = float(tail[2:])
         except ValueError:
             sf = tail
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "value_cold": round(sum(per_query_cold.values()), 4),
-                "queries_cold": per_query_cold,
-                "sf": sf,
-                "warmup_sec": round(warmup, 4),
-                "n_queries": len(per_query),
-                "runs_per_query": n_runs,
-                "cold_runs_per_query": n_cold,
-                "stat": "median",
-            }
-        )
+    # The driver records only the LAST ~2000 chars of stdout; r5's
+    # single line grew past that (queries + queries_cold) and the
+    # recorded artifact became unparseable (VERDICT r5 #3).  The line
+    # printed here is COMPACT (totals first, 2-decimal per-query map,
+    # no spaces) and asserted under the capture window; the full
+    # 4-decimal record including the per-query cold map goes to a
+    # sidecar file committed alongside (bench_full.json).
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "value_cold": round(sum(per_query_cold.values()), 4),
+        "queries_cold": per_query_cold,
+        "sf": sf,
+        "warmup_sec": round(warmup, 4),
+        "n_queries": len(per_query),
+        "runs_per_query": n_runs,
+        "cold_runs_per_query": n_cold,
+        "stat": "median",
+    }
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "value_cold": full["value_cold"],
+            "sf": sf,
+            "n_queries": len(per_query),
+            "runs_per_query": n_runs,
+            "cold_runs_per_query": n_cold,
+            "stat": "median",
+            "detail": "bench_full.json",
+            "queries": {k: round(v, 2) for k, v in per_query.items()},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, (
+        f"bench line {len(line)} chars would overflow the driver's "
+        "2000-char tail capture — trim the headline map"
+    )
+    print(line)
     spark.stop()
 
 

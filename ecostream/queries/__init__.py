@@ -108,53 +108,28 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # round-4 flagship LLM-pipeline operators
-    "semdedup1_cluster_prune", "semdedup2_trained_prune",
-    "bpe1_merge_train", "tok1_bpe_apply",
-    "lm2_perplexity_gate", "lm3_perplexity_buckets",
-    "d10_sparse_cosine_verify", "d11_priority_dedup",
-    "rag1_retrieve_read", "sim9_knn_classify", "mmr1_diverse_rerank",
-    "mix1_temperature_sampling", "shuffle2_epoch_orders",
-    "qc1_linear_quality", "reg1_normal_equations",
-    "kmv1_distinct_estimate", "kmv2_intersection_estimate",
-    "mm6_jpeg_roundtrip", "mm7_video_roundtrip",
-    # window-function family
-    "w1_running_revenue", "w2_order_rank_per_customer",
-    "w3_gap_sessionize", "w4_order_gap_days", "w5_balance_quartiles",
-    "w6_price_position", "w7_order_shipping_span",
-    "w8_weekly_moving_revenue", "w9_trailing_30d_revenue",
-    # rollup / cube / grouping sets
-    "r1_rollup_revenue", "r2_cube_counts", "r3_grouping_sets",
-    # analytics
-    "a9_percentiles", "a10_numeric_stats", "h1_having_active_users",
-    "c1_cohort_retention", "c2_funnel_conversion",
-    "prof1_profile_events", "dq1_constraint_violations",
-    "v1_variant_props", "arr1_user_event_sequences",
-    "b1_value_quartile_buckets",
-    # series / string / CDC ops
-    "fs1_minmax_scale", "ts1_gap_fill", "ts2_rolling_median_deviation",
-    "str1_fuzzy_part_match", "str2_name_prefix_counts",
-    "cdc1_scd2_intervals",
-    # domain quota / sketch / markov stragglers
-    "ql1_domain_quota", "k4_minhash_jaccard",
-    "m4b_dtmc_classification_distributed",
+    # ROUND 6: the 14 oracle-bearing queries never hash-signed in
+    # CORRECTNESS_r01..r05 (the round-5 additions plus the documented
+    # a9_percentiles_approx leftover) — signing these completes
+    # driver-signed coverage of EVERY oracle-bearing registry key
+    # (VERDICT r5 "Next round" #1).
+    "a9_percentiles_approx",
+    "semdedup3_hierarchical_prune", "semdedup4_two_level_trained",
+    "dsir1_importance_resample", "d12_incremental_dedup",
+    "ent1_token_entropy_gate", "zorder1_layout_stats",
+    "st11_stream_outer_join", "pipeline3_curation_manifest",
+    "decon1_remove_contaminated", "samp2_weighted_wor",
+    "s9_schema_evolution", "g7_user_components",
+    "curr1_curriculum_schedule",
+    # Round-6 additions fill the free slots as they land (each is
+    # oracle-bearing; appended below as the round builds them).
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
 #
-# ROUND-6 ROTATION PLAN: once this head is driver-signed, the only
-# oracle-bearing queries without a signed hash row are
-# a9_percentiles_approx (this round's documented leftover) plus the
-# round-5 additions: semdedup3_hierarchical_prune,
-# dsir1_importance_resample, d12_incremental_dedup,
-# ent1_token_entropy_gate, zorder1_layout_stats,
-# st11_stream_outer_join, pipeline3_curation_manifest,
-# decon1_remove_contaminated, samp2_weighted_wor,
-# s9_schema_evolution, semdedup4_two_level_trained,
-# g7_user_components, curr1_curriculum_schedule.  Swap those
-# fourteen to the head (the other 36 slots are free for any round-6
-# additions);
-# that completes driver-signed coverage of every oracle-bearing query.
+# After round 6 the head is maintenance-only: new queries enter at the
+# head the round they are added; everything older is already signed and
+# stays covered by tools/parity_sweep.py + tests/test_oracle_parity.py.
 
 
 

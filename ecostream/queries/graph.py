@@ -658,6 +658,16 @@ def g7_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure itself via the recursive min-label fixpoint (d5b's
     device)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    return user_copresence_components(ev)
+
+
+def user_copresence_components(ev: DataFrame) -> DataFrame:
+    """Cap-free co-presence closure mechanism (g7's engine, split out so
+    tools/stress_funnel.py can measure it at growing user counts without
+    the declared query's oracle-affordability cap): distinct
+    (hour, event_type, user) buckets → banded self-join on the bucket
+    key → ≥5-distinct-bucket support threshold → two-phase
+    large-star/small-star connected components."""
     buckets = ev.select(
         F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
         "event_type",

@@ -836,26 +836,16 @@ def samp2_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("samp2:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(_SAMP2_U_DEN)
+    # conv() returns STRING: cast to BIGINT BEFORE the +1 (the dsir_select
+    # discipline) so both engines compute double(h+1)/2^61 identically —
+    # string + 1 would coerce to DOUBLE first and could land an ulp off
+    # the oracle when the 60-bit hash sits on a double rounding midpoint.
     keyed = docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("weight"),
         F.expr(
-            f"CAST(ROUND(-ln((conv(substring(md5(concat('samp2:', "
-            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) + 1) "
+            f"CAST(ROUND(-ln((CAST(conv(substring(md5(concat('samp2:', "
+            f"CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1) "
             f"/ {_SAMP2_U_DEN!r}) * 1000000000) AS BIGINT) "
             "div CAST(n_chars AS BIGINT)"
         ).alias("es_key"),

@@ -56,12 +56,15 @@ def test_entry_smoke(spark):
 def test_rotation_head_is_first_50_and_oracle_checked():
     """The driver signs only the first 50 queries() keys; the rotation
     head must stay exactly at the front and every entry must carry an
-    oracle so all 50 signed rows are value-hash comparisons."""
+    oracle so all signed rows are value-hash comparisons.  From round 6
+    the head holds the never-signed stragglers plus this round's new
+    queries — it may be shorter than 50 (the driver then signs trailing
+    already-signed keys, which is harmless re-confirmation)."""
     from ecostream.queries import ORACLES, QUERIES
     from ecostream.queries import _ROUND_HEAD
 
-    assert len(_ROUND_HEAD) == 50
-    assert list(QUERIES)[:50] == _ROUND_HEAD
+    assert 1 <= len(_ROUND_HEAD) <= 50
+    assert list(QUERIES)[: len(_ROUND_HEAD)] == _ROUND_HEAD
     missing = [k for k in _ROUND_HEAD if k not in ORACLES]
     assert not missing, f"rows-only keys in signed head: {missing}"
 

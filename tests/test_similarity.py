@@ -337,6 +337,40 @@ def test_semdedup3_hierarchical_structure_and_agreement(spark):
         assert agree / len(rows) >= 0.85, (sf, agree / len(rows))
 
 
+def test_semdedup4_exact_cover(spark):
+    """The sample-trained two-level tower must keep every vector
+    exactly once at every tested scale (ADVICE r5: an inner-join
+    assignment could silently drop vectors if a branch were leaf-empty;
+    semdedup4's leaves ARE routed vectors, so cover is structural —
+    this pins it against refactors)."""
+    from ecostream.queries.similarity import (
+        _emb,
+        semdedup4_two_level_trained,
+    )
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.1"):
+        n = _emb(spark, sf).count()
+        rows = semdedup4_two_level_trained(spark, sf).collect()
+        assert len(rows) == n, (sf, len(rows), n)
+        assert len({r["vec_id"] for r in rows}) == n
+
+
+def test_semdedup_baseline_cap_does_not_bind_at_test_scales(spark):
+    """semdedup1/2 are capped paper baselines (vec_id <
+    _SEMDEDUP_BASELINE_CAP).  The cap exists to stop the measured-
+    quadratic flat quantizer at large n; it must NOT bind at the
+    driver's correctness scales, or the r5 driver signatures (computed
+    uncapped) would silently refer to different inputs."""
+    from ecostream.queries.similarity import (
+        _SEMDEDUP_BASELINE_CAP,
+        _emb,
+    )
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = _emb(spark, sf).count()
+        assert n < _SEMDEDUP_BASELINE_CAP, (sf, n)
+
+
 def test_sim9_knn_matches_numpy(spark, vectors):
     """sim9's predictions must equal an independent numpy replay:
     rank corpus (vec_id >= NQ) per query by (round(cos, 6) DESC, id),

@@ -229,13 +229,16 @@ def main() -> None:
         '  argmax the new bottleneck — measured, not guessed.**  With',
         '  k = ceil(n/64), assignment scores n·k = n²/64 vector-centroid pairs:',
         '  the in-cell prune became linear but the quantizer went quadratic',
-        '  (exponents 1.66 / 1.62; semdedup2 pays it in all 4 Lloyd+final',
-        '  assignment passes, 158 s at 20k vectors).  This is exactly why the',
-        '  paper assigns with FAISS rather than a flat scan.',
+        '  (exponents 1.62 / 1.67 per the table above; semdedup2 pays it in all',
+        '  4 Lloyd+final assignment passes, 162 s at 20k vectors).  This is',
+        '  exactly why the paper assigns with FAISS rather than a flat scan.',
+        '  Round-6 consequence: semdedup1/2 are now DECLARED as capped paper',
+        '  baselines (vec_id < 4096, non-binding at test/bench scales) and the',
+        '  bench headline slot moved semdedup1 → semdedup4.',
         '- **semdedup3_hierarchical_prune is the fix**: route through',
         '  b = ceil(sqrt(k)) super-centroids (n·b dots), then argmax over only',
         "  that branch's centroids (~n·k/b expected) — ~2n·sqrt(k) total,",
-        '  n^1.5/8 instead of n²/64.  Measured 0.55 (13x faster than flat at',
+        '  n^1.5/8 instead of n²/64.  Measured 0.51 (13x faster than flat at',
         '  x10, 53x vs trained-flat); a depth-d tree generalizes to',
         '  n·d·k^(1/d) ≈ n·log k, the HNSW/annoy regime.  Both argmax levels',
         '  replay in DuckDB (the routing approximation is deterministic), and',
@@ -253,14 +256,24 @@ def main() -> None:
         '  coverage.  Every funnel stage now measures ≤ 0.51.',
         '- The d5 claim from r4 is now visible in recorded artifacts: the',
         '  cold column in BENCH_r05.json (bench.py clears the CacheManager',
-        '  before every cold run) plus the cold x1 median above.  Local',
-        '  sf0.1 bench this round: d5 COLD median 3.11 s — below even the',
-        '  warm 3.33 s recorded in BENCH_r04, so the single-execution',
-        '  pair-pipeline fix is confirmed without plan-cache assistance',
-        '  (r4 PLANS claimed 2.80 s controlled-warm / 4.96 s fully-cold on',
-        '  the old code).  Whole shared headline set vs r4: 0.80x warm',
-        '  (semdedup1 0.38x from the count-derived k), no query above',
-        '  1.04x, warm and cold totals within 1.5% of each other.',
+        "  before every cold run) plus the cold x1 median above.  BENCH_r05's",
+        '  cold map records d5 at 3.11 s — below even the warm 3.33 s recorded',
+        '  in BENCH_r04, so the single-execution pair-pipeline fix is confirmed',
+        '  without plan-cache assistance.',
+        '- **Round-over-round, FROM THE COMMITTED ARTIFACTS ONLY** (corrected',
+        '  in round 6 — the original r5 text here quoted an unrecorded local',
+        '  session; VERDICT r5 #2): BENCH_r04 vs BENCH_r05 warm medians over',
+        '  the 27 shared headline queries give **31.10 s → 28.18 s = 0.91x**.',
+        '  Biggest movers: semdedup1 0.42x (count-derived k), sim1 0.69x,',
+        '  m2 0.70x, pipeline2 0.82x; slowest-moving: cdc1 1.30x warm',
+        '  (0.94 → 1.21 s; its COLD median is 0.89 s, so machine weather on a',
+        '  sub-second query, not a plan change) and rag1 1.15x (0.65 → 0.75 s).',
+        '  29-query r5 totals: warm 31.77 s, cold 31.24 s — within 1.7%.',
+        "  (BENCH_r05's single JSON line overflowed the driver's 2,000-char",
+        '  tail capture — the warm total above is the sum of the recorded',
+        '  per-query map; bench.py now prints a compact totals-first line',
+        '  under the capture window and writes the full record to',
+        '  bench_full.json, VERDICT r5 #3.)',
         "",
         "## Round-4 plan notes",
         "",

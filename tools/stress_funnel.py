@@ -30,6 +30,17 @@ Generation model (mirrors the driver's testdata shape):
 - embeddings: 64-dim gaussians (sigma 0.12, the testdata magnitude);
   with probability VEC_DUP_RATE a vector is a prior vector plus small
   noise (cosine ~0.99, safely past the semdedup theta of 0.4).
+- events (round 6, for the g7 co-presence mechanism): USERS and the
+  hour span BOTH scale with mult while events/user and community size
+  stay constant — the honest model of a growing platform (more users,
+  more history, same activity density), so planted co-presence edges
+  grow linearly.  Users belong to 6-person communities; each community
+  owns a disjoint 100-hour window, so components = communities and
+  bucket occupancy is scale-invariant.
+
+Round-6 stages (VERDICT r5 #5): d12 incremental dedup, the pipeline3
+curation funnel (d11 -> ent1 -> dsir1), and g7's banded co-presence CC
+via the cap-free ``user_copresence_components`` mechanism.
 
 Usage: python tools/stress_funnel.py [--scales 1,5,10] [--runs 3]
 """
@@ -51,9 +62,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_DOCS = 5_000  # sf0.1 cardinalities
 BASE_VECS = 2_000
+BASE_USERS = 300  # g7's declared cap = the x1 user population
+BASE_EVENTS = 100_000  # sf0.1 events cardinality
+COMMUNITY = 6  # planted co-presence community size
+COMMUNITY_HOURS = 100  # each community's private hour window
 DUP_RATE = 0.10
 VEC_DUP_RATE = 0.05
 DIM = 64
+EVENT_TYPES = [f"et{i}" for i in range(8)]
 VOCAB = [
     "batch", "part", "spark", "line", "column", "order", "small", "sort",
     "fast", "value", "scan", "a", "hash", "slow", "group", "agg", "filter",
@@ -118,7 +134,35 @@ def gen_slice(outdir: str, mult: int, seed: int = 42) -> tuple[int, int]:
         ),
         os.path.join(outdir, "embeddings.parquet"),
     )
-    return n_docs, n_vecs
+
+    # events: user u lives in community u // COMMUNITY; each community
+    # owns hours [cid*COMMUNITY_HOURS, (cid+1)*COMMUNITY_HOURS) — hour
+    # span scales with users, so bucket occupancy (and thus pairs per
+    # bucket) is constant across scales while total planted edges grow
+    # linearly with the user population.
+    n_users, n_events = BASE_USERS * mult, BASE_EVENTS * mult
+    users = rng.integers(0, n_users, n_events)
+    hours = (users // COMMUNITY) * COMMUNITY_HOURS + rng.integers(
+        0, COMMUNITY_HOURS, n_events
+    )
+    epoch_us = (hours * 3600 + rng.integers(0, 3600, n_events)) * 1_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_events), pa.int64()),
+                "ts": pa.array(epoch_us, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(
+                    [
+                        EVENT_TYPES[int(x)]
+                        for x in rng.integers(0, len(EVENT_TYPES), n_events)
+                    ]
+                ),
+            }
+        ),
+        os.path.join(outdir, "events.parquet"),
+    )
+    return n_docs, n_vecs, n_users
 
 
 def stages():
@@ -140,12 +184,26 @@ def stages():
         cand = d3_minhash_lsh_candidates(spark, d).select("a_id", "b_id")
         return sparse_cosine_verify(_docs(spark, d), cand)
 
+    from ecostream.queries.graph import user_copresence_components
+    from ecostream.queries.llm_pipeline import pipeline3_curation_manifest
+    from ecostream.queries.text import d12_incremental_dedup
+    from ecostream.schema import load_table
+
+    def copresence_full(spark, d):
+        return user_copresence_components(load_table(spark, d, "events"))
+
+    # semdedup1/2 are now DECLARED capped baselines (vec_id < 4096 —
+    # round-6 re-scope after this harness measured their flat argmax
+    # quadratic at 1.62/1.67); stressing them would measure the cap
+    # constant, so the flat rows are retired from the table and the
+    # scale-path successors (semdedup3/4) remain the measured rows.
     return [
         ("lsh_candidates (d3)", d3_minhash_lsh_candidates, "docs"),
         ("sparse_verify (d10 mech)", verify_full, "docs"),
         ("dedup_clusters (d5)", d5_dedup_clusters, "docs"),
-        ("semdedup1 (first-k)", semdedup1_cluster_prune, "vecs"),
-        ("semdedup2 (trained)", semdedup2_trained_prune, "vecs"),
+        ("incremental_dedup (d12)", d12_incremental_dedup, "docs"),
+        ("curation_funnel (pipeline3)", pipeline3_curation_manifest, "docs"),
+        ("copresence_cc (g7 mech)", copresence_full, "users"),
         ("semdedup3 (hierarchical)", semdedup3_hierarchical_prune, "vecs"),
         ("semdedup4 (2-level trained)", semdedup4_two_level_trained, "vecs"),
     ]
@@ -165,7 +223,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     todo = stages()
 
-    sizes: dict[int, tuple[int, int]] = {}
+    sizes: dict[int, tuple[int, int, int]] = {}
     for mult in scales:
         d = os.path.join(args.workdir, f"x{mult}")
         sizes[mult] = gen_slice(d, mult)
@@ -181,8 +239,8 @@ def main() -> None:
     counts: dict[str, dict[int, int]] = {s: {} for s, _, _ in todo}
     for mult in scales:
         d = os.path.join(args.workdir, f"x{mult}")
-        print(f"-- x{mult}: {sizes[mult][0]} docs, {sizes[mult][1]} vecs",
-              flush=True)
+        print(f"-- x{mult}: {sizes[mult][0]} docs, {sizes[mult][1]} vecs, "
+              f"{sizes[mult][2]} users", flush=True)
         for name, fn, _ in todo:
             times = []
             for _ in range(args.runs):
@@ -202,8 +260,9 @@ def main() -> None:
     report = {}
     for name, _, unit in todo:
         row = "".join(f"{results[name][m]:<10.2f}" for m in scales)
-        n_lo = sizes[lo][0] if unit == "docs" else sizes[lo][1]
-        n_hi = sizes[hi][0] if unit == "docs" else sizes[hi][1]
+        ucol = {"docs": 0, "vecs": 1, "users": 2}[unit]
+        n_lo = sizes[lo][ucol]
+        n_hi = sizes[hi][ucol]
         e = math.log(results[name][hi] / results[name][lo]) / math.log(
             n_hi / n_lo
         )
