@@ -121,8 +121,12 @@ _ROUND_HEAD = [
     "decon1_remove_contaminated", "samp2_weighted_wor",
     "s9_schema_evolution", "g7_user_components",
     "curr1_curriculum_schedule",
-    # Round-6 additions fill the free slots as they land (each is
-    # oracle-bearing; appended below as the round builds them).
+    # Round-6 additions (each oracle-bearing):
+    "sim10_hard_negatives",      # hard-negative mining for contrastive pairs
+    "mrl1_matryoshka_recall",    # truncated-dimension recall eval
+    "mix2_budget_waterfill",     # token-budget waterfill allocation
+    "pair1_preference_pairs",    # DPO-style preference-pair assembly
+    "eval4_lsh_precision",       # LSH candidate precision vs exact Jaccard
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

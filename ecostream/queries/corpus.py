@@ -964,3 +964,123 @@ def curr1_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("phase"),
         F.row_number().over(wp).cast("long").alias("pos"),
     ).orderBy("doc_id")
+
+
+# --- PAIR1: preference-pair assembly (round 6) -------------------------------
+
+_PAIR1_M = 3  # pairs per source
+
+_PAIR1_SCORE_DUCK = f"""
+    SELECT doc_id, source,
+           CAST({_QC_W["n_tokens"]} * len(string_split(text, ' '))
+                + {_QC_W["n_distinct"]}
+                  * len(list_distinct(string_split(text, ' ')))
+                + {_QC_W["n_stop"]} * len(list_filter(
+                      string_split(text, ' '), t -> t IN ('a', 'the')))
+                + {_QC_W["n_chars"]} * length(text)
+                + {_QC_W["bias"]} AS BIGINT) AS score
+    FROM documents
+"""
+
+
+@query(
+    "pair1_preference_pairs",
+    oracle=f"""
+    WITH scored AS ({_PAIR1_SCORE_DUCK}),
+    ranked AS (
+        SELECT doc_id, source, score,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id
+               ) AS BIGINT) AS rb,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY score, doc_id DESC
+               ) AS BIGINT) AS rw,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM scored
+    )
+    SELECT b.source AS source, b.rb AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.score - w.score AS margin_milli
+    FROM ranked b JOIN ranked w
+      ON w.source = b.source AND w.rw = b.rb
+    WHERE b.rb <= {_PAIR1_M} AND 2 * b.rb <= b.n
+      AND b.score - w.score > 0
+    ORDER BY b.source, pair_rank
+    """,
+)
+def pair1_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR assembly — the data-side half of DPO/RLHF reward
+    modeling: within each source, pair the {m} highest-quality
+    documents (qc1's exact integer linear score) with the {m} lowest as
+    (chosen, rejected) examples, keeping only pairs with a strictly
+    positive score margin.  The worst-side rank is the EXACT mirror
+    ordering (score asc, doc_id desc) of the best side's
+    (score desc, doc_id asc), so chosen-i and rejected-i are the i-th
+    and (n-i+1)-th elements of one deterministic order, and the
+    2·i <= n guard keeps them distinct in small groups — both engines
+    agree on every pair including score ties.
+
+    Scale shape: one score projection over the scan (zero-shuffle,
+    qc1's plan), one shuffle on source for both rank windows computed
+    over the SAME partitioning, and a source-co-partitioned self-join
+    on (source, rank) that carries only 2·{m} rows per source.
+    Reference analog: none — dataset-assembly extension (SURVEY
+    §2.13)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    score = (
+        _QC_W["n_tokens"] * F.size(toks).cast("long")
+        + _QC_W["n_distinct"] * F.size(F.array_distinct(toks)).cast("long")
+        + _QC_W["n_stop"]
+        * F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("long")
+        + _QC_W["n_chars"] * F.length("text").cast("long")
+        + F.lit(_QC_W["bias"]).cast("long")
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    wb = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ww = Window.partitionBy("source").orderBy(F.asc("score"), F.desc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(wb).cast("long").alias("rb"),
+        F.row_number().over(ww).cast("long").alias("rw"),
+        F.count("*").over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    b = ranked.where(F.col("rb") <= _PAIR1_M).select(
+        "source",
+        F.col("rb").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("b_score"),
+        "n",
+    )
+    w = ranked.select(
+        F.col("source").alias("w_source"),
+        F.col("rw").alias("w_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("w_score"),
+    )
+    return (
+        b.join(
+            w,
+            (F.col("w_source") == F.col("source"))
+            & (F.col("w_rank") == F.col("pair_rank")),
+        )
+        .where(
+            (2 * F.col("pair_rank") <= F.col("n"))
+            & (F.col("b_score") - F.col("w_score") > 0)
+        )
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            (F.col("b_score") - F.col("w_score")).alias("margin_milli"),
+        )
+        .orderBy("source", "pair_rank")
+    )
+
+
+pair1_preference_pairs.__doc__ = pair1_preference_pairs.__doc__.format(
+    m=_PAIR1_M
+)

@@ -1844,3 +1844,180 @@ def mmr1_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 mmr1_diverse_rerank.__doc__ = mmr1_diverse_rerank.__doc__.format(
     k=_MMR_K, p=_MMR_POOL
 )
+
+
+# --- SIM10: hard-negative mining (round 6) -----------------------------------
+
+_HN_K = 8
+_HN_NQ = 10
+
+
+@query(
+    "sim10_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neg_id, c.label AS neg_label,
+               ROUND({_COS_SQL}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id <> q.vec_id AND c.label <> q.label
+        WHERE q.vec_id < {_HN_NQ}
+    )
+    SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+           neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+           cos_sim, CAST(rn AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neg_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_HN_K} ORDER BY query_id, rnk
+    """,
+)
+def sim10_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the DPR/Contriever
+    recipe: a dense retriever trains best against negatives that are
+    semantically CLOSE to the anchor but wrong): for each anchor vector,
+    the top-{k} highest-cosine vectors whose label DIFFERS — i.e. the
+    most confusable out-of-class examples.  The output is the
+    (anchor, negative) training-pair manifest a contrastive data loader
+    consumes.
+
+    Scale shape: identical to sim9's kNN join — anchors broadcast onto
+    one partition-parallel corpus scan, the label-mismatch predicate
+    prunes map-side, salted two-stage top-k; at real scale the exact
+    scan swaps for any ANN path (sim2/sim4/sim6) unchanged.  Exact and
+    fully oracle-checked (label predicate, cosine, rank ties).
+    Reference analog: none — ANN-family extension (SURVEY §2.13)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("query_label"),
+        F.col("v").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").cast("long").alias("neg_label"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neg_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos_sim"), F.col("neg_id")],
+        k=_HN_K,
+        salt_col=F.col("neg_id"),
+    ).orderBy("query_id", "rnk")
+
+
+sim10_hard_negatives.__doc__ = sim10_hard_negatives.__doc__.format(k=_HN_K)
+
+
+# --- MRL1: matryoshka-truncation recall (round 6) ----------------------------
+
+_MRL_DIM = 16
+
+
+@query(
+    "mrl1_matryoshka_recall",
+    oracle=f"""
+    WITH exact AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_COS_SQL}, 6) DESC, c.vec_id
+                   ) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 10
+    ),
+    trunc AS (
+        SELECT query_id, match_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           (CAST(q.embedding AS DOUBLE[]))[1:{_MRL_DIM}],
+                           (CAST(c.embedding AS DOUBLE[]))[1:{_MRL_DIM}]
+                       ), 6) DESC, c.vec_id
+                   ) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(t.match_id) AS BIGINT) AS n_hit,
+           CAST(count(*) AS BIGINT) AS k,
+           ROUND(count(t.match_id) / CAST(count(*) AS DOUBLE), 6)
+               AS recall_at_10
+    FROM exact e LEFT JOIN trunc t
+      ON t.query_id = e.query_id AND t.match_id = e.match_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def mrl1_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall eval (Kusupati et al. 2022, "
+    Matryoshka Representation Learning"): rank by cosine over only the
+    FIRST {d} of 64 dimensions and measure recall@10 against the
+    full-dimension exact top-10 — the measurement that tells an index
+    owner whether truncated (4x cheaper) vectors are servable.  The
+    eval1/2/3 harness applied to the dimension-truncation axis instead
+    of the quantization axis.
+
+    Scale shape: both arms are the sim1 plan (broadcast queries, one
+    corpus scan, salted top-k); truncation is a map-side slice, so the
+    cheap arm reads {d}/64ths of the vector bytes — exactly the
+    production saving being evaluated.  Fully oracle-checked (DuckDB
+    replays both rankings and the recall join)."""
+    emb = _emb(spark, sf_dir)
+    exact = sim1_cosine_topk(spark, sf_dir)
+    tr = emb.select(
+        "vec_id", F.slice(F.col("v"), 1, _MRL_DIM).alias("v")
+    )
+    q = tr.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = tr.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    trunc = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cos_sim"), F.col("match_id")],
+        k=10,
+        salt_col=F.col("match_id"),
+    )
+    return _ann_recall(exact, trunc).orderBy("query_id")
+
+
+mrl1_matryoshka_recall.__doc__ = mrl1_matryoshka_recall.__doc__.format(
+    d=_MRL_DIM
+)

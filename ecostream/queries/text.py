@@ -1805,3 +1805,94 @@ def decon1_remove_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- EVAL4: LSH candidate precision vs exact Jaccard (round 6) ---------------
+
+_EVAL4_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(t) - 1, 1)),"
+    " i -> concat(element_at(t, i), ' ',"
+    " coalesce(element_at(t, i + 1), ''))))"
+)
+
+
+def _eval4_oracle() -> str:
+    """Compose the d3b oracle (portable LSH candidate pairs) with an
+    exact bigram-shingle Jaccard per pair and bucket into integer
+    deciles — the d5b composition device."""
+    from .registry import ORACLES
+
+    return f"""
+    WITH near AS ({ORACLES["d3b_minhash_lsh_md5"]}),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        coalesce(string_split(text, ' ')[i + 1], '')
+               )) AS sh
+        FROM documents WHERE doc_id < 500
+    ),
+    jac AS (
+        SELECT n.a_id, n.b_id,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+               CAST(len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+        FROM near n
+        JOIN sets sa ON sa.doc_id = n.a_id
+        JOIN sets sb ON sb.doc_id = n.b_id
+    )
+    SELECT CAST((10 * inter) // uni AS BIGINT) AS jaccard_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY 1 ORDER BY jaccard_decile
+    """
+
+
+@query("eval4_lsh_precision", oracle=_eval4_oracle())
+def eval4_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality EVAL: exact bigram-shingle Jaccard for
+    every d3b candidate pair, bucketed into integer deciles
+    ((10·|A∩B|) div |A∪B| — all-BIGINT, no float boundary) — the
+    histogram an operator reads to calibrate band/row counts and the
+    verify threshold (the eval1/2/3 recall-harness discipline applied
+    to the DEDUP family: sketches propose, this measures how well).
+    High-decile mass = true near-dups; decile-0 mass = the false-
+    positive load the verify stage must absorb.
+
+    Scale shape: candidates are banded (never all-pairs), the shingle-
+    set table is derived map-side from one scan, and each pair costs
+    one set intersection — work is |candidates|, the d10 bound.  The
+    declared form rides d3b's doc_id < 500 cap so the full pipeline
+    (banding included) replays in DuckDB; the mechanism is cap-free.
+    Reference analog: minwisehashing.py proposes candidates but never
+    measures them — this is the missing evaluation loop (SURVEY
+    §2.13)."""
+    cand = d3b_minhash_lsh_md5(spark, sf_dir).select("a_id", "b_id")
+    sets = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(_EVAL4_SHINGLES_SPARK).alias("sh"))
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    jac = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            (
+                F.size("sa") + F.size("sb")
+                - F.size(F.array_intersect("sa", "sb"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    return (
+        jac.groupBy(
+            F.expr("(10 * inter) div uni").cast("long").alias("jaccard_decile")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("jaccard_decile")
+    )

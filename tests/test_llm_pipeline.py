@@ -325,3 +325,54 @@ def test_samp2_selection_is_weight_proportional(spark):
         f"SELECT avg(n_chars) FROM '{SF_SMOKE}/documents.parquet'"
     ).fetchone()[0]
     assert mean_sel >= 1.3 * mean_all, (mean_sel, mean_all)
+
+
+def test_waterfill_saturating_regime_matches_brute_force(spark):
+    """The corpus's near-uniform sources can never saturate under a
+    sub-total budget (see the mix2 calibration note), so the saturating
+    branch — small sources taken whole, the level re-spread over the
+    rest — is pinned here on a SKEWED synthetic availability table
+    against a brute-force integer waterlevel, across several budget
+    fractions including edge cases (zero budget, budget >= total)."""
+    from ecostream.queries.llm_pipeline import waterfill_allocation
+
+    avail = {
+        "tiny": 3,
+        "small": 40,
+        "mid": 500,
+        "big": 6_000,
+        "huge": 70_000,
+        "whale": 800_000,
+    }
+    s = spark.createDataFrame(
+        [(k, v) for k, v in avail.items()], "source string, avail long"
+    )
+
+    def brute_level(budget: int) -> int:
+        t = 0
+        # cap at max(avail): past it sum(min(a, t)) is constant and a
+        # budget >= total would otherwise loop forever
+        while t < max(avail.values()) and (
+            sum(min(a, t + 1) for a in avail.values()) <= budget
+        ):
+            t += 1
+        return t
+
+    total = sum(avail.values())
+    for num, den in ((0, 1), (1, 4), (3, 4), (99, 100), (1, 1), (5, 4)):
+        budget = (total * num) // den
+        t = brute_level(budget)
+        want = {k: min(a, t) for k, a in avail.items()}
+        got = {
+            r["source"]: (r["alloc_chars"], r["saturated"])
+            for r in waterfill_allocation(s, num, den).collect()
+        }
+        assert set(got) == set(avail)
+        for k in avail:
+            assert got[k] == (want[k], avail[k] <= t), (num, den, k, t, got)
+        assert sum(a for a, _ in got.values()) <= budget
+    # the 3/4 fraction must exercise BOTH branches on this table
+    budget = (total * 3) // 4
+    t = brute_level(budget)
+    sat = [k for k, a in avail.items() if a <= t]
+    assert sat and len(sat) < len(avail)

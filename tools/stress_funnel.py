@@ -263,9 +263,12 @@ def main() -> None:
         ucol = {"docs": 0, "vecs": 1, "users": 2}[unit]
         n_lo = sizes[lo][ucol]
         n_hi = sizes[hi][ucol]
-        e = math.log(results[name][hi] / results[name][lo]) / math.log(
-            n_hi / n_lo
-        )
+        if n_hi == n_lo:  # single-scale smoke run: no exponent to fit
+            e = float("nan")
+        else:
+            e = math.log(results[name][hi] / results[name][lo]) / math.log(
+                n_hi / n_lo
+            )
         print(f"{name:28s}{row}{e:.2f}")
         report[name] = {
             "secs": {str(m): round(results[name][m], 2) for m in scales},
