@@ -1039,6 +1039,9 @@ def pair1_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", "source", score.alias("score"))
     wb = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
     ww = Window.partitionBy("source").orderBy(F.asc("score"), F.desc("doc_id"))
+    # Both join sides consume `ranked`; the lazy checkpoint runs the
+    # score scan + rank windows once instead of per-side (the d10/d5
+    # plan-economy lesson).
     ranked = scored.select(
         "doc_id",
         "source",
@@ -1046,7 +1049,7 @@ def pair1_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wb).cast("long").alias("rb"),
         F.row_number().over(ww).cast("long").alias("rw"),
         F.count("*").over(Window.partitionBy("source")).cast("long").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     b = ranked.where(F.col("rb") <= _PAIR1_M).select(
         "source",
         F.col("rb").alias("pair_rank"),

@@ -143,3 +143,21 @@ def test_d10_verify_consistent_and_candidate_bounded(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_eval4_deciles_partition_the_candidate_set(spark):
+    """eval4's Jaccard-decile histogram must partition d3b's candidate
+    pairs exactly: decile counts sum to |candidates|, deciles lie in
+    [0, 10], and the high-decile mass is nonzero at this SF (planted
+    near-dups share most shingles)."""
+    from ecostream.queries.text import (
+        d3b_minhash_lsh_md5,
+        eval4_lsh_precision,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    n_cand = d3b_minhash_lsh_md5(spark, sf).count()
+    rows = eval4_lsh_precision(spark, sf).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    assert all(0 <= r["jaccard_decile"] <= 10 for r in rows)
+    assert sum(r["n_pairs"] for r in rows if r["jaccard_decile"] >= 8) > 0

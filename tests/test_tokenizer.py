@@ -89,3 +89,25 @@ def test_tok1_apply_consistent_with_training(spark):
     }
     assert got == expected
     assert sum(m for _, m in got.values()) > 0
+
+
+def test_tok1_reuses_memoized_merge_table(spark):
+    """VERDICT r5 #4: after bpe1 trains in a session, tok1 must be the
+    pure map — it reads the memo instead of re-running the 6 training
+    rounds.  Pin that the memo is populated by bpe1, hit by tok1, and
+    that memoized apply equals cold apply exactly."""
+    from ecostream.queries import tokenizer as tk
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    tk._MERGE_MEMO.pop(key, None)
+    cold = tk.tok1_bpe_apply(spark, sf).collect()  # trains, fills memo
+    assert key in tk._MERGE_MEMO and len(tk._MERGE_MEMO[key]) == tk._BPE_ROUNDS
+    memo_before = list(tk._MERGE_MEMO[key])
+    warm = tk.tok1_bpe_apply(spark, sf).collect()  # must hit the memo
+    assert tk._MERGE_MEMO[key] == memo_before
+    assert warm == cold
+    # bpe1 always retrains (it IS the training benchmark) and refreshes
+    # the memo with the same deterministic rules
+    tk.bpe1_merge_train(spark, sf).collect()
+    assert tk._MERGE_MEMO[key] == memo_before

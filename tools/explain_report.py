@@ -127,6 +127,11 @@ REPORT = [
     "samp2_weighted_wor",
     "pipeline3_curation_manifest",
     "s9_schema_evolution",
+    "sim10_hard_negatives",
+    "mrl1_matryoshka_recall",
+    "mix2_budget_waterfill",
+    "pair1_preference_pairs",
+    "eval4_lsh_precision",
 ]
 
 
@@ -188,6 +193,41 @@ def main() -> None:
         "are TakeOrderedAndProject, multi-group-set aggs use one scan +",
         "Expand.  Regenerate after plan-affecting changes.",
         "",
+        '## Round-6 scale stress: every production funnel, third generation',
+        '',
+        '`tools/stress_funnel.py` re-run after the round-6 re-scope with the',
+        'three funnels VERDICT r5 #5 asked for added: d12 incremental dedup,',
+        'the pipeline3 curation funnel (d11 → ent1 → dsir1), and g7\'s banded',
+        'co-presence CC via the cap-free `user_copresence_components`',
+        'mechanism over generated events (users AND the hour span scale with',
+        'the multiplier — constant per-user activity and bucket occupancy, so',
+        'planted co-presence edges grow linearly; components = the planted',
+        '6-user communities).  Same protocol: COLD medians of 3, untimed',
+        'warm-up first, local[32].  The flat semdedup1/2 rows are RETIRED',
+        'from the table — they are now declared capped baselines',
+        '(vec_id < 4096), so stressing them would measure the cap constant;',
+        'their round-5 quadratic measurements stand below as the evidence',
+        'for the re-scope.',
+        '',
+        '| stage | x1 (s) | x5 (s) | x10 (s) | rows x1→x10 | exponent |',
+        '|---|---|---|---|---|---|',
+        '| d3 LSH candidates | 2.47 | 4.16 | 6.71 | 1,102 → 48,462 | **0.43** |',
+        '| sparse-cosine verify | 3.46 | 6.38 | 10.31 | 1,102 → 48,462 | **0.47** |',
+        '| d5 dedup clusters | 3.63 | 6.88 | 10.09 | 1,514 → 32,401 | **0.44** |',
+        '| d12 incremental dedup | 0.25 | 0.26 | 0.24 | 1,000 → 10,000 | **~0** |',
+        '| pipeline3 curation funnel | 1.03 | 2.15 | 2.05 | 20 (manifest) | **0.30** |',
+        '| g7 co-presence CC | 1.08 | 2.25 | 2.72 | 300 → 3,000 users | **0.40** |',
+        '| semdedup3 (hierarchical) | 0.95 | 1.81 | 4.17 | 2k → 20k vecs | **0.64** |',
+        '| semdedup4 (2-level trained) | 2.69 | 3.76 | 5.21 | 2k → 20k vecs | **0.29** |',
+        '',
+        'Round-6 findings: every declared funnel now measures ≤ 0.64 — no',
+        'stage approaches the ~1.2 bar.  d12 is flat because one fingerprint',
+        'shuffle over ≤50k docs is pure overhead at these sizes (its work',
+        'term is O(|delta| + |base keys|) by construction); semdedup3 ticked',
+        'up from 0.51 to 0.64 as its ~n^1.5/8 assignment term starts to show',
+        'through fixed overhead — still the expected two-level curve, and',
+        'the sample-trained semdedup4 (0.29) is the flagship path.',
+        '',
         '## Round-5 scale stress: dedup/ANN funnel beyond sf0.1',
         '',
         '`tools/stress_funnel.py` (VERDICT r4 #6): deterministic documents/',
