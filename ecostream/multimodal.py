@@ -617,3 +617,70 @@ def avi_roundtrip_check(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_check, schema=VIDEO_VERIFY_SCHEMA)
+
+
+WAV_FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame", T.LongType(), False),
+        T.StructField("n_in_frame", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("n_zero_cross", T.LongType(), False),
+    ]
+)
+
+
+def wav_frame_features(df: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Frame-level audio FEATURE EXTRACTION over decoded WAV payloads —
+    the Arrow stage a multimodal training pipeline runs between "raw
+    audio bytes" and "model features": decode the RIFF container,
+    window the PCM into ``frame_len``-sample frames (final partial
+    frame kept), and emit per-frame integer features:
+
+    - ``energy``       = sum of |sample| over the frame (exact BIGINT
+                         L1 energy — no float windowing, so the DuckDB
+                         oracle replays it from id arithmetic);
+    - ``n_zero_cross`` = count of adjacent pairs within the frame with
+                         strictly negative product (zero samples are
+                         not crossings — an exact integer predicate).
+
+    One row per (media, frame); map-only — payloads and samples never
+    leave the partition, and the fan-out is bounded by
+    n_samples / frame_len rows per media."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            mids, frames, nin, energies, zcs = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                for f0 in range(0, n, frame_len):
+                    fr = samples[f0 : f0 + frame_len]
+                    mids.append(int(mid))
+                    frames.append(f0 // frame_len)
+                    nin.append(len(fr))
+                    energies.append(sum(abs(x) for x in fr))
+                    zcs.append(
+                        sum(
+                            1
+                            for a, b2 in zip(fr, fr[1:])
+                            if a * b2 < 0
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="int64"),
+                    "n_in_frame": pd.Series(nin, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "n_zero_cross": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_features, schema=WAV_FRAME_FEATURES_SCHEMA)

@@ -127,6 +127,10 @@ _ROUND_HEAD = [
     "mix2_budget_waterfill",     # token-budget waterfill allocation
     "pair1_preference_pairs",    # DPO-style preference-pair assembly
     "eval4_lsh_precision",       # LSH candidate precision vs exact Jaccard
+    "eval5_lsh_recall",          # LSH candidate recall vs exact truth
+    "mm8_audio_frame_features",  # WAV frame energy / zero-crossing features
+    "fim1_span_corruption",      # T5-style span-corruption manifest
+    "pack2_boundary_masks",      # packed-sequence attention-mask fields
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

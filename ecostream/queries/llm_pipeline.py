@@ -988,3 +988,163 @@ def waterfill_allocation(s: DataFrame, num: int, den: int) -> DataFrame:
 mix2_budget_waterfill.__doc__ = mix2_budget_waterfill.__doc__.format(
     num=_MIX2_BUDGET_NUM, den=_MIX2_BUDGET_DEN
 )
+
+
+# --- FIM1: T5-style span-corruption manifest (round 6) -----------------------
+
+_FIM_RATE = 15  # percent of token positions corrupted
+
+# Per-position corruption flag: two md5 hex digits of "doc_id:i" -> a
+# 0..99 bucket (the split1 device, position edition), corrupted iff
+# bucket < rate.  Stateless, so a position's flag AND its predecessor's
+# are both recomputable in the same row — span starts need no window.
+_FIM_C_SPARK = (
+    "pmod(ascii(substring(md5(concat(cast(doc_id as string), ':', "
+    "cast({i} as string))), 1, 1)) * 31 "
+    "+ ascii(substring(md5(concat(cast(doc_id as string), ':', "
+    "cast({i} as string))), 2, 1)), 100) < " + str(_FIM_RATE)
+)
+_FIM_C_DUCK = (
+    "((ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST({i} AS VARCHAR)), 1, 1)) * 31 "
+    "+ ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST({i} AS VARCHAR)), 2, 1))) % 100) < " + str(_FIM_RATE)
+)
+
+
+@query(
+    "fim1_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n, UNNEST(generate_series(1, n)) AS i FROM toks
+    ),
+    flags AS (
+        SELECT doc_id, n, i,
+               CASE WHEN {_FIM_C_DUCK.format(i="i")} THEN 1 ELSE 0 END AS c,
+               CASE WHEN {_FIM_C_DUCK.format(i="i")}
+                     AND (i = 1 OR NOT ({_FIM_C_DUCK.format(i="(i - 1)")}))
+                    THEN 1 ELSE 0 END AS starts
+        FROM pos
+    )
+    SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_corrupted,
+           CAST(SUM(starts) AS BIGINT) AS n_spans,
+           CAST((1000 * SUM(c)) // MIN(n) AS BIGINT) AS corruption_permille
+    FROM flags GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def fim1_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style SPAN-CORRUPTION manifest (Raffel et al. 2020): mark
+    ~{rate}% of token positions for corruption via a deterministic
+    per-position hash, and report per document the corrupted-token
+    count, the number of contiguous corruption SPANS (= sentinel tokens
+    the denoising target needs), and the realized corruption rate in
+    exact permille.  Adjacent marked positions merge into one span
+    exactly as T5's span merging does, so n_spans is the sentinel
+    budget a span-corruption data loader must reserve.
+
+    Stateless span detection: a position's flag and its predecessor's
+    flag are BOTH pure hash functions of (doc_id, i), so span starts
+    (marked AND predecessor unmarked) need no window — the whole
+    manifest is explode + map-side flags + one partial-aggregated
+    groupBy on doc_id.  Deterministic across engines, partitionings,
+    and runs — what a seeded rand() corruption cannot promise.
+    Reference analog: none — dataset-assembly extension (SURVEY
+    §2.13)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    pos = docs.select(
+        "doc_id", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+    )
+    c = F.expr(_FIM_C_SPARK.format(i="i"))
+    c_prev = F.expr(_FIM_C_SPARK.format(i="(i - 1)"))
+    flags = pos.select(
+        "doc_id",
+        "n",
+        c.cast("int").alias("c"),
+        (c & ((F.col("i") == 1) | ~c_prev)).cast("int").alias("starts"),
+    )
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.min("n").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_corrupted"),
+            F.sum("starts").cast("long").alias("n_spans"),
+            F.expr("(1000 * sum(c)) div min(n)")
+            .cast("long")
+            .alias("corruption_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+fim1_span_corruption.__doc__ = fim1_span_corruption.__doc__.format(
+    rate=_FIM_RATE
+)
+
+
+# --- PACK2: packed-sequence boundary masks (round 6) -------------------------
+
+
+@query(
+    "pack2_boundary_masks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    run AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tok AS cum_before
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS bin_offset,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor((cum_before % {_PACK_BUDGET} + n_tok - 1)
+                      / {_PACK_BUDGET}) + 1 AS BIGINT) AS n_bins_spanned,
+           (cum_before % {_PACK_BUDGET} + n_tok > {_PACK_BUDGET})
+               AS crosses_boundary
+    FROM run ORDER BY doc_id
+    """,
+)
+def pack2_boundary_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BOUNDARY MASKS for pack1's concatenative packing —
+    what the training loader actually needs to build block-diagonal
+    attention masks and per-bin loss masks: each document's bin, its
+    token offset within the bin, how many bins it spans, and whether it
+    crosses a bin boundary (straddlers get split or masked depending on
+    loader policy; either way the loader needs exactly these fields).
+    pack1 reports the per-bin manifest; this is the per-document dual —
+    same prefix sum, document-level projection instead of bin-level
+    aggregation.
+
+    Scale shape: the running total is the DISTRIBUTED prefix sum
+    (functions/prefix.py — range-partition, local cumsum, driver-merged
+    offsets; never a global Window.orderBy), and everything after it is
+    a map-side projection.  All-integer: offsets, spans, and the
+    boundary predicate are exact in both engines."""
+    from ..functions.prefix import with_prefix_sum
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    run = with_prefix_sum(docs, ["doc_id"], "n_tok")
+    off = F.col("cum_before") % _PACK_BUDGET
+    return run.select(
+        "doc_id",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("bin"),
+        off.cast("long").alias("bin_offset"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.floor((off + F.col("n_tok") - 1) / _PACK_BUDGET) + 1)
+        .cast("long")
+        .alias("n_bins_spanned"),
+        (off + F.col("n_tok") > _PACK_BUDGET).alias("crosses_boundary"),
+    ).orderBy("doc_id")

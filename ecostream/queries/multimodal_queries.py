@@ -363,3 +363,62 @@ def mm7_video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     ).orderBy("media_id")
+
+
+# --- MM8: audio frame-feature extraction (round 6) ---------------------------
+
+
+@query(
+    "mm8_audio_frame_features",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id AS media_id, doc_id % 500 + 100 AS n
+        FROM documents WHERE doc_id < 300
+    ),
+    ex AS (
+        SELECT media_id, UNNEST(generate_series(0, n - 1)) AS i FROM r
+    ),
+    s AS (
+        SELECT media_id, i, CAST(i // 64 AS BIGINT) AS frame,
+               ((media_id * 31 + i * 17) % 4096) - 2048 AS x
+        FROM ex
+    ),
+    zc AS (
+        SELECT media_id, frame, x,
+               lag(x) OVER (PARTITION BY media_id, frame ORDER BY i) AS px
+        FROM s
+    )
+    SELECT media_id, frame,
+           CAST(count(*) AS BIGINT) AS n_in_frame,
+           CAST(SUM(ABS(x)) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN px IS NOT NULL AND px * x < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM zc GROUP BY media_id, frame
+    ORDER BY media_id, frame
+    """,
+)
+def mm8_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio FEATURES from real WAV payloads — the stage a
+    multimodal training pipeline runs between raw bytes and model
+    input: encode deterministic PCM into RIFF/WAV containers (the mm5
+    synth stage), then DECODE and window into 64-sample frames with
+    integer L1 energy and zero-crossing counts per frame
+    (ecostream/multimodal.py wav_frame_features — an Arrow mapInPandas
+    fan-out of ceil(n/64) rows per media, payloads never leaving the
+    partition).  The oracle predicts every frame's sample membership,
+    energy, and crossing count from id arithmetic alone, so a wrong
+    frame boundary, endianness slip, or off-by-one in the windowing
+    fails the per-frame hash.  Bounded at 300 media (the mm7 device)
+    so oracle cost is sf-independent; the mechanism is cap-free.
+    Reference analog: none — multimodal-pipeline extension (SURVEY
+    §2.13)."""
+    from ..multimodal import synth_wav_media, wav_frame_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return wav_frame_features(synth_wav_media(docs)).orderBy(
+        "media_id", "frame"
+    )

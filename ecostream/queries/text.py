@@ -1896,3 +1896,151 @@ def eval4_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("jaccard_decile")
     )
+
+
+# --- EVAL5: LSH candidate recall vs exact Jaccard truth (round 6) ------------
+
+_EVAL5_CAP = 200  # d2's exact-truth domain
+_EVAL5_THRESHOLDS = (200, 400, 600, 800)  # permille
+
+
+def _eval5_oracle() -> str:
+    """Compose d3b's banded candidates with the d2-style exact
+    inverted-index truth set over the same doc_id < cap slice and
+    report recall per Jaccard threshold — integer threshold predicate
+    (1000·inter >= t·union), one float division at the very end."""
+    from .registry import ORACLES
+
+    ths = ", ".join(str(t) for t in _EVAL5_THRESHOLDS)
+    return f"""
+    WITH near AS ({ORACLES["d3b_minhash_lsh_md5"]}),
+    shingles AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        coalesce(string_split(text, ' ')[i + 1], '')
+               ))) AS sh
+        FROM documents WHERE doc_id < {_EVAL5_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    truth AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS inter,
+               CAST(sa.sz + sb.sz - count(*) AS BIGINT) AS uni
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+    ),
+    flagged AS (
+        SELECT t.*, (n.a_id IS NOT NULL) AS caught
+        FROM truth t LEFT JOIN
+             (SELECT * FROM near
+              WHERE a_id < {_EVAL5_CAP} AND b_id < {_EVAL5_CAP}) n
+          ON n.a_id = t.a_id AND n.b_id = t.b_id
+    ),
+    th AS (SELECT UNNEST([{ths}]) AS t)
+    SELECT CAST(th.t AS BIGINT) AS threshold_permille,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_caught,
+           ROUND(SUM(CASE WHEN caught THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM flagged, th
+    WHERE 1000 * inter >= th.t * uni
+    GROUP BY th.t HAVING count(*) > 0
+    ORDER BY threshold_permille
+    """
+
+
+@query("eval5_lsh_recall", oracle=_eval5_oracle())
+def eval5_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate RECALL against exact ground truth — eval4's dual:
+    for each Jaccard threshold (0.2/0.4/0.6/0.8), what fraction of
+    TRULY similar pairs did the banding propose?  eval4 measures how
+    much junk the candidates carry (precision); this measures what the
+    bands MISS — together they are the operating curve an operator
+    tunes band/row counts against (the S-curve: recall must be ~1 at
+    the dedup threshold, junk tolerable below it).
+
+    Exactness: truth is the d2 inverted-index join over the same
+    doc_id < 200 slice (integer inter/union per pair), the threshold
+    predicate is all-integer (1000·inter >= t·union), candidates are
+    d3b's oracle-checked banding, and the single float division per
+    output row is ROUND(,6)-pinned.  Scale shape: the truth join is
+    shingle-banded (never all-pairs), the candidate set joins on the
+    pair key, and only |thresholds| rows leave the final aggregate.
+    Reference analog: minwisehashing.py fixes 8 bands x 4 rows blind —
+    this is the measurement that choice should have come from (SURVEY
+    §2.13)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _EVAL5_CAP)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " coalesce(element_at(t, i + 1), '')))"
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    truth = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    cand = (
+        d3b_minhash_lsh_md5(spark, sf_dir)
+        .where((F.col("a_id") < _EVAL5_CAP) & (F.col("b_id") < _EVAL5_CAP))
+        .withColumn("_c", F.lit(1))
+    )
+    flagged = truth.join(cand, ["a_id", "b_id"], "left").select(
+        "inter", "uni", F.col("_c").isNotNull().alias("caught")
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _EVAL5_THRESHOLDS])
+    ).alias("threshold_permille")
+    return (
+        flagged.select("inter", "uni", "caught", th)
+        .where(1000 * F.col("inter") >= F.col("threshold_permille") * F.col("uni"))
+        .groupBy(F.col("threshold_permille").cast("long").alias("threshold_permille"))
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.when(F.col("caught"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_caught"),
+            F.round(
+                F.sum(F.when(F.col("caught"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("threshold_permille")
+    )

@@ -132,6 +132,10 @@ REPORT = [
     "mix2_budget_waterfill",
     "pair1_preference_pairs",
     "eval4_lsh_precision",
+    "eval5_lsh_recall",
+    "mm8_audio_frame_features",
+    "fim1_span_corruption",
+    "pack2_boundary_masks",
 ]
 
 
