@@ -131,6 +131,8 @@ _ROUND_HEAD = [
     "mm8_audio_frame_features",  # WAV frame energy / zero-crossing features
     "fim1_span_corruption",      # T5-style span-corruption manifest
     "pack2_boundary_masks",      # packed-sequence attention-mask fields
+    "s10_encoding_stats",        # dictionary/RLE/plain layout advisor
+    "skew1_join_key_diagnostics",  # heavy-key skew measurement
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

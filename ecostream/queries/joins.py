@@ -810,3 +810,95 @@ def j28_banded_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_user_days"))
         .orderBy("promo_id")
     )
+
+
+# --- SKEW1: join-key skew diagnostics (round 6) ------------------------------
+
+
+@query(
+    "skew1_join_key_diagnostics",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+               CAST(MAX(n_orders) AS BIGINT) AS max_orders
+        FROM counts
+    ),
+    top AS (
+        SELECT custkey, n_orders,
+               CAST(row_number() OVER (
+                   ORDER BY n_orders DESC, custkey
+               ) AS BIGINT) AS rnk
+        FROM counts
+    )
+    SELECT t.rnk, t.custkey, t.n_orders, s.n_keys, s.total_orders,
+           CAST((1000 * s.max_orders * s.n_keys) // s.total_orders
+                AS BIGINT) AS skew_permille,
+           ((1000 * s.max_orders * s.n_keys) // s.total_orders >= 2000)
+               AS salting_recommended
+    FROM top t, stats s
+    WHERE t.rnk <= 5
+    ORDER BY t.rnk
+    """,
+)
+def skew1_join_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostics — the measurement run before choosing
+    a join strategy for a key (broadcast / salt / AQE skew-join): per
+    candidate key (o_custkey), the 5 heaviest keys with their counts,
+    the key cardinality, and the skew factor max/avg in exact permille
+    ((1000·max·n_keys) div total — all-BIGINT, no float mean).
+    ``salting_recommended`` fires when the heaviest key carries >= 2x
+    the average key's rows — the rule of thumb at which a sort-merge
+    join's hottest task dominates the stage and the salt/AQE paths
+    (functions/salt.py, tk1) pay for themselves.
+
+    Scale shape: one partial-aggregated shuffle for per-key counts;
+    the stats row is a model-sized aggregate broadcast back onto the
+    bounded top-5 (TakeOrderedAndProject semantics via rank <= 5); the
+    fact table is scanned once, one column.  Reference analog: none —
+    the reference hand-builds per-key hash indexes blind
+    (InsectDataStore); this is the measurement that says whether a key
+    NEEDS special handling (SURVEY §2.13)."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .localCheckpoint(eager=False)
+    )
+    stats = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.max("n_orders").cast("long").alias("max_orders"),
+    )
+    from pyspark.sql import Window as W
+
+    top = (
+        counts.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.orderBy(F.desc("n_orders"), F.asc("custkey")))
+            .cast("long"),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rnk",
+            "custkey",
+            "n_orders",
+            "n_keys",
+            "total_orders",
+            F.expr("(1000 * max_orders * n_keys) div total_orders")
+            .cast("long")
+            .alias("skew_permille"),
+            F.expr(
+                "(1000 * max_orders * n_keys) div total_orders >= 2000"
+            ).alias("salting_recommended"),
+        )
+        .orderBy("rnk")
+    )

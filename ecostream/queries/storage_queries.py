@@ -398,3 +398,102 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- S10: column encoding statistics (round 6) -------------------------------
+
+
+@query(
+    "s10_encoding_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, event_type, user_id,
+               lag(event_type) OVER (ORDER BY event_id) AS prev_type,
+               lag(user_id) OVER (ORDER BY event_id) AS prev_user
+        FROM events
+    ),
+    per_col AS (
+        SELECT 'event_type' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN prev_type IS NULL
+                              OR prev_type <> event_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM ordered
+        UNION ALL
+        SELECT 'user_id',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(SUM(CASE WHEN prev_user IS NULL
+                              OR prev_user <> user_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM ordered
+    )
+    SELECT col, n_rows, n_distinct, n_runs,
+           CAST(n_rows // n_runs AS BIGINT) AS rle_ratio,
+           CASE WHEN 1000 * n_distinct <= 2 * n_rows THEN 'dictionary'
+                WHEN n_rows >= 4 * n_runs THEN 'rle'
+                ELSE 'plain' END AS recommendation
+    FROM per_col ORDER BY col
+    """,
+)
+def s10_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column ENCODING statistics — the scan an ANALYZE/OPTIMIZE layout
+    advisor runs before choosing parquet encodings: per column, row
+    count, distinct count, and the number of value RUNS in storage
+    (event_id) order, from which dictionary-vs-RLE-vs-plain is decided
+    (dictionary when distinct/rows <= 0.2%, RLE when the mean run
+    length >= 4 — all-integer predicates).
+
+    Scale shape: run counting needs each row's PREDECESSOR in storage
+    order, but NOT a global window (Exchange SinglePartition at 100
+    TB) — the engine joins the table to itself on
+    event_id = event_id - 1 (a co-partitioned equi-join after one
+    hash shuffle each side; contiguous ids make the predecessor an
+    equi-key).  The first row (no predecessor) starts a run by
+    definition, which the LEFT join's null encodes.  Distinct counts
+    are partial-aggregated; the final result is 2 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    prev = ev.select(
+        (F.col("event_id") + 1).alias("event_id"),
+        F.col("event_type").alias("prev_type"),
+        F.col("user_id").alias("prev_user"),
+    )
+    joined = ev.join(prev, "event_id", "left").localCheckpoint(eager=False)
+    rows = []
+    for col, prev_col in (
+        ("event_type", "prev_type"),
+        ("user_id", "prev_user"),
+    ):
+        rows.append(
+            joined.agg(
+                F.lit(col).alias("col"),
+                F.count("*").alias("n_rows"),
+                F.countDistinct(col).cast("long").alias("n_distinct"),
+                F.sum(
+                    F.when(
+                        F.col(prev_col).isNull()
+                        | (F.col(prev_col) != F.col(col)),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_runs"),
+            )
+        )
+    per_col = rows[0].unionAll(rows[1])
+    return per_col.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        F.expr("n_rows div n_runs").cast("long").alias("rle_ratio"),
+        F.when(
+            1000 * F.col("n_distinct") <= 2 * F.col("n_rows"), "dictionary"
+        )
+        .when(F.col("n_rows") >= 4 * F.col("n_runs"), "rle")
+        .otherwise("plain")
+        .alias("recommendation"),
+    ).orderBy("col")

@@ -136,6 +136,8 @@ REPORT = [
     "mm8_audio_frame_features",
     "fim1_span_corruption",
     "pack2_boundary_masks",
+    "s10_encoding_stats",
+    "skew1_join_key_diagnostics",
 ]
 
 
