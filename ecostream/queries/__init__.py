@@ -133,6 +133,7 @@ _ROUND_HEAD = [
     "pack2_boundary_masks",      # packed-sequence attention-mask fields
     "s10_encoding_stats",        # dictionary/RLE/plain layout advisor
     "skew1_join_key_diagnostics",  # heavy-key skew measurement
+    "roll1_weekly_from_daily",   # materialized daily rollup -> weekly serve
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

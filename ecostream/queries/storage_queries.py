@@ -497,3 +497,68 @@ def s10_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommendation"),
     ).orderBy("col")
+
+
+# --- ROLL1: materialized rollup serving (round 6) ----------------------------
+
+
+@query(
+    "roll1_weekly_from_daily",
+    oracle="""
+    -- day must be BIGINT BEFORE the // — DuckDB's // on DOUBLE is
+    -- plain division (no floor) and the BIGINT cast then ROUNDS
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY week, event_type
+    """,
+)
+def roll1_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED ROLLUP serving — the continuous-aggregate /
+    summary-table pattern (TimescaleDB's hypertable rollups, every
+    warehouse's daily-cube): aggregate raw events to a DAILY
+    (day, event_type) rollup table, WRITE it to parquet (the
+    materialization), then answer a WEEKLY query purely from the
+    rollup — raw events are never rescanned at serve time.  The oracle
+    computes the weekly answer directly from raw events, so the
+    re-aggregation is provably lossless: any row dropped, double-
+    counted, or mis-bucketed by the rollup or its additivity fails the
+    hash.
+
+    Exactness across re-aggregation: counts are integers and value
+    sums are DECIMAL(18,2) partials — decimal addition is associative,
+    so sum-of-daily-sums equals the direct weekly sum bit-for-bit
+    (a double partial would not promise that).  Day and week are
+    integer epoch arithmetic (day = floor(epoch/86400), week = day
+    div 7) — no engine calendar/week-convention dependence.
+
+    Scale shape: the rollup build is one partial-aggregated shuffle on
+    (day, type) writing |days|x|types| rows; serving reads ONLY the
+    rollup (at 100 TB: MBs instead of the raw TBs — the entire point),
+    with one tiny shuffle to week granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+    daily = ev.groupBy(
+        day.alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+    )
+    rollup_path = _workdir("roll1_daily")
+    daily.write.mode("overwrite").parquet(rollup_path)
+    rollup = spark.read.parquet(rollup_path)
+    return (
+        rollup.groupBy(
+            F.expr("day div 7").cast("long").alias("week"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("value_sum").cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("week", "event_type")
+    )

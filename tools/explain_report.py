@@ -138,6 +138,7 @@ REPORT = [
     "pack2_boundary_masks",
     "s10_encoding_stats",
     "skew1_join_key_diagnostics",
+    "roll1_weekly_from_daily",
 ]
 
 
