@@ -134,6 +134,7 @@ _ROUND_HEAD = [
     "s10_encoding_stats",        # dictionary/RLE/plain layout advisor
     "skew1_join_key_diagnostics",  # heavy-key skew measurement
     "roll1_weekly_from_daily",   # materialized daily rollup -> weekly serve
+    "st12_stream_rollup_maintenance",  # streaming rollup merge upkeep
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

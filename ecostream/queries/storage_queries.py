@@ -502,9 +502,10 @@ def s10_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ROLL1: materialized rollup serving (round 6) ----------------------------
 
 
-@query(
-    "roll1_weekly_from_daily",
-    oracle="""
+# Shared by roll1 (batch build) and st12 (streaming incremental
+# maintenance): both must serve the identical weekly answer, so the
+# oracle is the direct raw-events weekly query in both declarations.
+_ROLL1_WEEKLY_ORACLE = """
     -- day must be BIGINT BEFORE the // — DuckDB's // on DOUBLE is
     -- plain division (no floor) and the BIGINT cast then ROUNDS
     SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week,
@@ -514,8 +515,10 @@ def s10_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total_value
     FROM events
     GROUP BY 1, 2 ORDER BY week, event_type
-    """,
-)
+    """
+
+
+@query("roll1_weekly_from_daily", oracle=_ROLL1_WEEKLY_ORACLE)
 def roll1_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZED ROLLUP serving — the continuous-aggregate /
     summary-table pattern (TimescaleDB's hypertable rollups, every

@@ -757,3 +757,108 @@ def st11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unmatched"),
         )
     )
+
+
+# --- ST12: streaming incremental rollup maintenance (round 6) ----------------
+
+from .storage_queries import _ROLL1_WEEKLY_ORACLE  # noqa: E402
+
+
+@query("st12_stream_rollup_maintenance", oracle=_ROLL1_WEEKLY_ORACLE)
+def st12_stream_rollup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of roll1's materialized daily rollup — the
+    third leg of the continuous-aggregate story (roll1 builds batch,
+    serves from the rollup; this keeps the rollup CURRENT as events
+    arrive): the events table replayed as a 4-file feed
+    (maxFilesPerTrigger=1 → 4 micro-batches), each batch partial-
+    aggregated to (day, type, count, DECIMAL value sum) and MERGED into
+    the versioned rollup store via ``foreachBatch`` — union with the
+    current snapshot, re-aggregate (rollup rows are ADDITIVE partials,
+    so merge = group-sum), write snapshot v+1.  The final weekly serve
+    must equal the direct raw query (roll1's oracle): rollup
+    maintenance is micro-batch-slicing-invariant, the st9/s8 restart/
+    rescale property applied to aggregates instead of upserts.
+
+    Exactness through arbitrary slicing: counts are integers and value
+    partials DECIMAL(18,2) — decimal addition is associative and
+    commutative, so ANY batch decomposition re-aggregates to the
+    bit-identical total.  Scale shape: each micro-batch shuffles only
+    its own (day, type) partials (batch-sized), the merge touches the
+    |days|x|types| rollup (MB-scale at 100 TB), and raw events are
+    never rescanned."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st12_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.repartition(4).write.parquet(str(work / "feed"))
+
+    day = F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+
+    def _daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(day.alias("day"), "event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+        )
+
+    base = work / "rollup_v0"
+    # empty rollup seed with the right schema
+    _daily(ev.limit(0)).write.parquet(str(base))
+
+    schema = spark.read.parquet(str(work / "feed")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(work / "feed"))
+    )
+    state = {"cur": str(base), "v": 0}
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(state["cur"])
+        merged = (
+            cur.unionByName(_daily(batch))
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("value_sum")
+                .cast("decimal(18,2)")
+                .alias("value_sum"),
+            )
+        )
+        state["v"] += 1
+        nxt = str(work / f"rollup_v{state['v']}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rollup = spark.read.parquet(state["cur"])
+    return (
+        rollup.groupBy(
+            F.expr("day div 7").cast("long").alias("week"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("value_sum").cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("week", "event_type")
+    )

@@ -139,6 +139,7 @@ REPORT = [
     "s10_encoding_stats",
     "skew1_join_key_diagnostics",
     "roll1_weekly_from_daily",
+    "st12_stream_rollup_maintenance",
 ]
 
 
