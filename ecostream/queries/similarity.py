@@ -1031,8 +1031,9 @@ _SEMDEDUP_K_SQL = (
 # lowest-vec_id slice below (cap >> every test/bench sf: n=500 at
 # sf0.01, n=2000 at sf0.1 — the cap never binds there, it only stops
 # the quadratic from entering a large-scale plan).  The full-corpus
-# scale path is semdedup3 (two-level routing, measured exponent 0.51)
-# and semdedup4 (sample-trained tower, 0.33); the bench headline slot
+# scale path is semdedup3 (two-level routing, measured exponents
+# 0.51-0.64 across stress generations) and semdedup4 (sample-trained
+# tower, 0.29-0.33); the bench headline slot
 # moved semdedup1 -> semdedup4 accordingly.
 _SEMDEDUP_BASELINE_CAP = 4096
 
@@ -1109,8 +1110,8 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared form processes only the vec_id < _SEMDEDUP_BASELINE_CAP
     slice (never
     binding at test/bench scales; identical results there).  For a
-    full corpus use semdedup3_hierarchical_prune (exponent 0.51) or
-    semdedup4_two_level_trained (0.33)."""
+    full corpus use semdedup3_hierarchical_prune (measured exponents
+    0.51-0.64) or semdedup4_two_level_trained (0.29-0.33)."""
     emb = _emb(spark, sf_dir).where(
         F.col("vec_id") < _SEMDEDUP_BASELINE_CAP
     )
@@ -1216,7 +1217,7 @@ def semdedup2_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the declared form runs on the vec_id < _SEMDEDUP_BASELINE_CAP
     slice (non-binding at test/bench scales).  The trained quantizer
     that scales is semdedup4_two_level_trained (bounded-sample
-    training, exponent 0.33)."""
+    training, measured exponents 0.29-0.33)."""
     emb = _emb(spark, sf_dir).where(
         F.col("vec_id") < _SEMDEDUP_BASELINE_CAP
     )
