@@ -135,6 +135,12 @@ _ROUND_HEAD = [
     "skew1_join_key_diagnostics",  # heavy-key skew measurement
     "roll1_weekly_from_daily",   # materialized daily rollup -> weekly serve
     "st12_stream_rollup_maintenance",  # streaming rollup merge upkeep
+    "d13_span_removal_dedup",    # repeated-span removal + doc reassembly
+    "eval6_rouge_overlap",       # clipped n-gram ROUGE-1/2 pair scoring
+    "conv1_chat_threads",        # multi-turn conversation assembly
+    "batch1_length_grouped",     # length-grouped batch planning
+    "anon1_k_anonymity",         # quasi-identifier k-anonymity audit
+    "tok2_vocab_coverage",       # per-source BPE merge coverage eval
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

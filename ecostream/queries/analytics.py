@@ -1095,3 +1095,62 @@ def reg1_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --- ANON1: k-anonymity audit over quasi-identifiers (round 6) ---------------
+#
+# Privacy gate for releasing training data: a row is k-anonymous when
+# at least k rows share its quasi-identifier combination.  The audit
+# is the groupBy that k-anonymization (generalize / suppress) iterates
+# on — the measurement before the strategy, like skew1 and batch1.
+
+_ANON1_K = 5
+
+
+@query(
+    "anon1_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+                    AS BIGINT) AS bal_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) >= {_ANON1_K} AS k_anonymous
+    FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def anon1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifiers — (nation, market segment, $1000 balance band):
+    every QI combination with its group size and whether it meets
+    k=5, the per-group signal a k-anonymization pass (generalize the
+    band, suppress the outliers) iterates on.  The redaction
+    counterpart for STRUCTURED training data, beside pii1's free-text
+    scrubbing.
+
+    Exactness on a DOUBLE money column with negatives: the balance
+    becomes exact integer cents first (round(×100) — 2-decimal inputs
+    never sit on a rounding boundary), and the band is floor(cents /
+    1e5), identical in both engines because floor-of-double agrees
+    and exact-multiple quotients divide exactly (never `div`/`//` on
+    negatives, which truncate vs floor).  Plan shape: one scan,
+    map-side band derivation, ONE partial-aggregated groupBy — output
+    is bounded by QI-space size, not row count, so at 100 TB this is
+    a broadcast-sized audit table."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)"
+            " AS BIGINT)"
+        ).alias("bal_band"),
+    )
+    return qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("group_size"),
+        (F.count("*") >= _ANON1_K).alias("k_anonymous"),
+    )

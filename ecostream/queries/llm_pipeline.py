@@ -1148,3 +1148,237 @@ def pack2_boundary_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bins_spanned"),
         (off + F.col("n_tok") > _PACK_BUDGET).alias("crosses_boundary"),
     ).orderBy("doc_id")
+
+
+# --- CONV1: multi-turn conversation assembly (round 6) -----------------------
+#
+# Instruction-tuning datasets are built by THREADING raw interaction
+# logs into ordered multi-turn conversations (ShareGPT/OASST-style):
+# sessionize, order turns, alternate roles, render a chat template,
+# and pin the rendered bytes.  The session device is w3's (lag +
+# gap-flag + running sum — per-user windows, never global); the value
+# channel rides as exact integer cents so no float ever reaches the
+# rendered string.
+
+_CONV1_GAP_US = 30 * 60 * 1_000_000  # 30-minute gap, epoch-microseconds
+
+
+@query(
+    "conv1_chat_threads",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+               event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > {_CONV1_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT *,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS thread_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM flagged
+    ),
+    turns AS (
+        SELECT user_id, thread_id, us, event_id,
+               row_number() OVER (PARTITION BY user_id, thread_id
+                                  ORDER BY us, event_id) AS turn_no,
+               event_type, cents
+        FROM sess
+    ),
+    rendered AS (
+        SELECT user_id, CAST(thread_id AS BIGINT) AS thread_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(min(us) AS BIGINT) AS start_us,
+               CAST(max(us) - min(us) AS BIGINT) AS span_us,
+               string_agg(
+                   CASE WHEN turn_no % 2 = 1 THEN 'user' ELSE 'assistant'
+                        END || ': ' || event_type || ' #' || cents,
+                   chr(10) ORDER BY turn_no) AS txt
+        FROM turns GROUP BY user_id, thread_id
+    )
+    SELECT user_id, thread_id, n_turns, start_us, span_us,
+           CAST(len(txt) AS BIGINT) AS n_chars,
+           md5(txt) AS rendered_hash
+    FROM rendered
+    """,
+)
+def conv1_chat_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn conversation assembly (the ShareGPT/OASST data-prep
+    shape): sessionize each user's event log on a 30-minute gap,
+    order the turns within each thread, alternate user/assistant
+    roles by turn parity, and render the chat-template text —
+    ``role: event_type #cents`` lines — whose length and md5 pin the
+    exact assembled bytes.  This is how raw interaction logs become
+    instruction-tuning conversations.
+
+    Determinism: timestamps ride as epoch-microsecond BIGINTs with
+    event_id tiebreaks; the money channel is exact integer cents; the
+    rendered string is built inside an ORDER BY'd aggregation on both
+    engines, so a turn-order or template slip fails the per-thread
+    hash.  Plan shape: ONE user_id-keyed exchange serves the gap
+    window, the running session sum, the turn numbering, and the
+    final (user_id, thread_id) aggregation — per-user sorts inside
+    shuffle partitions, never a global order (w3_gap_sessionize's
+    scale argument; contrast t4's built-in session_window form).  At
+    100 TB conversation assembly is exactly this plan with user_id as
+    the natural partition key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("us"),
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("us") - prev > _CONV1_GAP_US), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("thread_id", F.sum("new_sess").over(w))
+    wt = Window.partitionBy("user_id", "thread_id").orderBy("us", "event_id")
+    turns = sess.withColumn("turn_no", F.row_number().over(wt))
+    line = F.concat(
+        F.when(F.col("turn_no") % 2 == 1, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+        F.lit(": "),
+        F.col("event_type"),
+        F.lit(" #"),
+        F.col("cents").cast("string"),
+    )
+    rendered = (
+        turns.select("user_id", "thread_id", "turn_no", "us", line.alias("line"))
+        .groupBy("user_id", "thread_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.min("us").cast("long").alias("start_us"),
+            (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(turn_no, line)))"
+                    ", x -> x.line)"
+                ),
+            ).alias("txt"),
+        )
+    )
+    return rendered.select(
+        "user_id",
+        F.col("thread_id").cast("long").alias("thread_id"),
+        "n_turns",
+        "start_us",
+        "span_us",
+        F.length("txt").cast("long").alias("n_chars"),
+        F.md5("txt").alias("rendered_hash"),
+    )
+
+
+# --- BATCH1: length-grouped batch planning (round 6) -------------------------
+#
+# Trainers batch fixed counts of sequences and pad every sequence to
+# the batch max; grouping by length first (HF's LengthGroupedSampler,
+# Megatron's sorted batching) collapses the padding waste.  This
+# declared query PLANS both strategies per source shard and measures
+# the waste each would pay, all-integer.
+
+_BATCH1_SIZE = 32
+
+
+def _batch1_oracle_arm(order: str, strategy: str) -> str:
+    return f"""
+    SELECT source, '{strategy}' AS strategy,
+           (rn - 1) // {_BATCH1_SIZE} AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_len,
+           CAST(sum(n_tok) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens,
+           CAST(1000 * (count(*) * max(n_tok) - sum(n_tok)) AS BIGINT)
+               // CAST(count(*) * max(n_tok) AS BIGINT) AS pad_permille
+    FROM (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY {order})
+                   AS rn
+        FROM lens
+    )
+    GROUP BY source, (rn - 1) // {_BATCH1_SIZE}
+    """
+
+
+@query(
+    "batch1_length_grouped",
+    oracle=f"""
+    WITH lens AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    )
+    {_batch1_oracle_arm("doc_id", "arrival")}
+    UNION ALL
+    {_batch1_oracle_arm("n_tok DESC, doc_id", "length")}
+    """,
+)
+def batch1_length_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch planning (HF LengthGroupedSampler /
+    sorted batching): within each source shard, pack documents into
+    32-sequence batches two ways — arrival (doc_id) order and
+    length-descending order — and measure per batch the padding each
+    strategy pays (every sequence pads to the batch max).  The
+    length-grouped arm's pad_permille collapsing toward 0 versus the
+    arrival arm IS the measured argument for sorted batching, the
+    same measurement-before-strategy shape as skew1.
+
+    All-integer: lengths, pad tokens, and permilles are BIGINT floor
+    divisions (positive operands).  Plan shape: one map computes
+    lengths (never carrying text past the scan), then each arm is a
+    source-partitioned window + (source, batch_id) aggregation —
+    per-shard sorts inside shuffle partitions, NO global order (the
+    shard-local batching real loaders run); the two arms union
+    map-side.  At 100 TB source shards are the loader's natural
+    parallel unit and this plan is per-shard linear."""
+    lens = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+
+    def arm(order_cols: list, strategy: str) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(*order_cols)
+        return (
+            lens.withColumn("rn", F.row_number().over(w))
+            .withColumn("batch_id", F.expr(f"(rn - 1) div {_BATCH1_SIZE}"))
+            .groupBy("source", "batch_id")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.max("n_tok").cast("long").alias("max_len"),
+                F.sum("n_tok").cast("long").alias("sum_len"),
+            )
+            .select(
+                "source",
+                F.lit(strategy).alias("strategy"),
+                F.col("batch_id").cast("long").alias("batch_id"),
+                "n_docs",
+                "max_len",
+                "sum_len",
+                (F.col("n_docs") * F.col("max_len") - F.col("sum_len"))
+                .cast("long")
+                .alias("pad_tokens"),
+                F.expr(
+                    "(1000 * (n_docs * max_len - sum_len)) div (n_docs * max_len)"
+                )
+                .cast("long")
+                .alias("pad_permille"),
+            )
+        )
+
+    return arm([F.col("doc_id")], "arrival").unionByName(
+        arm([F.col("n_tok").desc(), F.col("doc_id")], "length")
+    )

@@ -2044,3 +2044,333 @@ def eval5_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_permille")
     )
+
+
+# --- D13: repeated-span REMOVAL with document reassembly (round 6) -----------
+#
+# d8 scores span-level duplication; this is the REMOVAL leg of the same
+# pass (Lee et al. 2022 run exact-substring removal, not just doc
+# drops): every token position covered by a cross-document repeated
+# 4-gram is cut, the survivors are re-joined in order, and the cleaned
+# text is hash-pinned so the oracle checks the exact byte-level result
+# of the surgery, boundaries included.
+
+_D13_EMPTY_MD5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+
+
+@query(
+    "d13_span_removal_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, t FROM base WHERE len(t) >= {_D8_N}
+    ),
+    g AS (
+        SELECT doc_id, i,
+               {" || ' ' || ".join(f"t[i + {j}]" for j in range(_D8_N))}
+                   AS gram
+        FROM toks, UNNEST(generate_series(1, len(t) - {_D8_N - 1})) AS u(i)
+    ),
+    rep AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos
+        FROM (SELECT doc_id, i FROM g SEMI JOIN rep USING (gram)) h,
+             UNNEST(generate_series(h.i, h.i + {_D8_N - 1})) AS u(pos)
+    ),
+    tok_pos AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM base, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+        FROM tok_pos ANTI JOIN covered USING (doc_id, pos)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(len(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.clean_hash, '{_D13_EMPTY_MD5}') AS clean_hash
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def d13_span_removal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span REMOVAL (the surgery d8 only scores): cut every
+    token position covered by a cross-document repeated 4-gram, stitch
+    the survivors back together in order, and emit per document the
+    removed-token count plus the md5 of the cleaned text — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") re-expressed as dataflow, and
+    the pass that catches templated boilerplate whole-doc dedup (d1)
+    and signature near-dup (d3/d4) both miss.
+
+    Plan shape: grams explode map-side with their start offsets; ONE
+    gram-keyed shuffle finds cross-doc repeats (partial aggs collapse
+    heavy hitters early) and the semi-join back rides the SAME gram
+    partitioning; covered positions fan out 4 rows per hit and
+    de-duplicate on (doc_id, pos); the anti-join against the token
+    positions and the final reassembly share one (doc_id)-keyed
+    exchange.  No pairwise doc comparison anywhere — every stage is
+    keyed on gram or doc_id, the shape a 100 TB suffix-array dedup
+    approximates.  Reassembly is sort-free at the partition level:
+    array_sort over each doc's own (pos, tok) structs, never a global
+    order.  Reference analog: the dedup utilities around
+    InsectDataStore (minwisehashing.py) stop at candidate pairs; the
+    removal leg is this engine's extension."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    toks = base.where(F.size("t") >= _D8_N)
+    g = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_D8_GRAM_SPARK)).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "gram")
+    rep = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        g.join(rep, "gram", "semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_D8_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = (
+        tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, tok)))"
+                        ", x -> x.tok)"
+                    ),
+                )
+            ).alias("clean_hash"),
+        )
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_hash", F.lit(_D13_EMPTY_MD5)).alias("clean_hash"),
+    )
+
+
+# --- EVAL6: ROUGE-N overlap between paired documents (round 6) ---------------
+#
+# The summarization/eval counterpart of the dedup overlap family:
+# clipped n-gram precision/recall/F1 (ROUGE-N, Lin 2004) between
+# reference/candidate pairs.  Pairing is positional over the doc_id <
+# 200 slice (ref = 2i, cand = 2i+1) so the declared query is
+# deterministic without a labels table; the mechanism is the real one —
+# multiset (clipped) gram intersection, never set semantics.
+
+_EVAL6_CAP = 200
+
+
+def _eval6_gram_duck(n: int) -> str:
+    body = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side, "
+        f"{body} AS gram "
+        f"FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)"
+    )
+
+
+@query(
+    "eval6_rouge_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < {_EVAL6_CAP}
+    ),
+    g1 AS ({_eval6_gram_duck(1)}),
+    g2 AS ({_eval6_gram_duck(2)}),
+    c1 AS (SELECT pair_id, side, gram, count(*) AS c FROM g1
+           GROUP BY pair_id, side, gram),
+    c2 AS (SELECT pair_id, side, gram, count(*) AS c FROM g2
+           GROUP BY pair_id, side, gram),
+    tot1 AS (SELECT pair_id, side, CAST(count(*) AS BIGINT) AS tot
+             FROM g1 GROUP BY pair_id, side),
+    tot2 AS (SELECT pair_id, side, CAST(count(*) AS BIGINT) AS tot
+             FROM g2 GROUP BY pair_id, side),
+    clip1 AS (
+        SELECT r.pair_id, CAST(SUM(LEAST(r.c, d.c)) AS BIGINT) AS clip
+        FROM (SELECT * FROM c1 WHERE side = 0) r
+        JOIN (SELECT * FROM c1 WHERE side = 1) d
+          ON r.pair_id = d.pair_id AND r.gram = d.gram
+        GROUP BY r.pair_id
+    ),
+    clip2 AS (
+        SELECT r.pair_id, CAST(SUM(LEAST(r.c, d.c)) AS BIGINT) AS clip
+        FROM (SELECT * FROM c2 WHERE side = 0) r
+        JOIN (SELECT * FROM c2 WHERE side = 1) d
+          ON r.pair_id = d.pair_id AND r.gram = d.gram
+        GROUP BY r.pair_id
+    ),
+    pairs AS (SELECT DISTINCT doc_id // 2 AS pair_id FROM toks),
+    m AS (
+        SELECT p.pair_id,
+               COALESCE(k1.clip, 0) AS clip1,
+               COALESCE(k2.clip, 0) AS clip2,
+               (SELECT tot FROM tot1 t WHERE t.pair_id = p.pair_id
+                  AND side = 0) AS rt1,
+               (SELECT tot FROM tot1 t WHERE t.pair_id = p.pair_id
+                  AND side = 1) AS ct1,
+               (SELECT tot FROM tot2 t WHERE t.pair_id = p.pair_id
+                  AND side = 0) AS rt2,
+               (SELECT tot FROM tot2 t WHERE t.pair_id = p.pair_id
+                  AND side = 1) AS ct2
+        FROM pairs p
+        LEFT JOIN clip1 k1 USING (pair_id) LEFT JOIN clip2 k2 USING (pair_id)
+    )
+    SELECT pair_id,
+           CAST(pair_id * 2 AS BIGINT) AS ref_id,
+           CAST(pair_id * 2 + 1 AS BIGINT) AS cand_id,
+           clip1 AS r1_clip,
+           CAST(1000 * clip1 AS BIGINT) // rt1 AS r1_recall_permille,
+           CAST(1000 * clip1 AS BIGINT) // ct1 AS r1_precision_permille,
+           CASE WHEN (CAST(1000 * clip1 AS BIGINT) // rt1)
+                     + (CAST(1000 * clip1 AS BIGINT) // ct1) > 0
+                THEN (2 * (CAST(1000 * clip1 AS BIGINT) // rt1)
+                        * (CAST(1000 * clip1 AS BIGINT) // ct1))
+                     // ((CAST(1000 * clip1 AS BIGINT) // rt1)
+                         + (CAST(1000 * clip1 AS BIGINT) // ct1))
+                ELSE 0 END AS r1_f1_permille,
+           clip2 AS r2_clip,
+           CAST(1000 * clip2 AS BIGINT) // rt2 AS r2_recall_permille,
+           CAST(1000 * clip2 AS BIGINT) // ct2 AS r2_precision_permille,
+           CASE WHEN (CAST(1000 * clip2 AS BIGINT) // rt2)
+                     + (CAST(1000 * clip2 AS BIGINT) // ct2) > 0
+                THEN (2 * (CAST(1000 * clip2 AS BIGINT) // rt2)
+                        * (CAST(1000 * clip2 AS BIGINT) // ct2))
+                     // ((CAST(1000 * clip2 AS BIGINT) // rt2)
+                         + (CAST(1000 * clip2 AS BIGINT) // ct2))
+                ELSE 0 END AS r2_f1_permille
+    FROM m
+    """,
+)
+def eval6_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 overlap scoring between document pairs
+    (Lin 2004): clipped (multiset) n-gram intersection drives
+    precision, recall, and F1 in exact integer permille — the standard
+    summarization / paraphrase-quality eval re-expressed as dataflow,
+    and the graded cousin of the binary contamination gate (t9).
+    Pairing is positional (ref = doc 2i, cand = doc 2i+1, doc_id <
+    200) so the declared form needs no labels table.
+
+    All-integer discipline: permille values are BIGINT floor divisions
+    (Spark ``div`` = DuckDB ``//`` on BIGINT, positive operands); the
+    F1 permille is computed FROM the integer permilles, so no float
+    ever crosses an engine boundary.  Plan shape: gram counts
+    partial-aggregate map-side; clipped intersections join ref and
+    cand counts on (pair_id, gram) — co-partitioned with the count
+    shuffle, cost bounded by shared grams; pair totals broadcast back.
+    At 100 TB pairs are (query, retrieved-doc) rows from rag1 and the
+    same keyed shape applies unchanged."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _EVAL6_CAP)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+
+    def gram_counts(n: int) -> DataFrame:
+        if n == 1:
+            g = F.explode("t").alias("gram")
+        else:
+            expr = (
+                f"transform(sequence(1, size(t) - {n - 1}), i -> "
+                "concat_ws(' ', "
+                + ", ".join(
+                    f"element_at(t, CAST(i + {j} AS INT))" for j in range(n)
+                )
+                + "))"
+            )
+            g = F.explode(F.expr(expr)).alias("gram")
+        return (
+            toks.select(
+                F.expr("doc_id div 2").alias("pair_id"),
+                (F.col("doc_id") % 2).alias("side"),
+                g,
+            )
+            .groupBy("pair_id", "side", "gram")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def pair_stats(n: int, pfx: str) -> DataFrame:
+        cnt = gram_counts(n)
+        tot = cnt.groupBy("pair_id", "side").agg(
+            F.sum("c").cast("long").alias("tot")
+        )
+        clip = (
+            cnt.where(F.col("side") == 0)
+            .select("pair_id", "gram", F.col("c").alias("rc"))
+            .join(
+                cnt.where(F.col("side") == 1).select(
+                    "pair_id", "gram", F.col("c").alias("cc")
+                ),
+                ["pair_id", "gram"],
+            )
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("rc", "cc")).cast("long").alias("clip"))
+        )
+        rt = tot.where(F.col("side") == 0).select("pair_id", F.col("tot").alias("rt"))
+        ct = tot.where(F.col("side") == 1).select("pair_id", F.col("tot").alias("ct"))
+        base = (
+            rt.join(ct, "pair_id")
+            .join(clip, "pair_id", "left")
+            .select(
+                "pair_id",
+                F.coalesce("clip", F.lit(0)).cast("long").alias("clip"),
+                "rt",
+                "ct",
+            )
+        )
+        r = F.expr("(1000 * clip) div rt")
+        p = F.expr("(1000 * clip) div ct")
+        return base.select(
+            "pair_id",
+            F.col("clip").alias(f"{pfx}_clip"),
+            r.cast("long").alias(f"{pfx}_recall_permille"),
+            p.cast("long").alias(f"{pfx}_precision_permille"),
+            F.when(
+                r + p > 0, F.expr(
+                    "(2 * ((1000 * clip) div rt) * ((1000 * clip) div ct)) div "
+                    "(((1000 * clip) div rt) + ((1000 * clip) div ct))"
+                )
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"{pfx}_f1_permille"),
+        )
+
+    s1 = pair_stats(1, "r1")
+    s2 = pair_stats(2, "r2")
+    return s1.join(s2, "pair_id").select(
+        "pair_id",
+        (F.col("pair_id") * 2).cast("long").alias("ref_id"),
+        (F.col("pair_id") * 2 + 1).cast("long").alias("cand_id"),
+        "r1_clip",
+        "r1_recall_permille",
+        "r1_precision_permille",
+        "r1_f1_permille",
+        "r2_clip",
+        "r2_recall_permille",
+        "r2_precision_permille",
+        "r2_f1_permille",
+    )

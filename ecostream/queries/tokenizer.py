@@ -211,3 +211,103 @@ def tok1_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 tok1_bpe_apply.__doc__ = tok1_bpe_apply.__doc__.format(n=_BPE_ROUNDS)
+
+
+# --- TOK2: per-source vocabulary coverage of the learned merges --------------
+
+
+def _tok2_oracle(rounds: int) -> str:
+    """Tower to s{rounds}, then per-source coverage statistics."""
+    base = _bpe_oracle(rounds)
+    tower = base[: base.rindex(" SELECT * FROM (")]
+    return (
+        tower
+        + f""",
+    fin AS (
+        SELECT doc_id,
+               list_filter(string_split(s, '|'), x -> x <> '') AS t
+        FROM s{rounds}
+    ),
+    per AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+               CAST(sum(len(list_filter(t, x -> x LIKE '%+%')))
+                    AS BIGINT) AS n_merged_tokens
+        FROM fin f JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    ),
+    types AS (
+        SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_merged_types
+        FROM (
+            SELECT d.source, u.tok
+            FROM fin f JOIN documents d USING (doc_id),
+                 UNNEST(list_filter(f.t, x -> x LIKE '%+%')) AS u(tok)
+        ) GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.n_merged_tokens,
+           COALESCE(t.n_merged_types, 0) AS n_merged_types,
+           (1000 * p.n_merged_tokens) // p.n_tokens AS merge_hit_permille
+    FROM per p LEFT JOIN types t USING (source)"""
+    )
+
+
+@query("tok2_vocab_coverage", oracle=_tok2_oracle(_BPE_ROUNDS))
+def tok2_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage evaluation of the learned BPE merges, per
+    source: how many of each source's tokens land inside a merged
+    unit (merge_hit_permille), and how many distinct merged types the
+    source exercises — the acceptance measurement run before shipping
+    a tokenizer (a domain whose hit rate collapses is under-served by
+    the training corpus, the multilingual-tokenizer fairness check).
+
+    Reuses tok1's serving path: the memoized merge table if this
+    session already trained it, else one training pass; application
+    stays the pure zero-shuffle map.  The statistics add one
+    source-keyed partial-aggregated groupBy plus a distinct-type
+    count whose exchange carries (source, type) pairs — bounded by
+    vocabulary size, not corpus size.  The oracle replays training,
+    application, AND both aggregations end to end.  All-integer
+    permille (positive operands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _MERGE_MEMO.get(memo_key)
+    if merges is None:
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in bpe1_merge_train(spark, sf_dir).collect()
+        ]
+    s = F.concat(F.lit("|"), F.expr("replace(text, ' ', '|')"), F.lit("|"))
+    cur = docs.select("doc_id", "source", s.alias("s"))
+    for lhs, rhs in merges:
+        cur = cur.select(
+            "doc_id",
+            "source",
+            F.expr(f"replace(s, '|{lhs}|{rhs}|', '|{lhs}+{rhs}|')").alias("s"),
+        )
+    toks = F.expr("filter(split(s, '\\\\|'), x -> x <> '')")
+    fin = cur.select(
+        "source",
+        F.size(toks).alias("n_t"),
+        F.filter(toks, lambda x: x.contains("+")).alias("merged"),
+    )
+    per = fin.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_t").cast("long").alias("n_tokens"),
+        F.sum(F.size("merged")).cast("long").alias("n_merged_tokens"),
+    )
+    types = (
+        fin.select("source", F.explode("merged").alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").cast("long").alias("n_merged_types"))
+    )
+    return per.join(types, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_merged_tokens",
+        F.coalesce("n_merged_types", F.lit(0)).cast("long").alias("n_merged_types"),
+        F.expr("(1000 * n_merged_tokens) div n_tokens")
+        .cast("long")
+        .alias("merge_hit_permille"),
+    )

@@ -349,3 +349,114 @@ def test_ent1_entropy_gate_planted(spark, tmp_path):
     assert got[0]["keep"] is False and got[0]["entropy_micro_nats"] == 0
     assert got[1]["keep"] is True
     assert got[1]["entropy_micro_nats"] == round(math.log(30) * 1_000_000)
+
+
+def test_d13_span_removal_matches_pure_python(spark, tmp_path):
+    """Span-removal semantics on a PLANTED corpus, third-implemented in
+    pure Python: docs 0 and 1 share an identical 5-token run (so its
+    two 4-gram windows are cross-doc repeated and positions 3..7 of
+    each are cut), doc 2 is unique (nothing cut), doc 3 is a verbatim
+    copy of doc 2 (everything cut), and doc 4 is shorter than a gram
+    (kept whole)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.text import _D8_N, d13_span_removal_dedup
+
+    texts = [
+        "a0 b0 shared one two three four z0 y0",
+        "a1 b1 shared one two three four z1 y1",
+        "u0 u1 u2 u3 u4 u5 u6",
+        "u0 u1 u2 u3 u4 u5 u6",
+        "tiny doc here",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["src1"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    # pure-Python replay of the declared semantics
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    gram_docs: dict[str, set[int]] = {}
+    for i, t in toks.items():
+        for s in range(len(t) - _D8_N + 1):
+            gram_docs.setdefault(" ".join(t[s : s + _D8_N]), set()).add(i)
+    rep = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    expected = {}
+    for i, t in toks.items():
+        covered: set[int] = set()
+        for s in range(len(t) - _D8_N + 1):
+            if " ".join(t[s : s + _D8_N]) in rep:
+                covered.update(range(s, s + _D8_N))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        expected[i] = (
+            len(t),
+            len(t) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_hash"])
+        for r in d13_span_removal_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # the planted shape itself: shared run cut, unique doc untouched,
+    # verbatim copies fully cut, sub-gram doc kept whole
+    assert got[0][1] == 5 and got[1][1] == 5
+    assert got[2][1] == len(toks[2]) and got[3][1] == len(toks[3])
+    assert got[4][1] == 0
+
+
+def test_eval6_rouge_extremes(spark, tmp_path):
+    """ROUGE pair scoring on planted extremes: an identical pair scores
+    1000 permille on every measure, a token-disjoint pair scores 0,
+    and a half-overlapping pair matches the hand-computed clipped
+    counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.text import eval6_rouge_overlap
+
+    texts = [
+        "alpha beta gamma delta",   # pair 0: identical
+        "alpha beta gamma delta",
+        "one two three four",       # pair 1: disjoint
+        "five six seven eight",
+        "x y p q",                  # pair 2: half unigram overlap
+        "x y r s",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["src1"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r["pair_id"]: r
+        for r in eval6_rouge_overlap(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["r1_f1_permille"] == 1000
+    assert rows[0]["r2_f1_permille"] == 1000
+    assert rows[1]["r1_f1_permille"] == 0 and rows[1]["r2_clip"] == 0
+    # pair 2: unigrams clip 2/4 -> p = r = 500, f1 = 500; the single
+    # shared bigram 'x y' clips 1/3 -> 333 permille both ways
+    assert rows[2]["r1_clip"] == 2 and rows[2]["r1_f1_permille"] == 500
+    assert rows[2]["r2_clip"] == 1
+    assert rows[2]["r2_recall_permille"] == 333
+    assert rows[2]["r2_f1_permille"] == 333

@@ -197,3 +197,22 @@ def test_round4_results_invariant_to_shuffle_partitions(spark):
             assert got == base[n], f"{n} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_anon1_partitions_the_customer_table(spark):
+    """The k-anonymity audit must partition the table exactly (group
+    sizes sum to the row count), flag consistently at k=5, and band
+    negative balances without truncate-vs-floor drift (the minimum
+    balance is negative, so a negative band must exist)."""
+    from ecostream.queries.analytics import _ANON1_K, anon1_k_anonymity
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    rows = anon1_k_anonymity(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r["group_size"] for r in rows) == n
+    assert all(r["group_size"] >= 1 for r in rows)
+    assert all(
+        r["k_anonymous"] == (r["group_size"] >= _ANON1_K) for r in rows
+    )
+    assert min(r["bal_band"] for r in rows) < 0

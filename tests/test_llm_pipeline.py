@@ -376,3 +376,122 @@ def test_waterfill_saturating_regime_matches_brute_force(spark):
     t = brute_level(budget)
     sat = [k for k, a in avail.items() if a <= t]
     assert sat and len(sat) < len(avail)
+
+
+def test_conv1_threads_match_pure_python(spark):
+    """Conversation threading third-implemented in Python from the raw
+    events: same 30-minute gap sessionization, same turn ordering and
+    role alternation, same rendered bytes (hash-compared per thread)."""
+    import hashlib
+
+    from ecostream.queries.llm_pipeline import (
+        _CONV1_GAP_US,
+        conv1_chat_threads,
+    )
+    from ecostream.schema import load_table
+
+    ev = [
+        (
+            r["user_id"],
+            r["event_id"],
+            int(r["ts"].timestamp() * 1_000_000)
+            if not hasattr(r["ts"], "value")
+            else r["ts"].value // 1000,
+            r["event_type"],
+            round(r["value"] * 100),
+        )
+        for r in load_table(spark, SF_SMOKE, "events").collect()
+    ]
+    by_user: dict[int, list] = {}
+    for u, eid, us, et, cents in ev:
+        by_user.setdefault(u, []).append((us, eid, et, cents))
+    expected = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        thread, prev = 0, None
+        turns: dict[int, list] = {}
+        for us, eid, et, cents in rows:
+            if prev is None or us - prev > _CONV1_GAP_US:
+                thread += 1
+            prev = us
+            turns.setdefault(thread, []).append((us, eid, et, cents))
+        for t, tr in turns.items():
+            txt = "\n".join(
+                f"{'user' if i % 2 == 0 else 'assistant'}: {et} #{cents}"
+                for i, (_, _, et, cents) in enumerate(tr)
+            )
+            expected[(u, t)] = (
+                len(tr),
+                tr[0][0],
+                tr[-1][0] - tr[0][0],
+                len(txt),
+                hashlib.md5(txt.encode()).hexdigest(),
+            )
+    got = {
+        (r["user_id"], r["thread_id"]): (
+            r["n_turns"],
+            r["start_us"],
+            r["span_us"],
+            r["n_chars"],
+            r["rendered_hash"],
+        )
+        for r in conv1_chat_threads(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_batch1_length_grouping_reduces_padding(spark):
+    """Per source, the length-grouped arm must never pay more total
+    padding than the arrival arm (sorted-contiguous grouping minimizes
+    the sum of batch maxima for fixed batch sizes), and one source's
+    batches must match a pure-Python replay of both arms."""
+    from ecostream.queries.llm_pipeline import (
+        _BATCH1_SIZE,
+        batch1_length_grouped,
+    )
+    from ecostream.schema import load_table
+
+    rows = batch1_length_grouped(spark, SF_SMOKE).collect()
+    pad: dict[tuple, int] = {}
+    for r in rows:
+        pad[(r["source"], r["strategy"])] = pad.get(
+            (r["source"], r["strategy"]), 0
+        ) + r["pad_tokens"]
+    sources = {s for s, _ in pad}
+    assert sources and all(
+        pad[(s, "length")] <= pad[(s, "arrival")] for s in sources
+    )
+
+    docs = [
+        (r["doc_id"], r["source"], len(r["text"].split(" ")))
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+    src = sorted(sources)[0]
+    mine = [(d, n) for d, s, n in docs if s == src]
+
+    def replay(ordered):
+        out = {}
+        for b in range(0, len(ordered), _BATCH1_SIZE):
+            batch = ordered[b : b + _BATCH1_SIZE]
+            lens = [n for _, n in batch]
+            out[b // _BATCH1_SIZE] = (
+                len(batch),
+                max(lens),
+                sum(lens),
+                len(batch) * max(lens) - sum(lens),
+            )
+        return out
+
+    exp = {
+        "arrival": replay(sorted(mine)),
+        "length": replay(sorted(mine, key=lambda x: (-x[1], x[0]))),
+    }
+    for r in rows:
+        if r["source"] != src:
+            continue
+        assert (
+            r["n_docs"],
+            r["max_len"],
+            r["sum_len"],
+            r["pad_tokens"],
+        ) == exp[r["strategy"]][r["batch_id"]], (r["strategy"], r["batch_id"])

@@ -111,3 +111,37 @@ def test_tok1_reuses_memoized_merge_table(spark):
     # the memo with the same deterministic rules
     tk.bpe1_merge_train(spark, sf).collect()
     assert tk._MERGE_MEMO[key] == memo_before
+
+
+def test_tok2_coverage_consistent_with_tok1(spark):
+    """tok2's per-source sums must re-aggregate tok1's per-document
+    counts exactly, and every permille must be the floor of the exact
+    ratio."""
+    from ecostream.queries.tokenizer import tok1_bpe_apply, tok2_vocab_coverage
+    from ecostream.schema import load_table
+    from .conftest import SF_SMOKE
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    per_doc = tok1_bpe_apply(spark, SF_SMOKE).collect()
+    exp: dict[str, list[int]] = {}
+    for r in per_doc:
+        e = exp.setdefault(src_of[r["doc_id"]], [0, 0, 0])
+        e[0] += 1
+        e[1] += r["n_tokens"]
+        e[2] += r["n_merged_tokens"]
+    got = tok2_vocab_coverage(spark, SF_SMOKE).collect()
+    assert {r["source"] for r in got} == set(exp)
+    for r in got:
+        n_docs, n_tok, n_merged = exp[r["source"]]
+        assert (r["n_docs"], r["n_tokens"], r["n_merged_tokens"]) == (
+            n_docs,
+            n_tok,
+            n_merged,
+        )
+        assert r["merge_hit_permille"] == (1000 * n_merged) // n_tok
+        assert 0 <= r["n_merged_types"] <= n_merged

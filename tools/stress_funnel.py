@@ -186,7 +186,10 @@ def stages():
 
     from ecostream.queries.graph import user_copresence_components
     from ecostream.queries.llm_pipeline import pipeline3_curation_manifest
-    from ecostream.queries.text import d12_incremental_dedup
+    from ecostream.queries.text import (
+        d12_incremental_dedup,
+        d13_span_removal_dedup,
+    )
     from ecostream.schema import load_table
 
     def copresence_full(spark, d):
@@ -202,6 +205,7 @@ def stages():
         ("sparse_verify (d10 mech)", verify_full, "docs"),
         ("dedup_clusters (d5)", d5_dedup_clusters, "docs"),
         ("incremental_dedup (d12)", d12_incremental_dedup, "docs"),
+        ("span_removal (d13)", d13_span_removal_dedup, "docs"),
         ("curation_funnel (pipeline3)", pipeline3_curation_manifest, "docs"),
         ("copresence_cc (g7 mech)", copresence_full, "users"),
         ("semdedup3 (hierarchical)", semdedup3_hierarchical_prune, "vecs"),
