@@ -684,3 +684,90 @@ def wav_frame_features(df: DataFrame, frame_len: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(_features, schema=WAV_FRAME_FEATURES_SCHEMA)
+
+
+def synth_png_group_media(df: DataFrame, groups: int = 64) -> DataFrame:
+    """Deterministic REAL-PNG payloads with PLANTED near-duplicates:
+    image content derives from ``group = media_id % groups`` (md5-cycled
+    base bytes halved to ≤127), then a per-doc brightness offset
+    ``media_id % 3`` is added to every pixel — the variant that a
+    perceptual average-hash must see through (a constant offset shifts
+    every pixel AND the mean equally, so above/below-mean bits are
+    unchanged), while any byte-level hash sees three distinct payloads
+    per group.  All quantities are pure integer arithmetic over the id,
+    so a SQL oracle predicts the aHash without running a codec."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .png import encode_png
+
+        chan_of = {0: 1, 1: 3, 2: 4}
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g = mid % groups
+                w = g % 13 + 4
+                h = g % 11 + 3
+                c = chan_of[g % 3]
+                delta = mid % 3
+                dig = hashlib.md5(str(g).encode()).digest()
+                base = bytes(b // 2 + delta for b in dig)
+                npix = w * h * c
+                pixels = (base * (npix // 16 + 1))[:npix]
+                blobs.append(encode_png(w, h, pixels, c))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "content": blobs}
+            )
+
+    return df.select("media_id").mapInPandas(_synth, schema=schema)
+
+
+def ahash_media(df: DataFrame) -> DataFrame:
+    """Average-hash over REAL decoded PNG pixels: 64 bits, bit j set iff
+    pixel ``j % npix`` is strictly above the image mean — compared in
+    exact integers (``pix * npix > sum``) so the hash is bit-for-bit
+    reproducible by a SQL oracle.  Arrow mapInPandas, map-only."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("ahash", T.StringType(), True),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png
+
+        for pdf in batches:
+            widths, heights, hashes = [], [], []
+            for b in pdf["content"]:
+                w, h, ch, pix = decode_png(bytes(b))
+                npix = len(pix)
+                s = sum(pix)
+                bits = "".join(
+                    "1" if pix[j % npix] * npix > s else "0" for j in range(64)
+                )
+                widths.append(w)
+                heights.append(h)
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "ahash": hashes,
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=schema)

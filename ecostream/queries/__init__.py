@@ -141,6 +141,10 @@ _ROUND_HEAD = [
     "batch1_length_grouped",     # length-grouped batch planning
     "anon1_k_anonymity",         # quasi-identifier k-anonymity audit
     "tok2_vocab_coverage",       # per-source BPE merge coverage eval
+    "j29_bloom_semijoin_reduction",  # explicit Bloom runtime-filter join
+    "id1_global_enumeration",    # dense global ids, no global sort
+    "er1_entity_resolution",     # blocking -> verify -> CC -> golden record
+    "mm9_ahash_near_dup",        # perceptual-hash image dedup, real codec
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

@@ -902,3 +902,107 @@ def skew1_join_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --- J29: Bloom runtime-filter semi-join reduction ---------------------------
+#
+# The join-reduction technique that matters most at 100 TB: before
+# shuffling a huge fact table into a join, broadcast a Bloom filter of
+# the (already filtered) dim keys and drop non-matching fact rows AT
+# THE SCAN — Spark's own runtime bloomFilter rewrite, here built
+# explicitly so the mechanism is declared, measurable, and oracle-
+# checked.  False positives only ever ADD rows that the exact join
+# then removes, so the result is provably identical to the plain join
+# — which is exactly what the oracle runs.
+
+_J29_LO = "1997-01-01 00:00:00"
+_J29_HI = "1997-04-01 00:00:00"
+
+
+@query(
+    "j29_bloom_semijoin_reduction",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE), 6) AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '{_J29_LO}'
+      AND o_orderdate <  TIMESTAMP '{_J29_HI}'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def j29_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order quarterly revenue with an EXPLICIT Bloom runtime
+    filter: the filtered orders side is tiny (a priority + one quarter),
+    so its keys are Bloom-compressed (classic m/k sizing, p=0.01,
+    ecostream.sketches.bloom_params) into a literal word array that the
+    lineitem scan evaluates PER ROW inside whole-stage codegen — k
+    xxhash64 probes, shiftright + bit-test against the broadcast bitset,
+    no Python, no shuffle, no join for the pre-filter.  Only surviving
+    rows (matches + ≈1% false positives) enter the exact broadcast join
+    that removes the FPs, so the Bloom stage is semantically invisible:
+    the oracle is the PLAIN join.  This is the declared form of Spark's
+    `runtime.bloomFilter` rewrite and the injected-filter pattern every
+    100 TB star join needs when the fact side can't be partition-pruned.
+    The bitset round-trips the driver (m/64 longs — model-sized, same
+    sanctioned shape as k1's bloom and sim5's centroids)."""
+    from ..sketches import bloom_params
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit(_J29_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_J29_HI).cast("timestamp"))
+    ).localCheckpoint(eager=True)  # built once: sizing count + positions + join
+    n = max(16, dim.count())
+    m, k = bloom_params(n, 0.01)
+    words = [0] * ((m + 63) // 64)
+    for row in (
+        dim.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64("o_orderkey", F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    ):
+        words[row["pos"] // 64] |= 1 << (row["pos"] % 64)
+    # Two's-complement into signed longs for the literal array.
+    arr = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words]
+    )
+    probe = F.lit(True)
+    for i in range(k):
+        probe = probe & F.expr(
+            f"getbit(element_at(_bf, cast(pmod(xxhash64(l_orderkey, {i}),"
+            f" {m}) div 64 as int) + 1),"
+            f" cast(pmod(xxhash64(l_orderkey, {i}), {m}) % 64 as int)) = 1"
+        )
+    # The literal bitset column constant-folds; the probe stays inside
+    # whole-stage codegen on the scan side.
+    reduced = li.withColumn("_bf", arr).where(probe).drop("_bf")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        reduced.join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("order_month")
+    )

@@ -1382,3 +1382,58 @@ def batch1_length_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arm([F.col("doc_id")], "arrival").unionByName(
         arm([F.col("n_tok").desc(), F.col("doc_id")], "length")
     )
+
+
+# --- ID1: scalable global enumeration (dense ids, no global sort) ------------
+
+
+@query(
+    "id1_global_enumeration",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS global_id
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def id1_global_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global ids 1..N in a deterministic (md5-keyed) order —
+    the sharding/enumeration primitive every training run needs for
+    example ids and resumable iteration — WITHOUT a single global
+    sort: rows hash into 256 buckets by their key's first byte, rank
+    locally inside each bucket (one hash shuffle, partition-local
+    window), and add the bucket's base offset — exclusive prefix sums
+    over the 256 bucket counts, a driver-side model-sized table
+    (the two-phase zipWithIndex scheme as pure DataFrame ops).
+    Because the hex bucket prefix IS the leading key byte, bucket
+    order concatenated with in-bucket order equals the total md5
+    order, so the oracle is a plain ROW_NUMBER over the global sort.
+    At 100 TB the bucket fan-out widens (2-3 prefix chars) but the
+    plan is unchanged: no stage ever sees more than one bucket's rows."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    keyed = docs.withColumn("bucket", F.substring("k", 1, 2))
+    counts = {
+        r["bucket"]: r["n"]
+        for r in keyed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.create_map(
+        *[x for b in sorted(offsets) for x in (F.lit(b), F.lit(offsets[b]))]
+    )
+    w = Window.partitionBy("bucket").orderBy("k")
+    return (
+        keyed.select(
+            "doc_id",
+            (
+                F.element_at(off, F.col("bucket"))
+                + F.row_number().over(w)
+            ).cast("long").alias("global_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -422,3 +422,86 @@ def mm8_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_frame_features(synth_wav_media(docs)).orderBy(
         "media_id", "frame"
     )
+
+
+# --- MM9: perceptual-hash (aHash) image near-dup -----------------------------
+
+_MM9_BASES = ", ".join(f"({_md5_byte(j)}) // 2 + delta" for j in range(16))
+
+
+@query(
+    "mm9_ahash_near_dup",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               md5(CAST(doc_id % 64 AS VARCHAR)) AS h,
+               (doc_id % 64) % 13 + 4 AS w,
+               (doc_id % 64) % 11 + 3 AS ht,
+               CASE CAST((doc_id % 64) % 3 AS INT)
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c,
+               doc_id % 3 AS delta
+        FROM documents
+    ),
+    b AS (
+        SELECT media_id, w, ht, w * ht * c AS npix,
+               list_value({_MM9_BASES}) AS bases
+        FROM m
+    ),
+    s AS (
+        SELECT media_id, w, ht, npix, bases,
+               (npix // 16) * list_sum(list_transform(range(0, 16),
+                    i -> bases[i + 1]))
+               + COALESCE(list_sum(list_transform(range(0, npix % 16),
+                    i -> bases[i + 1])), 0) AS pixsum
+        FROM b
+    ),
+    sel AS (
+        SELECT media_id, w, ht,
+               array_to_string(list_transform(range(0, 64),
+                    j -> CASE WHEN bases[((j % npix) % 16) + 1] * npix
+                              > pixsum THEN '1' ELSE '0' END), '') AS ahash
+        FROM s
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+           ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_dups,
+           media_id = min(media_id) OVER (PARTITION BY ahash) AS keep
+    FROM sel ORDER BY media_id
+    """,
+)
+def mm9_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL codec path: planted
+    image variants (same content, three brightness offsets per group)
+    are PNG-ENCODED, PNG-DECODED (ecostream/png.py, all five unfilter
+    paths), and average-hashed — 64 bits of strictly-above-mean pixel
+    tests in exact integer cross-multiplied arithmetic (pix·npix >
+    sum), so a constant brightness shift moves every pixel and the
+    mean together and the aHash is provably invariant while any
+    byte-level hash (d1/t8) sees three distinct payloads.  Hash-equal
+    groups then collapse with the usual keep-min rule.  The oracle
+    predicts every aHash bit purely from doc_id arithmetic — if the
+    encoder, any unfilter path, or the hash disagrees on a single
+    pixel, 64 bits of hash and the group structure shatter.  Plan:
+    two Arrow map-only stages, one window shuffle on the 64-bit hash;
+    at 100 TB the hash groupBy replaces pairwise image comparison
+    exactly the way SimHash banding replaces pairwise text diffs."""
+    from ..multimodal import ahash_media, synth_png_group_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    hashed = ahash_media(synth_png_group_media(docs))
+    from pyspark.sql import Window as W
+
+    wh = W.partitionBy("ahash")
+    return (
+        hashed.select(
+            "media_id",
+            "width",
+            "height",
+            "ahash",
+            F.count("*").over(wh).cast("long").alias("n_dups"),
+            (F.col("media_id") == F.min("media_id").over(wh)).alias("keep"),
+        )
+        .orderBy("media_id")
+    )

@@ -371,3 +371,171 @@ def ts2_rolling_median_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("xi") - F.col("m").cast("long")) > 20000
         ).cast("int").alias("is_spike"),
     )
+
+# --- ER1: entity resolution — blocking → verify → components → golden record -
+#
+# The corpus has no naturally dirty entity strings (64 distinct part
+# names, sequence-numbered customer names whose neighbors sit at edit
+# distance 1), so the dirty records are PLANTED deterministically, the
+# mm4/mm9 device: entity key = first 10 hex chars of md5(custkey) —
+# random-looking strings whose cross-entity edit distance is ~8 — and
+# each entity emits its clean record plus two single-character-deletion
+# typo variants.  Every stage, including the planting, replays in SQL.
+
+
+@query(
+    "er1_entity_resolution",
+    oracle="""
+    WITH RECURSIVE
+    ent AS (
+        SELECT c_custkey AS k,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS base
+        FROM customer
+    ),
+    recs AS (
+        SELECT k * 4 AS rec_id, base AS raw FROM ent
+        UNION ALL
+        SELECT k * 4 + 1,
+               substr(base, 1, k % 10) || substr(base, k % 10 + 2)
+        FROM ent
+        UNION ALL
+        SELECT k * 4 + 2,
+               substr(base, 1, (k * 7 + 3) % 10)
+                   || substr(base, (k * 7 + 3) % 10 + 2)
+        FROM ent
+    ),
+    bk AS (
+        SELECT rec_id, raw, 'P' || substr(raw, 1, 4) AS b FROM recs
+        UNION ALL
+        SELECT rec_id, raw, 'S' || substr(raw, length(raw) - 3, 4) FROM recs
+    ),
+    cand AS (
+        SELECT DISTINCT x.rec_id AS src, y.rec_id AS dst,
+                        x.raw AS ra, y.raw AS rb
+        FROM bk x JOIN bk y ON x.b = y.b AND x.rec_id < y.rec_id
+    ),
+    pairs AS (
+        SELECT src, dst FROM cand WHERE levenshtein(ra, rb) <= 2
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+    ),
+    walk(v, lbl) AS (
+        SELECT rec_id, rec_id FROM recs
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v
+    ),
+    labels AS (
+        SELECT v AS rec_id, min(lbl) AS entity_id FROM walk GROUP BY v
+    ),
+    sized AS (
+        SELECT rec_id, entity_id,
+               CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+                   AS n_records
+        FROM labels
+    )
+    SELECT s.rec_id, r.raw AS raw_name, s.entity_id, s.n_records,
+           (s.rec_id = s.entity_id) AS is_canonical,
+           c.raw AS canon_name
+    FROM sized s
+    JOIN recs r ON s.rec_id = r.rec_id
+    JOIN recs c ON s.entity_id = c.rec_id
+    ORDER BY s.rec_id
+    """,
+)
+def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution funnel str1 only starts: multi-pass
+    BLOCKING (prefix-4 and suffix-4 keys — one deletion can disturb at
+    most one end, so every typo variant shares at least one block with
+    its clean record), edit-distance VERIFICATION (levenshtein <= 2,
+    JVM codegen, run only within blocks), transitive closure into
+    entity CLUSTERS (functions/cc.py star contraction — variants that
+    never shared a block still merge through the clean record), and
+    GOLDEN-RECORD election: canonical = the entity's minimum rec_id,
+    its name stamped on every member (survivorship).  The oracle
+    replays planting, both blocking passes, verification, the closure
+    (recursive min-label walk seeded with every record), and the
+    election.  Scale shape: the two blocking passes are ONE exploded
+    equi-join (records shuffle once on the block key); candidate pairs
+    are entity-bounded, never corpus-quadratic; the canonical-name
+    resolution is a self-join on the records' own keys.  This is the
+    MDM/record-linkage pipeline (Fellegi-Sunter blocking + survivorship)
+    as declared dataflow."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ent = cust.select(
+        "k", F.substring(F.md5(F.col("k").cast("string")), 1, 10).alias("base")
+    )
+    del_at = lambda p: F.concat(  # noqa: E731
+        F.substring("base", 1, p), F.substring(F.col("base"), p + 2, 10)
+    )
+    recs = (
+        ent.select((F.col("k") * 4).alias("rec_id"), F.col("base").alias("raw"))
+        .unionByName(
+            ent.select(
+                (F.col("k") * 4 + 1).alias("rec_id"),
+                del_at((F.col("k") % 10).cast("int")).alias("raw"),
+            )
+        )
+        .unionByName(
+            ent.select(
+                (F.col("k") * 4 + 2).alias("rec_id"),
+                del_at(((F.col("k") * 7 + 3) % 10).cast("int")).alias("raw"),
+            )
+        )
+    )
+    bk = recs.select(
+        "rec_id",
+        "raw",
+        F.explode(
+            F.array(
+                F.concat(F.lit("P"), F.substring("raw", 1, 4)),
+                F.concat(
+                    F.lit("S"),
+                    F.substring(F.col("raw"), F.length("raw") - 3, 4),
+                ),
+            )
+        ).alias("b"),
+    )
+    x = bk.select(
+        F.col("rec_id").alias("src"), F.col("raw").alias("ra"), "b"
+    )
+    y = bk.select(
+        F.col("rec_id").alias("dst"), F.col("raw").alias("rb"), "b"
+    )
+    pairs = (
+        x.join(y, ["b"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", "ra", "rb")
+        .distinct()
+        .where(F.levenshtein("ra", "rb") <= 2)
+        .select("src", "dst")
+    )
+    from ..functions.cc import connected_components
+
+    labels = connected_components(None, pairs)
+    every = recs.join(
+        labels.withColumnRenamed("v", "rec_id"), "rec_id", "left"
+    ).select(
+        "rec_id",
+        F.col("raw").alias("raw_name"),
+        F.coalesce("component", F.col("rec_id")).alias("entity_id"),
+    )
+    sized = every.withColumn(
+        "n_records",
+        F.count("*").over(Window.partitionBy("entity_id")).cast("long"),
+    )
+    canon = recs.select(
+        F.col("rec_id").alias("entity_id"), F.col("raw").alias("canon_name")
+    )
+    return (
+        sized.join(canon, "entity_id")
+        .select(
+            "rec_id",
+            "raw_name",
+            "entity_id",
+            "n_records",
+            (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
+            "canon_name",
+        )
+        .orderBy("rec_id")
+    )

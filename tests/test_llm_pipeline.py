@@ -495,3 +495,28 @@ def test_batch1_length_grouping_reduces_padding(spark):
             r["sum_len"],
             r["pad_tokens"],
         ) == exp[r["strategy"]][r["batch_id"]], (r["strategy"], r["batch_id"])
+
+
+def test_id1_ids_dense_and_unique(spark):
+    """Global enumeration must be a bijection onto 1..N."""
+    from ecostream.queries import QUERIES
+
+    out = QUERIES["id1_global_enumeration"](spark, SF_SMOKE).collect()
+    ids = sorted(r["global_id"] for r in out)
+    assert ids == list(range(1, len(out) + 1))
+
+
+def test_id1_order_matches_key_order(spark):
+    """Bucketed two-phase rank must equal the true global md5 order."""
+    import hashlib
+
+    from ecostream.queries import QUERIES
+
+    out = QUERIES["id1_global_enumeration"](spark, SF_SMOKE).collect()
+    key = {
+        r["doc_id"]: hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        for r in out
+    }
+    by_id = sorted(out, key=lambda r: r["global_id"])
+    keys = [key[r["doc_id"]] for r in by_id]
+    assert keys == sorted(keys)

@@ -344,3 +344,41 @@ def test_avi_roundtrip_property():
         assert got == frames
 
     check()
+
+
+def test_mm9_ahash_brightness_invariance(spark):
+    """The planted brightness variants (media_id % 3) must hash
+    IDENTICALLY (the perceptual property) while their PNG payloads
+    differ byte-for-byte (what byte-level dedup sees)."""
+    from ecostream.multimodal import ahash_media, synth_png_group_media
+
+    ids = spark.range(0, 192).select(F.col("id").alias("media_id"))
+    media = synth_png_group_media(ids)
+    hashed = ahash_media(media).withColumn(
+        "grp", F.col("media_id") % 64
+    )
+    # Within a group: one distinct aHash across all 3 brightness deltas.
+    per_group = hashed.groupBy("grp").agg(
+        F.count_distinct("ahash").alias("nh"),
+        F.count("*").alias("n"),
+    )
+    rows = per_group.collect()
+    assert all(r["nh"] == 1 for r in rows)
+    assert all(r["n"] == 3 for r in rows)
+    # The payloads themselves are NOT byte-identical within a group
+    # (delta really changes the bytes; aHash sees through it).
+    payloads = media.withColumn("grp", F.col("media_id") % 64).groupBy(
+        "grp"
+    ).agg(F.count_distinct(F.md5(F.col("content"))).alias("np"))
+    assert all(r["np"] == 3 for r in payloads.collect())
+
+
+def test_mm9_ahash_distinct_across_groups(spark):
+    """Different content groups should (for this id range) produce
+    different hashes — the hash carries 64 bits of content."""
+    from ecostream.multimodal import ahash_media, synth_png_group_media
+
+    ids = spark.range(0, 64).select(F.col("id").alias("media_id"))
+    hashed = ahash_media(synth_png_group_media(ids))
+    n = hashed.select("ahash").distinct().count()
+    assert n == 64

