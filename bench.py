@@ -56,6 +56,9 @@ HEADLINE = [
     "rag1_retrieve_read",         # RAG retrieve-then-read join (round 4)
     "semdedup3_hierarchical_prune",  # two-level quantizer semdedup (round 5)
     "dsir1_importance_resample",  # DSIR data selection (round 5)
+    "d13_span_removal_dedup",     # exact-substring span removal (round 6)
+    "j29_bloom_semijoin_reduction",  # Bloom runtime-filter join (round 6)
+    "er1_entity_resolution",      # record-linkage funnel (round 6)
 ]
 
 

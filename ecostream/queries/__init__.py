@@ -145,6 +145,8 @@ _ROUND_HEAD = [
     "id1_global_enumeration",    # dense global ids, no global sort
     "er1_entity_resolution",     # blocking -> verify -> CC -> golden record
     "mm9_ahash_near_dup",        # perceptual-hash image dedup, real codec
+    "t13_bm25_retrieval",        # integer-exact BM25 (saturation + length norm)
+    "st13_late_data_audit",      # watermark-sizing lateness measurement
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

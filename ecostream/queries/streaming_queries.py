@@ -862,3 +862,77 @@ def st12_stream_rollup_maintenance(
         )
         .orderBy("week", "event_type")
     )
+
+
+# --- ST13: late-data audit — the measurement BEFORE the watermark ------------
+
+
+@query(
+    "st13_late_data_audit",
+    oracle="""
+    WITH lat AS (
+        SELECT user_id,
+               GREATEST(0, COALESCE(
+                   epoch_us(MAX(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                   - epoch_us(ts), 0)) AS late_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_10m
+    FROM lat GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st13_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user late-data audit — the measurement every watermark choice
+    (st1/st3/st4/st11's ``withWatermark`` thresholds) should come from:
+    an event is LATE by the gap between its event time and the maximum
+    event time among EARLIER-ARRIVING events of the same user (arrival
+    order = the monotone ingestion id, exactly the order a stream
+    delivers), and a 10-minute watermark would DROP the events whose
+    lateness exceeds 600 s.  Emits per user the event count, late
+    count, worst lateness, and the would-be-dropped count — the report
+    that says whether 10 minutes of state is enough BEFORE a streaming
+    job silently loses rows.  Scale shape: ONE user-keyed exchange
+    serves the running-max window and the aggregate (same partitioning,
+    no second shuffle); lateness stays exact integer µs end to end."""
+    from ..schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        "user_id",
+        F.greatest(
+            F.lit(0),
+            F.coalesce(
+                F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts"),
+                F.lit(0),
+            ),
+        ).alias("late_us"),
+    )
+    return (
+        lat.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long"))
+            .cast("long")
+            .alias("n_late"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum((F.col("late_us") > 600_000_000).cast("long"))
+            .cast("long")
+            .alias("n_dropped_10m"),
+        )
+        .orderBy("user_id")
+    )

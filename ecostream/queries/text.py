@@ -2374,3 +2374,111 @@ def eval6_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2_precision_permille",
         "r2_f1_permille",
     )
+
+
+# --- T13: BM25 retrieval scoring (round 6) -----------------------------------
+#
+# t11's tf-idf lacks the two properties that made BM25 the retrieval
+# default (Robertson et al., TREC-3): tf SATURATION (the 50th
+# occurrence of a term is barely better than the 10th) and LENGTH
+# NORMALIZATION (a match in a short doc outranks the same match in a
+# long one).  Both engines compute the k1=1.2 / b=0.75 curve in exact
+# integer arithmetic: with S = total corpus tokens and N = docs, the
+# per-term denominator tf + k1·(1-b+b·L/avgdl) cross-multiplies by
+# 10·S into 10·tf·S + 3·S + 9·L·N, and idf takes the rationalized
+# Robertson-Sparck Jones form (1000·(2N-2df+1)) div (2df+1) — every
+# division a positive-operand floor both engines share.  (Magnitude
+# note: the permille quantization keeps the numerator idf·22·tf·S
+# under ~2^61 up to ~1e8-doc corpora; beyond that drop the idf
+# permille scale a decade.)
+
+_T13_TERMS = ("vector", "merge", "scan")
+
+
+@query(
+    "t13_bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+        FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s
+        FROM documents
+    ),
+    qt AS (SELECT unnest({list(_T13_TERMS)!r}) AS term),
+    dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term IN (SELECT term FROM qt)
+        GROUP BY term
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN (SELECT term FROM qt)
+        GROUP BY doc_id, term
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(
+               ((1000 * (2 * n - 2 * df + 1)) // (2 * df + 1))
+               * (22 * tf.tf * s)
+               // (10 * tf.tf * s + 3 * s + 9 * dl.L * n)
+           ) AS BIGINT) AS bm25_milli
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY tf.doc_id
+    ORDER BY bm25_milli DESC, tf.doc_id
+    LIMIT 10
+    """,
+)
+def t13_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the fixed query {vector, merge, scan} by
+    integer-exact BM25 (k1=1.2, b=0.75): saturating tf and
+    doc-length normalization, the ranking function t11's plain tf-idf
+    approximates.  Scale shape mirrors t11: the term filter pushes
+    into the explode projection, tf and df partial-aggregate before
+    their one shuffle each, doc lengths join on the pre-aggregated tf
+    table (never the exploded tokens), corpus totals and df broadcast,
+    and the final top-10 is TakeOrderedAndProject — no global sort."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term").isin(list(_T13_TERMS)))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("L")
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("s"),
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "((1000 * (2 * n - 2 * df + 1)) div (2 * df + 1))"
+                    " * (22 * tf * s)"
+                    " div (10 * tf * s + 3 * s + 9 * L * n)"
+                )
+            )
+            .cast("long")
+            .alias("bm25_milli")
+        )
+        .orderBy(F.desc("bm25_milli"), "doc_id")
+        .limit(10)
+    )

@@ -195,6 +195,22 @@ def stages():
     def copresence_full(spark, d):
         return user_copresence_components(load_table(spark, d, "events"))
 
+    def span_removal_full(spark, d):
+        # .count() alone lets Catalyst eliminate d13's left-outer join
+        # and prune the md5 reassembly (the aggregate's doc_id is unique,
+        # so the join can't change cardinality) — aggregate over the
+        # OUTPUT columns so the measured plan is the one users run.
+        from pyspark.sql import functions as FF
+
+        return (
+            d13_span_removal_dedup(spark, d)
+            .groupBy()
+            .agg(
+                FF.sum("n_removed").alias("s"),
+                FF.sum(FF.length("clean_hash")).alias("h"),
+            )
+        )
+
     # semdedup1/2 are now DECLARED capped baselines (vec_id < 4096 —
     # round-6 re-scope after this harness measured their flat argmax
     # quadratic at 1.62/1.67); stressing them would measure the cap
@@ -205,7 +221,7 @@ def stages():
         ("sparse_verify (d10 mech)", verify_full, "docs"),
         ("dedup_clusters (d5)", d5_dedup_clusters, "docs"),
         ("incremental_dedup (d12)", d12_incremental_dedup, "docs"),
-        ("span_removal (d13)", d13_span_removal_dedup, "docs"),
+        ("span_removal (d13)", span_removal_full, "docs"),
         ("curation_funnel (pipeline3)", pipeline3_curation_manifest, "docs"),
         ("copresence_cc (g7 mech)", copresence_full, "users"),
         ("semdedup3 (hierarchical)", semdedup3_hierarchical_prune, "vecs"),
