@@ -77,6 +77,24 @@ def main() -> None:
     qs["a1_total_count"](spark, sf_dir).collect()
     warmup = time.perf_counter() - t0
 
+    # Machine-speed calibration: a FIXED pure-JVM job (no IO, no
+    # engine code) whose cost depends only on the host.  Recorded in
+    # the artifact so cross-round comparisons can separate engine
+    # regressions from machine weather — BENCH_r05→r06-era sessions
+    # measured uniform 1.3-1.5x inflation on EVERY query (including
+    # trivial distincts), which this probe would have attributed to
+    # the host in one line.  Compare rounds as value/calib when the
+    # calib columns differ materially.
+    def _calib_once() -> float:
+        t = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+        return time.perf_counter() - t
+
+    _calib_once()  # untimed warm-up
+    calib = round(sorted(_calib_once() for _ in range(5))[2], 4)
+
     # Five timed runs per query, report the MEDIAN: the first run pays
     # one-off codegen/planning, and transient machine contention has
     # been observed to inflate single runs 3x — the median of five is
@@ -150,6 +168,7 @@ def main() -> None:
         "queries_cold": per_query_cold,
         "sf": sf,
         "warmup_sec": round(warmup, 4),
+        "calib_sec": calib,
         "n_queries": len(per_query),
         "runs_per_query": n_runs,
         "cold_runs_per_query": n_cold,
@@ -167,6 +186,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "value_cold": full["value_cold"],
+            "calib": calib,
             "sf": sf,
             "n_queries": len(per_query),
             "runs_per_query": n_runs,

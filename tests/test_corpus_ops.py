@@ -460,3 +460,56 @@ def test_eval6_rouge_extremes(spark, tmp_path):
     assert rows[2]["r2_clip"] == 1
     assert rows[2]["r2_recall_permille"] == 333
     assert rows[2]["r2_f1_permille"] == 333
+
+
+def test_t13_bm25_length_normalization(spark):
+    """BM25's defining property over t11's tf-idf: equal tf, shorter
+    doc wins.  Synthesized corpus via a temp view is overkill here —
+    instead pin the closed-form integer score on hand values."""
+    # score_term = idf * 22*tf*S div (10*tf*S + 3*S + 9*L*N), with
+    # idf = (1000*(2N-2df+1)) div (2df+1).  Two docs, same tf=2,
+    # lengths 10 vs 100: shorter must score strictly higher.
+    N, S, df, tf = 1000, 50_000, 10, 2
+    idf = (1000 * (2 * N - 2 * df + 1)) // (2 * df + 1)
+    score = lambda L: idf * (22 * tf * S) // (  # noqa: E731
+        10 * tf * S + 3 * S + 9 * L * N
+    )
+    assert score(10) > score(100)
+    # Saturation: doubling tf must NOT double the score.
+    s1 = idf * (22 * 1 * S) // (10 * 1 * S + 3 * S + 9 * 50 * N)
+    s2 = idf * (22 * 2 * S) // (10 * 2 * S + 3 * S + 9 * 50 * N)
+    assert s2 < 2 * s1
+
+
+def test_st13_detects_planted_late_event(spark):
+    """An event arriving AFTER a later-timestamped one must be counted
+    late by exactly the gap; a >10-minute gap lands in n_dropped_10m."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 7: arrival order e0(ts=1000s), e1(ts=2000s),
+        # e2(ts=2000s - 700s = late by 700s > 600s watermark)
+        (0, 7, 1_000_000_000),
+        (1, 7, 2_000_000_000),
+        (2, 7, 1_300_000_000),
+        # user 8: strictly in order, nothing late
+        (3, 8, 1_000_000_000),
+        (4, 8, 1_100_000_000),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, ts) for e, u, ts in rows], "event_id long, user_id long, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        from ecostream.queries import QUERIES
+
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["st13_late_data_audit"](spark, d).collect()
+        }
+    assert out[7]["n_late"] == 1
+    assert out[7]["max_late_us"] == 700_000_000
+    assert out[7]["n_dropped_10m"] == 1
+    assert out[8]["n_late"] == 0 and out[8]["n_dropped_10m"] == 0
