@@ -147,6 +147,9 @@ _ROUND_HEAD = [
     "mm9_ahash_near_dup",        # perceptual-hash image dedup, real codec
     "t13_bm25_retrieval",        # integer-exact BM25 (saturation + length norm)
     "st13_late_data_audit",      # watermark-sizing lateness measurement
+    "dq3_chi2_independence",     # exact-milli chi-square via 38-digit ints
+    "dp1_randomized_response",   # local-DP randomized response + debiasing
+    "cuped1_adjusted_delta",     # CUPED covariate-adjusted A/B delta
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

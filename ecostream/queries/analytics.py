@@ -1154,3 +1154,333 @@ def anon1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("group_size"),
         (F.count("*") >= _ANON1_K).alias("k_anonymous"),
     )
+
+
+# --- DQ3: chi-square independence test (round 6) -----------------------------
+
+
+@query(
+    "dq3_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+        SELECT r.event_type, c.dow, r.rt, c.ct,
+               COALESCE(cells.o, 0) AS o
+        FROM rt r CROSS JOIN ct c
+        LEFT JOIN cells USING (event_type, dow)
+    ),
+    contrib AS (
+        SELECT CAST(
+            (1000 * CAST(o * n - rt * ct AS HUGEINT)
+                  * CAST(o * n - rt * ct AS HUGEINT))
+            // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS c_milli,
+            rt, ct
+        FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(sum(c_milli) AS BIGINT) AS chi2_milli,
+           CAST((count(DISTINCT rt) * 0 + (SELECT count(*) FROM rt) - 1)
+              * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           (SELECT n FROM tot) AS n_events
+    FROM contrib
+    """,
+)
+def dq3_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event_type and
+    day-of-week — the categorical-association check a data-quality
+    suite runs before trusting a time-partitioned training split (a
+    big chi2 means type mix depends on weekday, so a date-based split
+    leaks distribution shift).  Exact to the milli: the per-cell
+    (O·N − RT·CT)² term exceeds int64 (1e20 at sf0.1), so BOTH engines
+    square through 38-digit integers (Spark DECIMAL(38,0), DuckDB
+    HUGEINT) and floor-divide by RT·CT·N while still wide, returning
+    to BIGINT only for the bounded quotient — zero-count grid cells
+    included, as the statistic requires.  Scale shape: one count
+    shuffle to the r×c cell table (≤56 rows here); everything after is
+    model-sized arithmetic on broadcast aggregates.  Day-of-week uses
+    cal1's pinned convention (DuckDB 0=Sunday; Spark subtracts 1)."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    cells = cells.localCheckpoint(eager=True)  # one count shuffle, 3 consumers
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(cells, ["event_type", "dow"], "left")
+        .select("event_type", "dow", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    contrib = grid.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST((1000 * CAST(o * n - rt * ct AS DECIMAL(38,0))"
+            " * CAST(o * n - rt * ct AS DECIMAL(38,0)))"
+            " div (CAST(rt AS DECIMAL(38,0)) * ct * n) AS BIGINT)"
+        ).alias("c_milli"),
+    )
+    n_rt = rt.count()
+    n_ct = ct.count()
+    return contrib.agg(
+        F.sum("c_milli").cast("long").alias("chi2_milli"),
+        F.lit((n_rt - 1) * (n_ct - 1)).cast("long").alias("dof"),
+        F.count("*").cast("long").alias("n_cells"),
+    ).crossJoin(F.broadcast(tot.select(F.col("n").alias("n_events"))))
+
+
+# --- DP1: local-DP randomized response with exact debiasing (round 6) --------
+
+
+@query(
+    "dp1_randomized_response",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN value > 100 THEN 1 ELSE 0 END AS hot,
+               CAST(('0x' || substring(md5('dp1:' || CAST(event_id AS VARCHAR)),
+                                       1, 8)) AS UBIGINT) % 4 AS coin
+        FROM events
+    ),
+    rr AS (
+        SELECT event_type, hot,
+               CASE WHEN coin < 3 THEN hot ELSE 1 - hot END AS reported
+        FROM base
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(hot) AS BIGINT) AS true_cnt,
+           CAST(sum(reported) AS BIGINT) AS rep_cnt,
+           CAST(2000 * sum(reported) - 500 * count(*) AS BIGINT) AS est_milli,
+           CAST(2000 * sum(reported) - 500 * count(*)
+                - 1000 * sum(hot) AS BIGINT) AS err_milli
+    FROM rr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dp1_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy by randomized response (Warner 1965,
+    the mechanism RAPPOR built on): each event reports its sensitive
+    bit (value > 100) truthfully with p = 3/4 and flipped otherwise —
+    eps = ln(p/(1-p)) = ln 3 — and the aggregator debias-estimates the
+    true count as (rep − n(1−p))/(2p−1), which at p = 3/4 is the EXACT
+    integer 2·rep − n/2 (est_milli = 2000·rep − 500·n, no division at
+    all).  The declared form's coin is a deterministic md5 of the
+    event id so both engines replay the identical realization and the
+    driver hash pins mechanism + estimator end to end (a production
+    deployment draws real randomness CLIENT-side — the mechanism and
+    the debiasing dataflow are unchanged); err_milli audits the
+    realized estimator error against the ground truth the curator is
+    not supposed to see.  Map-only projection + one partial-aggregated
+    group-by; at 100 TB nothing but per-type counters ever moves."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("hot"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("dp1:"), F.col("event_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+            F.lit(4),
+        ).alias("coin"),
+    )
+    rr = base.select(
+        "event_type",
+        "hot",
+        F.when(F.col("coin") < 3, F.col("hot"))
+        .otherwise(1 - F.col("hot"))
+        .alias("reported"),
+    )
+    return (
+        rr.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("hot").cast("long").alias("true_cnt"),
+            F.sum("reported").cast("long").alias("rep_cnt"),
+            (F.lit(2000) * F.sum("reported") - F.lit(500) * F.count("*"))
+            .cast("long")
+            .alias("est_milli"),
+            (
+                F.lit(2000) * F.sum("reported")
+                - F.lit(500) * F.count("*")
+                - F.lit(1000) * F.sum("hot")
+            )
+            .cast("long")
+            .alias("err_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- CUPED1: covariate-adjusted experiment readout (round 6) -----------------
+#
+# CUPED (Deng et al. 2013, "Improving the Sensitivity of Online
+# Controlled Experiments"): adjust each unit's post-period metric by
+# theta * (pre-period covariate - mean) with theta = cov(X,Y)/var(X),
+# shrinking variance by corr^2 without biasing the arm delta.  Exact
+# integer discipline: per-user sums in cents (DECIMAL(18,2) * 100),
+# moment products through DECIMAL(38,0) / HUGEINT, ONE floor division
+# for theta (micro units) and one for each delta — Spark `div`
+# truncates while DuckDB `//` floors, so the Spark side emulates floor
+# explicitly (numerators here can be negative).
+
+_CUPED_CUT = "2024-01-15 00:00:00"
+
+
+def _fd(a: str, b: str) -> str:
+    """Spark SQL integer division matching DuckDB's `//` on INTEGER
+    operands: both TRUNCATE toward zero (verified: DuckDB
+    (-7)::HUGEINT // 2 = -3, same as Spark's div), so plain `div` is
+    the cross-engine-exact form even for negative numerators.  (The
+    floor-vs-truncate divergence exists only when a DuckDB `//` sees
+    DOUBLE operands.)"""
+    return f"(({a}) div ({b}))"
+
+
+@query(
+    "cuped1_adjusted_delta",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(('0x' || substring(md5('cuped:' || CAST(user_id AS VARCHAR)),
+                                       1, 8)) AS UBIGINT) % 2 AS arm,
+               CAST(COALESCE(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                   AS BIGINT) AS x,
+               CAST(COALESCE(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                   AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT CAST((1000000 * (n * sxy - sx * sy))
+                    // (n * sxx - sx * sx) AS BIGINT) AS theta_micro
+        FROM pooled
+    ),
+    arms AS (
+        SELECT arm, CAST(count(*) AS HUGEINT) AS na,
+               CAST(sum(x) AS HUGEINT) AS sxa,
+               CAST(sum(y) AS HUGEINT) AS sya
+        FROM per_user GROUP BY arm
+    ),
+    d AS (
+        SELECT b.sya * a.na - a.sya * b.na AS dy,
+               b.sxa * a.na - a.sxa * b.na AS dx,
+               a.na AS n_a, b.na AS n_b
+        FROM (SELECT * FROM arms WHERE arm = 0) a,
+             (SELECT * FROM arms WHERE arm = 1) b
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM pooled) AS n_users,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           theta_micro,
+           CAST((10000 * dy) // (n_a * n_b) AS BIGINT) AS raw_delta_micro,
+           CAST((10000 * (1000000 * dy - theta_micro * dx))
+                // (1000000 * n_a * n_b) AS BIGINT) AS adj_delta_micro
+    FROM d CROSS JOIN theta
+    """,
+)
+def cuped1_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariate-adjusted A/B readout: users hash into two arms,
+    X = pre-cutoff spend (cents), Y = post-cutoff spend; theta =
+    cov(X,Y)/var(X) is estimated POOLED (micro units, one wide floor
+    division), and the adjusted between-arm delta subtracts
+    theta·(mean X_B − mean X_A) from the raw delta — removing the
+    pre-existing imbalance the covariate explains, the
+    variance-reduction pass every experimentation platform runs.
+    Cross-multiplied exact form: deltas scale by n_A·n_B so the only
+    divisions are the final micro-quantizations, truncated identically
+    in both engines (Spark `div` and DuckDB integer `//` both round
+    toward zero, including on the negative numerators here).
+    Scale shape: one user-keyed
+    shuffle builds per-user (x, y); moments and arms are two
+    partial-aggregated passes over it; everything downstream is
+    1-row arithmetic on broadcast aggregates."""
+    ev = _events(spark, sf_dir)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+            ).cast("long").alias("y"),
+        )
+        .select(
+            F.expr(
+                "CAST(conv(substring(md5(concat('cuped:',"
+                " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+            ).alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=True)  # one user shuffle, 2 consumers
+    )
+    dec = "DECIMAL(38,0)"
+    pooled = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * y")).alias("sxy"),
+    )
+    theta = pooled.select(
+        F.expr(
+            _fd(
+                f"1000000 * (CAST(n AS {dec}) * sxy - CAST(sx AS {dec}) * sy)",
+                f"CAST(n AS {dec}) * sxx - CAST(sx AS {dec}) * sx",
+            )
+            + " AS theta_micro"
+        ).cast("long").alias("theta_micro")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("na"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("na").alias("n_a"), F.col("sxa").alias("sx_a"), F.col("sya").alias("sy_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("na").alias("n_b"), F.col("sxa").alias("sx_b"), F.col("sya").alias("sy_b")
+    )
+    d = a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.expr(f"CAST(sy_b AS {dec}) * n_a - CAST(sy_a AS {dec}) * n_b").alias("dy"),
+        F.expr(f"CAST(sx_b AS {dec}) * n_a - CAST(sx_a AS {dec}) * n_b").alias("dx"),
+    )
+    return (
+        d.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(pooled.select(F.col("n").alias("n_users"))))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "theta_micro",
+            F.expr(
+                _fd("10000 * dy", f"CAST(n_a AS {dec}) * n_b")
+            ).cast("long").alias("raw_delta_micro"),
+            F.expr(
+                _fd(
+                    f"10000 * (1000000 * dy - CAST(theta_micro AS {dec}) * dx)",
+                    f"1000000 * CAST(n_a AS {dec}) * n_b",
+                )
+            ).cast("long").alias("adj_delta_micro"),
+        )
+    )
