@@ -150,6 +150,8 @@ _ROUND_HEAD = [
     "dq3_chi2_independence",     # exact-milli chi-square via 38-digit ints
     "dp1_randomized_response",   # local-DP randomized response + debiasing
     "cuped1_adjusted_delta",     # CUPED covariate-adjusted A/B delta
+    "g8_geo_neighbor_join",      # grid-cell-banded 50km radius join
+    "attr1_last_touch",          # last-touch revenue attribution window
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

@@ -1484,3 +1484,67 @@ def cuped1_adjusted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("adj_delta_micro"),
         )
     )
+
+
+# --- ATTR1: last-touch revenue attribution (round 6) --------------------------
+
+
+@query(
+    "attr1_last_touch",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type
+        FROM events
+    )
+    SELECT COALESCE(touch_type, '(none)') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def attr1_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's revenue is
+    credited to the same user's most recent PRECEDING non-purchase
+    event (event-time order, ingestion id as the deterministic
+    tiebreaker); purchases with no prior touch credit '(none)'.  The
+    fact-scale as-of pattern (aj1's semantics) expressed as one
+    user-keyed window — last-non-null over an ever-growing frame —
+    so ONE exchange serves the whole attribution, with the purchase
+    filter applied after (the window must see the touches).  Revenue
+    sums in exact cents.  At 100 TB this is the canonical sessionless
+    attribution plan: no self-join, no range join — the window
+    carries the last touch forward per user."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("touch_type"),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("touch_type")
+    )

@@ -696,3 +696,131 @@ def user_copresence_components(ev: DataFrame) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         (F.col("v") == F.col("component")).alias("is_root"),
     ).orderBy("user_id")
+
+
+# --- G8: cell-banded geo radius join (round 6) --------------------------------
+#
+# g1's habitat graph theta-joins a MODEL-SIZED node table; this is the
+# same radius predicate over a LARGE point set, where all-pairs is
+# quadratic death and the scale plan is grid-cell banding (the
+# geospatial twin of j28's interval bands): 1°x1° cells are >= 50 km in
+# both axes for |lat| <= 60, so every <=50 km pair lands in adjacent
+# cells, one side explodes into its 3x3 neighborhood (longitude
+# wrapping mod 360), the join is EQUI on the cell key, and the exact
+# haversine runs only on neighbor-cell candidates.  Each qualifying
+# pair matches exactly once (a unique (dlat, dlon) offset), so no
+# DISTINCT is needed.  The oracle is the PLAIN quadratic theta join —
+# banding provably invisible.
+
+_G8_RADIUS_KM = 50.0
+
+
+def _g8_points_sql() -> str:
+    u = "CAST(user_id AS VARCHAR)"
+    h = f"md5('geo:' || {u})"
+    return f"""
+        SELECT user_id,
+               CAST(('0x' || substring({h}, 1, 8)) AS UBIGINT)
+                   % 120000000 AS lat_shift_u,
+               CAST(('0x' || substring({h}, 9, 8)) AS UBIGINT)
+                   % 360000000 AS lon_shift_u
+        FROM (SELECT DISTINCT user_id FROM events)
+    """
+
+
+@query(
+    "g8_geo_neighbor_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(lat_shift_u AS BIGINT) / 1000000.0 - 60.0 AS lat,
+               CAST(lon_shift_u AS BIGINT) / 1000000.0 - 180.0 AS lon
+        FROM ({_g8_points_sql()})
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           ROUND({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon',
+                                       lat2='b.lat', lon2='b.lon')}, 3)
+               AS dist_km
+    FROM pts a JOIN pts b ON a.user_id < b.user_id
+    WHERE ROUND({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon',
+                                      lat2='b.lat', lon2='b.lon')}, 3)
+          <= {_G8_RADIUS_KM}
+    ORDER BY user_a, user_b
+    """,
+)
+def g8_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within 50 km over md5-derived user coordinates
+    (lat in [-60, 60) — 1° of longitude is >= 55.6 km there, so the
+    1°x1° grid is a complete blocking key for the 50 km radius).
+    Mechanism: integer micro-degree points, cell = shifted-degree
+    floor (non-negative, so truncating div IS floor), the b side
+    posexplodes into its 9 neighbor cells with longitude wrap, equi-
+    join on the cell, exact rounded haversine residual.  At 100 TB
+    the equi-join shuffles on the cell key and each cell's candidate
+    set stays local — the plan every geospatial engine (Sedona's
+    KDB/quad partitioning, BigQuery's S2 join) reduces to.  Oracle =
+    the plain quadratic theta join over the same points."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("geo:"), F.col("user_id").cast("string")))
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                F.lit(120_000_000),
+            ).alias("lat_u"),
+            F.pmod(
+                F.conv(F.substring(h, 9, 8), 16, 10).cast("long"),
+                F.lit(360_000_000),
+            ).alias("lon_u"),
+        )
+        .select(
+            "user_id",
+            (F.col("lat_u") / 1_000_000.0 - 60.0).alias("lat"),
+            (F.col("lon_u") / 1_000_000.0 - 180.0).alias("lon"),
+            F.expr("lat_u div 1000000").cast("int").alias("clat"),
+            F.expr("lon_u div 1000000").cast("int").alias("clon"),
+        )
+    )
+    a = pts.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("clat").alias("cell_lat"),
+        F.col("clon").alias("cell_lon"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dl).alias("dl"), F.lit(dn).alias("dn"))
+            for dl in (-1, 0, 1)
+            for dn in (-1, 0, 1)
+        ]
+    )
+    b = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "clat",
+        "clon",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "user_b",
+        "lat_b",
+        "lon_b",
+        (F.col("clat") + F.col("o.dl")).alias("cell_lat"),
+        F.pmod(F.col("clon") + F.col("o.dn") + 360, F.lit(360)).alias("cell_lon"),
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+        3,
+    )
+    return (
+        a.join(b, ["cell_lat", "cell_lon"])
+        .where((F.col("user_a") < F.col("user_b")) & (dist <= _G8_RADIUS_KM))
+        .select("user_a", "user_b", dist.alias("dist_km"))
+        .orderBy("user_a", "user_b")
+    )
