@@ -152,6 +152,7 @@ _ROUND_HEAD = [
     "cuped1_adjusted_delta",     # CUPED covariate-adjusted A/B delta
     "g8_geo_neighbor_join",      # grid-cell-banded 50km radius join
     "attr1_last_touch",          # last-touch revenue attribution window
+    "auc1_classifier_eval",      # exact Mann-Whitney AUC, no global sort
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

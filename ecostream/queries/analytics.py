@@ -1548,3 +1548,91 @@ def attr1_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# --- AUC1: exact AUC via Mann-Whitney midranks (round 6) ----------------------
+
+
+@query(
+    "auc1_classifier_eval",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               (1000 * length(text))
+                   // (len(string_split(text, ' ')) + 1) AS score
+        FROM documents
+    ),
+    grp AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT score, n, n_pos,
+               COALESCE(SUM(n) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM grp
+    ),
+    agg AS (
+        SELECT CAST(sum(n_pos * (2 * (below + 1) + n - 1)) AS BIGINT)
+                   AS sum2r_pos,
+               CAST(sum(n_pos) AS BIGINT) AS np,
+               CAST(sum(n - n_pos) AS BIGINT) AS nn
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST((1000000 * (sum2r_pos - np * (np + 1)))
+                // (2 * np * nn) AS BIGINT) AS auc_micro
+    FROM agg
+    """,
+)
+def auc1_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a score against a label — model evaluation as
+    dataflow: AUC is the Mann-Whitney U statistic, U = Σranks(pos) −
+    n_pos(n_pos+1)/2 over ranks of the pooled scores with MIDRANKS for
+    ties (doubled so everything stays integer), divided by
+    n_pos·n_neg; here the score is a deterministic integer quality
+    proxy (milli average word length) and the label is lang='en', so
+    the driver pins the entire evaluator to the micro-AUC digit.
+    Scale shape — NO global row ranking: scores group to a bounded
+    score-frequency table first (one partial-aggregated shuffle), the
+    rank prefix-sum window runs over that MODEL-SIZED table, and every
+    tie group contributes n_pos·(2·min_rank + n − 1) in one closed
+    form.  This is how you compute exact AUC over 10^12 rows without
+    ever sorting them globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    scored = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.expr(
+            "(1000 * length(text)) div (size(split(text, ' ')) + 1)"
+        ).alias("score"),
+    )
+    grp = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.select(
+        "score",
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("below"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("n_pos") * (2 * (F.col("below") + 1) + F.col("n") - 1)
+        ).cast("long").alias("sum2r_pos"),
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.expr(
+            "CAST((1000000 * (sum2r_pos - np * (np + 1)))"
+            " div (2 * np * nn) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
