@@ -153,6 +153,9 @@ _ROUND_HEAD = [
     "g8_geo_neighbor_join",      # grid-cell-banded 50km radius join
     "attr1_last_touch",          # last-touch revenue attribution window
     "auc1_classifier_eval",      # exact Mann-Whitney AUC, no global sort
+    "w10_error_run_detection",   # gaps-and-islands consecutive-run match
+    "eval7_distinct_n",          # distinct-1/2 generation-diversity metric
+    "ndcg1_retrieval_quality",   # NDCG@10 of the BM25 retriever
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

@@ -2482,3 +2482,209 @@ def t13_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_milli"), "doc_id")
         .limit(10)
     )
+
+
+# --- EVAL7: distinct-n diversity metric (round 6) -----------------------------
+
+
+@query(
+    "eval7_distinct_n",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g1 AS (
+        SELECT source, t[i] AS gram
+        FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    g2 AS (
+        SELECT source, t[i] || ' ' || t[i + 1] AS gram
+        FROM (SELECT source, t FROM toks WHERE len(t) >= 2) z,
+             UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    s1 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS total1,
+               CAST(count(DISTINCT gram) AS BIGINT) AS uniq1
+        FROM g1 GROUP BY source
+    ),
+    s2 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS total2,
+               CAST(count(DISTINCT gram) AS BIGINT) AS uniq2
+        FROM g2 GROUP BY source
+    )
+    SELECT s1.source, total1, uniq1,
+           (1000 * uniq1) // total1 AS distinct1_permille,
+           total2, uniq2,
+           (1000 * uniq2) // total2 AS distinct2_permille
+    FROM s1 JOIN s2 USING (source)
+    ORDER BY source
+    """,
+)
+def eval7_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 diversity (Li et al. 2016, the standard
+    generation-diversity metric): unique-to-total n-gram ratios per
+    source, in exact permille — a collapsing source (mode-collapsed
+    generations, boilerplate-heavy crawl slices) shows a falling
+    distinct-2 long before eyeballing does.  Plan: two exploded
+    projections (1-grams, 2-grams) each partial-aggregated into
+    per-source (total, distinct) — the distinct shuffles carry
+    (source, gram) pairs bounded by vocabulary, not corpus; a single
+    source-keyed join assembles the report."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+    g1 = toks.select("source", F.explode("t").alias("gram"))
+    g2 = toks.where(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, CAST(i + 1 AS INT))))"
+            )
+        ).alias("gram"),
+    )
+    s1 = g1.groupBy("source").agg(
+        F.count("*").cast("long").alias("total1"),
+        F.count_distinct("gram").cast("long").alias("uniq1"),
+    )
+    s2 = g2.groupBy("source").agg(
+        F.count("*").cast("long").alias("total2"),
+        F.count_distinct("gram").cast("long").alias("uniq2"),
+    )
+    return (
+        s1.join(s2, "source")
+        .select(
+            "source",
+            "total1",
+            "uniq1",
+            F.expr("(1000 * uniq1) div total1").cast("long").alias(
+                "distinct1_permille"
+            ),
+            "total2",
+            "uniq2",
+            F.expr("(1000 * uniq2) div total2").cast("long").alias(
+                "distinct2_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- NDCG1: ranking-quality evaluation of the BM25 retriever (round 6) --------
+
+import math as _math
+
+# Position discounts 1/log2(i+1), micro-quantized ONCE in Python and
+# embedded as identical literals in both engines — the only
+# transcendental in NDCG is over the 10 fixed positions, never over
+# data, so quantizing it as a constant table keeps the whole metric
+# exact-integer.
+_NDCG_W = [int(1_000_000 / _math.log2(i + 1)) for i in range(1, 11)]
+
+
+def _ndcg1_oracle() -> str:
+    from .registry import ORACLES
+
+    w_list = ", ".join(str(w) for w in _NDCG_W)
+    return f"""
+    WITH retrieved AS ({ORACLES["t13_bm25_retrieval"]}),
+    rel AS (
+        SELECT doc_id,
+               LEAST(3, CAST(count(*) AS BIGINT)) AS rel
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) WHERE term IN ('vector', 'merge', 'scan')
+        GROUP BY doc_id
+    ),
+    w AS (SELECT list_value({w_list}) AS ws),
+    dcg AS (
+        SELECT CAST(sum(((1 << rel.rel) - 1) * ws[pos]) AS BIGINT) AS v
+        FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY bm25_milli DESC, doc_id) AS INT) AS pos
+            FROM retrieved
+        ) r JOIN rel USING (doc_id) CROSS JOIN w
+    ),
+    idcg AS (
+        SELECT CAST(sum(((1 << rel) - 1) * ws[pos]) AS BIGINT) AS v
+        FROM (
+            SELECT rel, CAST(ROW_NUMBER() OVER (
+                ORDER BY rel DESC, doc_id) AS INT) AS pos
+            FROM rel
+        ) i CROSS JOIN w
+        WHERE pos <= 10
+    )
+    SELECT dcg.v AS dcg_micro, idcg.v AS idcg_micro,
+           (1000000 * dcg.v) // idcg.v AS ndcg_micro
+    FROM dcg CROSS JOIN idcg
+    """
+
+
+@query("ndcg1_retrieval_quality", oracle=_ndcg1_oracle())
+def ndcg1_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 retriever (t13) against graded relevance
+    rel = min(3, query-term count) — the ranking-quality metric
+    (Järvelin & Kekäläinen 2002) that, with auc1 and the recall evals,
+    completes the offline evaluation suite: gains (2^rel − 1) weight
+    by 1/log2(pos+1) discounts that are micro-quantized ONCE as
+    position literals (the only transcendental is over 10 constants,
+    never data), so DCG, ideal DCG, and their ratio are exact
+    integers the driver hash pins.  Plan: t13's
+    TakeOrderedAndProject top-10 joins the relevance table (broadcast
+    — 10 rows against an aggregated doc table); the ideal ranking is
+    its own top-10 TakeOrdered over relevance; no global sorts."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    terms = list(_T13_TERMS)
+    rel = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.least(F.lit(3), F.count("*")).cast("long").alias("rel"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    retrieved = t13_bm25_retrieval(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25_milli"), F.asc("doc_id")))
+        .alias("pos"),
+    )
+    dcg = (
+        retrieved.join(F.broadcast(rel), "doc_id")
+        .select(
+            (
+                (F.expr("shiftleft(1, CAST(rel AS INT))") - 1)
+                * F.element_at(w_arr, F.col("pos"))
+            ).alias("g")
+        )
+        .agg(F.sum("g").cast("long").alias("dcg_micro"))
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(W.orderBy(F.desc("rel"), F.asc("doc_id")))
+            .alias("pos"),
+        )
+        .select(
+            (
+                (F.expr("shiftleft(1, CAST(rel AS INT))") - 1)
+                * F.element_at(w_arr, F.col("pos"))
+            ).alias("g")
+        )
+        .agg(F.sum("g").cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("(1000000 * dcg_micro) div idcg_micro")
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+    )

@@ -351,3 +351,77 @@ def tk1_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("price"),
         "rnk",
     )
+
+
+# --- W10: consecutive-run pattern detection (round 6) -------------------------
+#
+# The MATCH_RECOGNIZE shape (3+ consecutive errors per user, arrival
+# order) without MATCH_RECOGNIZE: the gaps-and-islands device.  Within
+# each user's arrival sequence, row_number() minus row_number()-among-
+# errors is CONSTANT exactly along a maximal run of errors, so runs
+# group by that difference — two partition-local window passes and one
+# aggregate, all riding a single user-keyed exchange.
+
+_W10_MIN_RUN = 3
+
+
+@query(
+    "w10_error_run_detection",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                   ORDER BY event_id) AS rk
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, rn - rk AS grp,
+               CAST(count(*) AS BIGINT) AS run_len,
+               CAST(min(event_id) AS BIGINT) AS first_event_id,
+               CAST(max(event_id) AS BIGINT) AS last_event_id
+        FROM seq WHERE event_type = 'error'
+        GROUP BY user_id, rn - rk
+    )
+    SELECT user_id, run_len, first_event_id, last_event_id
+    FROM runs WHERE run_len >= {_W10_MIN_RUN}
+    ORDER BY user_id, first_event_id
+    """,
+)
+def w10_error_run_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect every maximal run of >= 3 consecutive 'error' events per
+    user in arrival order — the alerting/sequence-pattern query SQL
+    standardizes as MATCH_RECOGNIZE, expressed portably as
+    gaps-and-islands: rn (position among all of the user's events)
+    minus rk (position among the user's errors) is invariant along a
+    maximal error run, so grouping errors by that difference yields
+    one row per run with its length and span.  Both window passes
+    partition by user_id and order by the unique ingestion id, so ONE
+    exchange serves the whole detection; no self-join, no iteration.
+    At 100 TB this is the standard sessionless pattern-match plan."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_err = Window.partitionBy(
+        "user_id", (F.col("event_type") == "error").cast("int")
+    ).orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_err).alias("rk"),
+    )
+    return (
+        seq.where(F.col("event_type") == "error")
+        .groupBy("user_id", (F.col("rn") - F.col("rk")).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+            F.max("event_id").cast("long").alias("last_event_id"),
+        )
+        .where(F.col("run_len") >= _W10_MIN_RUN)
+        .select("user_id", "run_len", "first_event_id", "last_event_id")
+        .orderBy("user_id", "first_event_id")
+    )
