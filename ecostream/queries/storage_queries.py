@@ -116,6 +116,7 @@ def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DATA: the bucketed join must equal the plain join the oracle
     runs).  At 100 TB this is the difference between re-shuffling two
     huge tables per join and reading co-located buckets."""
+    import os
     import shutil
     from pathlib import Path
 
@@ -123,20 +124,27 @@ def s7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    spark.sql("DROP TABLE IF EXISTS s7_orders_b")
-    spark.sql("DROP TABLE IF EXISTS s7_customer_b")
+    # Process-unique table names: two concurrent processes (a pytest
+    # run beside a parity sweep) otherwise drop/rewrite/read the SAME
+    # managed location and one of them reads a mid-rewrite empty table
+    # (observed: spark=0 rows vs oracle=14999 only under concurrency).
+    suffix = os.getpid()
+    t_orders, t_cust = f"s7_orders_b_{suffix}", f"s7_customer_b_{suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
     # DROP TABLE is a no-op for a table this session never registered,
-    # but a previous process may have left the managed location behind —
-    # saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    # but a dead process with this pid may have left the managed
+    # location behind — saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS.
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    for t in ("s7_orders_b", "s7_customer_b"):
+    for t in (t_orders, t_cust):
         shutil.rmtree(Path(warehouse) / t, ignore_errors=True)
-    write_bucketed(orders, "s7_orders_b", ["o_custkey"], 8, ["o_custkey"])
-    write_bucketed(cust, "s7_customer_b", ["c_custkey"], 8, ["c_custkey"])
-    o = spark.table("s7_orders_b")
-    c = spark.table("s7_customer_b")
+    write_bucketed(orders, t_orders, ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed(cust, t_cust, ["c_custkey"], 8, ["c_custkey"])
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("o_custkey").alias("custkey"))

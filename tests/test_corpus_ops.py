@@ -513,3 +513,38 @@ def test_st13_detects_planted_late_event(spark):
     assert out[7]["max_late_us"] == 700_000_000
     assert out[7]["n_dropped_10m"] == 1
     assert out[8]["n_late"] == 0 and out[8]["n_dropped_10m"] == 0
+
+
+def test_w10_planted_runs(spark):
+    """A 4-run and a 3-run for one user, split by a non-error; a
+    2-run for another user must NOT surface."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecostream.queries import QUERIES
+
+    types = {
+        # user 1: e e e e | view | e e e   -> runs of 4 and 3
+        1: ["error"] * 4 + ["view"] + ["error"] * 3,
+        # user 2: e e view e                -> max run 2, below threshold
+        2: ["error", "error", "view", "error"],
+    }
+    rows, eid = [], 0
+    for u, seq in types.items():
+        for t in seq:
+            rows.append((eid, u, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("event_id") * 1_000_000).alias("ts"),
+        "event_type",
+        F.lit(1.0).alias("value"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        out = QUERIES["w10_error_run_detection"](spark, d).collect()
+    got = [(r["user_id"], r["run_len"], r["first_event_id"], r["last_event_id"]) for r in out]
+    assert got == [(1, 4, 0, 3), (1, 3, 5, 7)]

@@ -116,3 +116,29 @@ def test_g6_oriented_equals_naive_on_corpus(spark):
     n_naive = triangle_corners_naive(edges).count()
     n_oriented = triangle_corners_oriented(edges).count()
     assert n_naive == n_oriented > 0
+
+
+def test_g8_wraps_the_antimeridian(spark):
+    """Users 45 and 82916 hash to points on OPPOSITE sides of the
+    ±180° seam, 39.632 km apart — the pair only survives if the
+    neighbor-cell explode wraps longitude mod 360.  A third far-away
+    user must not pair with either."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ecostream.queries import QUERIES
+
+    ids = [45, 82916, 7]  # 7 is nowhere near the seam pair
+    df = spark.createDataFrame([(i, i) for i in ids], "event_id long, user_id long").select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.lit(1_700_000_000_000_000)).alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        rows = QUERIES["g8_geo_neighbor_join"](spark, d).collect()
+    assert [(r["user_a"], r["user_b"], r["dist_km"]) for r in rows] == [
+        (45, 82916, 39.632)
+    ]
