@@ -1437,3 +1437,160 @@ def id1_global_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- PACK3: best-fit-decreasing packing (round 7) ----------------------------
+#
+# pack1 packs concatenatively (documents split across bin boundaries:
+# zero padding, but examples lose integrity); real trainers that must
+# keep documents whole run a bin-packing heuristic instead and pay
+# padding for it.  pack3 PLANS that tradeoff per source shard: best-fit
+# decreasing (the classic 11/9-OPT heuristic: sort by length
+# descending, place each doc in the fullest open bin that still fits)
+# against next-fit in arrival order (the zero-sort streaming loader),
+# with pack1's split-packing bin count as the exact lower bound
+# ceil(tokens/budget).  Verdict r6 #5.
+
+
+@query(
+    "pack3_bfd_packing",
+    oracle=f"""
+    WITH RECURSIVE lens AS MATERIALIZED (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    srt AS MATERIALIZED (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_tok DESC, doc_id) AS r
+        FROM lens
+    ),
+    arr AS MATERIALIZED (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        FROM lens
+    ),
+    bfd AS (
+        SELECT source, CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS caps
+        FROM (SELECT DISTINCT source FROM lens)
+        UNION ALL
+        SELECT b.source, s.r,
+            CASE WHEN len(list_filter(b.caps, c -> c >= s.n_tok)) = 0
+                 THEN list_append(b.caps,
+                                  CAST({_PACK_BUDGET} - s.n_tok AS BIGINT))
+                 ELSE list_transform(range(1, len(b.caps) + 1),
+                      i -> CASE WHEN i = list_position(b.caps,
+                             list_min(list_filter(b.caps,
+                                                  c -> c >= s.n_tok)))
+                           THEN b.caps[i] - s.n_tok ELSE b.caps[i] END)
+            END AS caps
+        FROM bfd b JOIN srt s ON s.source = b.source AND s.r = b.r + 1
+    ),
+    nf AS (
+        SELECT source, CAST(0 AS BIGINT) AS r,
+               CAST(0 AS BIGINT) AS bins, CAST(0 AS BIGINT) AS rem
+        FROM (SELECT DISTINCT source FROM lens)
+        UNION ALL
+        SELECT n.source, a.r,
+               CASE WHEN a.n_tok <= n.rem THEN n.bins ELSE n.bins + 1 END,
+               CASE WHEN a.n_tok <= n.rem THEN n.rem - a.n_tok
+                    ELSE CAST({_PACK_BUDGET} - a.n_tok AS BIGINT) END
+        FROM nf n JOIN arr a ON a.source = n.source AND a.r = n.r + 1
+    ),
+    bfd_fin AS (
+        SELECT source, CAST(len(caps) AS BIGINT) AS bfd_bins
+        FROM (SELECT *, max(r) OVER (PARTITION BY source) AS mr FROM bfd)
+        WHERE r = mr
+    ),
+    nf_fin AS (
+        SELECT source, bins AS nf_bins
+        FROM (SELECT *, max(r) OVER (PARTITION BY source) AS mr FROM nf)
+        WHERE r = mr
+    ),
+    base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM lens GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           (b.n_tokens + {_PACK_BUDGET} - 1) // {_PACK_BUDGET} AS lb_bins,
+           f.bfd_bins, n.nf_bins,
+           (1000 * (f.bfd_bins * {_PACK_BUDGET} - b.n_tokens))
+               // (f.bfd_bins * {_PACK_BUDGET}) AS bfd_waste_permille,
+           (1000 * (n.nf_bins * {_PACK_BUDGET} - b.n_tokens))
+               // (n.nf_bins * {_PACK_BUDGET}) AS nf_waste_permille
+    FROM base b JOIN bfd_fin f USING (source) JOIN nf_fin n USING (source)
+    ORDER BY source
+    """,
+)
+def pack3_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing per source shard: best-fit-decreasing
+    (sort docs by token count descending, place each in the open bin
+    with the LEAST remaining capacity that still fits, lowest bin index
+    on capacity ties) versus next-fit in arrival order (cut a new bin
+    whenever the current one can't take the next doc), both against the
+    concatenative lower bound ceil(tokens/512) that pack1 achieves by
+    splitting documents.  Waste is exact integer permille of bin
+    capacity — the padding budget a trainer pays to keep documents
+    whole, and the measured argument for sorting before packing.
+
+    Both packers are inherently sequential, so they run as per-shard
+    folds (batch1's device): ONE source-keyed exchange collects each
+    shard's (length, doc_id) list, and `aggregate` higher-order
+    expressions fold BFD's open-bin capacity array / next-fit's
+    (bins, remainder) pair inside whole-stage codegen — no Python, no
+    global sort, shard-sized state only (open-bin count is bounded by
+    shard tokens / 512).  At 100 TB, shards are the loader's parallel
+    unit and each fold stays partition-local; the oracle replays both
+    folds exactly as per-source recursive CTEs over the same orders.
+    Ties and fits are integer comparisons, so both engines walk
+    identical placements.  Docs longer than the budget would open
+    their own over-full bin on both sides (none exist in this corpus;
+    chunk1 is the upstream that enforces the cap in practice)."""
+    B = _PACK_BUDGET
+    lens = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    per = lens.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("array_sort(collect_list(struct(-n_tok AS neg, doc_id, n_tok)))")
+        .alias("by_len"),
+        F.expr("array_sort(collect_list(struct(doc_id, n_tok)))").alias("by_id"),
+    )
+    bfd_caps = F.expr(
+        f"""aggregate(by_len, CAST(array() AS array<bigint>), (caps, x) ->
+            CASE WHEN size(filter(caps, c -> c >= x.n_tok)) = 0
+                 THEN concat(caps, array(CAST({B} - x.n_tok AS bigint)))
+                 ELSE transform(caps, (c, i) ->
+                      IF(CAST(i + 1 AS bigint) = array_position(caps,
+                           array_min(filter(caps, c2 -> c2 >= x.n_tok))),
+                         c - x.n_tok, c))
+            END)"""
+    )
+    nf_state = F.expr(
+        f"""aggregate(by_id,
+            named_struct('bins', CAST(0 AS bigint), 'rem', CAST(0 AS bigint)),
+            (a, x) -> IF(x.n_tok <= a.rem,
+                named_struct('bins', a.bins,
+                             'rem', a.rem - CAST(x.n_tok AS bigint)),
+                named_struct('bins', a.bins + 1L,
+                             'rem', CAST({B} - x.n_tok AS bigint))))"""
+    )
+    packed = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"(n_tokens + {B} - 1) div {B}").cast("long").alias("lb_bins"),
+        F.size(bfd_caps).cast("long").alias("bfd_bins"),
+        nf_state.getField("bins").cast("long").alias("nf_bins"),
+    )
+    return packed.select(
+        "*",
+        F.expr(f"(1000 * (bfd_bins * {B} - n_tokens)) div (bfd_bins * {B})")
+        .cast("long")
+        .alias("bfd_waste_permille"),
+        F.expr(f"(1000 * (nf_bins * {B} - n_tokens)) div (nf_bins * {B})")
+        .cast("long")
+        .alias("nf_waste_permille"),
+    ).orderBy("source")

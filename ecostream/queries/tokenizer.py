@@ -61,16 +61,22 @@ def _bpe_oracle(rounds: int) -> str:
     """Unrolled DuckDB replay: s{k} = corpus after k merges, m{k} = the
     k-th learned rule.  range(1, len(t)) is end-exclusive (empty for
     1-token docs), and the scalar subqueries inline each round's rule
-    into the next round's rewrite."""
+    into the next round's rewrite.
+
+    Every tower level is ``AS MATERIALIZED``: each s{k} is consumed
+    TWICE (the next round's pair count AND rewrite), and DuckDB inlines
+    a plain CTE per reference, so without materialization the tower
+    re-evaluates s0 ~2^rounds times — measured 17 s at sf0.1 vs 0.4 s
+    materialized (VERDICT r6 #2's oracle-tower cut)."""
     parts = [
-        "WITH s0 AS (SELECT doc_id,"
+        "WITH s0 AS MATERIALIZED (SELECT doc_id,"
         " '|' || replace(text, ' ', '|') || '|' AS s FROM documents)"
     ]
     for k in range(1, rounds + 1):
         prev = f"s{k - 1}"
         parts.append(
             f""",
-    p{k} AS (
+    p{k} AS MATERIALIZED (
         SELECT pr, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT t[i] || '|' || t[i + 1] AS pr
             FROM (SELECT list_filter(string_split(s, '|'),
@@ -78,8 +84,9 @@ def _bpe_oracle(rounds: int) -> str:
                  LATERAL (SELECT unnest(range(1, len(t))) AS i) g
         ) GROUP BY pr
     ),
-    m{k} AS (SELECT pr, freq FROM p{k} ORDER BY freq DESC, pr LIMIT 1),
-    s{k} AS (
+    m{k} AS MATERIALIZED (
+        SELECT pr, freq FROM p{k} ORDER BY freq DESC, pr LIMIT 1),
+    s{k} AS MATERIALIZED (
         SELECT doc_id,
                replace(s, '|' || (SELECT pr FROM m{k}) || '|',
                        '|' || replace((SELECT pr FROM m{k}), '|', '+')

@@ -9,6 +9,7 @@ driver's order-insensitive value-hash.
 from __future__ import annotations
 
 import math
+import time
 from decimal import Decimal
 
 import duckdb
@@ -50,9 +51,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> None:
+def compare(
+    spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str
+) -> dict[str, float]:
+    """Assert Spark/DuckDB parity; returns {'engine_s', 'oracle_s'} so
+    callers can attribute sweep wall-clock to the side that spent it
+    (VERDICT r6 #2: four oracle replay towers dominated the sweep while
+    the logs charged the whole time to the query)."""
+    t0 = time.time()
     actual = _normalize(spark_df.toPandas())
+    t1 = time.time()
     expected = _normalize(con.sql(sql).df())
+    t2 = time.time()
+    timings = {"engine_s": t1 - t0, "oracle_s": t2 - t1}
     assert list(actual.columns) == list(expected.columns), (
         f"{name}: column mismatch spark={list(actual.columns)} "
         f"duck={list(expected.columns)}"
@@ -82,3 +93,4 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> No
             f"{name}: column {c!r} differs at rows {bad[:5]} "
             f"spark={[a.iloc[i] for i in bad[:5]]} duck={[e.iloc[i] for i in bad[:5]]}"
         )
+    return timings

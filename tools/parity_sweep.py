@@ -18,18 +18,23 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     queries, oracles = contract.queries(), contract.oracle_sql()
-    fails, no_oracle = [], []
+    fails, no_oracle, slow_oracles = [], [], []
+    tot_eng = tot_ora = 0.0
     for name in sorted(queries):
         if only and name not in only:
             continue
         t0 = time.time()
+        eng = ora = 0.0
         try:
             df = queries[name](spark, sf_dir)
             if name in oracles:
-                compare(df, con, oracles[name], name)
+                tm = compare(df, con, oracles[name], name)
+                eng, ora = tm["engine_s"], tm["oracle_s"]
                 status = "OK"
             else:
+                te = time.time()
                 n = df.count()
+                eng = time.time() - te
                 assert n >= 0
                 no_oracle.append(name)
                 status = f"ROWS {n}"
@@ -37,9 +42,20 @@ def main():
             fails.append(name)
             status = f"FAIL {type(e).__name__}: {str(e)[:300]}"
             traceback.print_exc(limit=3)
-        print(f"{time.time()-t0:6.2f}s {name}: {status}", flush=True)
+        tot_eng += eng
+        tot_ora += ora
+        if ora >= 8.0:
+            slow_oracles.append((name, ora))
+        print(
+            f"{time.time()-t0:6.2f}s (engine {eng:5.2f}s, oracle "
+            f"{ora:5.2f}s) {name}: {status}",
+            flush=True,
+        )
     print(f"\n=== {len(fails)} failures / {len(queries)} queries "
           f"({len(no_oracle)} rows-only) ===")
+    print(f"=== engine total {tot_eng:.1f}s, oracle total {tot_ora:.1f}s ===")
+    for n, s in sorted(slow_oracles, key=lambda x: -x[1]):
+        print(f"SLOW ORACLE {s:6.2f}s {n}")
     for f in fails:
         print("FAIL", f)
     return 1 if fails else 0
