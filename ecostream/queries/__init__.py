@@ -108,20 +108,17 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # ROUND 6: the 14 oracle-bearing queries never hash-signed in
-    # CORRECTNESS_r01..r05 (the round-5 additions plus the documented
-    # a9_percentiles_approx leftover) — signing these completes
-    # driver-signed coverage of EVERY oracle-bearing registry key
-    # (VERDICT r5 "Next round" #1).
-    "a9_percentiles_approx",
-    "semdedup3_hierarchical_prune", "semdedup4_two_level_trained",
-    "dsir1_importance_resample", "d12_incremental_dedup",
-    "ent1_token_entropy_gate", "zorder1_layout_stats",
-    "st11_stream_outer_join", "pipeline3_curation_manifest",
-    "decon1_remove_contaminated", "samp2_weighted_wor",
-    "s9_schema_evolution", "g7_user_components",
-    "curr1_curriculum_schedule",
-    # Round-6 additions (each oracle-bearing):
+    # ROUND 7: maintenance head — every oracle-bearing key is already
+    # driver-signed (cumulative r01..r06 = 246/246), so the head holds
+    # only this round's additions (each oracle-bearing, per the
+    # rotation convention); the driver then re-signs trailing
+    # already-signed keys, which is harmless re-confirmation.
+    "tok3_unigram_train",        # unigram-LM (SentencePiece prune) trainer
+    "pack3_bfd_packing",         # best-fit-decreasing vs next-fit packing
+    "sq1_int8_recall",           # int8 scalar-quantization recall eval
+    # ROUND 6 additions, re-confirmed while head space allows (all
+    # already signed in CORRECTNESS_r06; the 14 pre-r6 stragglers that
+    # completed 246/246 driver-signed coverage rotated out this round):
     "sim10_hard_negatives",      # hard-negative mining for contrastive pairs
     "mrl1_matryoshka_recall",    # truncated-dimension recall eval
     "mix2_budget_waterfill",     # token-budget waterfill allocation

@@ -325,3 +325,318 @@ def tok2_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("merge_hit_permille"),
     )
+
+
+# --- TOK3: unigram-LM tokenizer training (round 7) ----------------------------
+#
+# SentencePiece's OTHER trainer (Kudo 2018, "Subword Regularization"):
+# where BPE grows a vocabulary bottom-up by merging, the unigram LM
+# starts from an over-complete seed vocabulary and EM-prunes it, scoring
+# candidate segmentations by their unigram log-likelihood.  bpe1/tok1/
+# tok2 cover the merge half; this covers the prune half (VERDICT r6 #4).
+# Like bpe1, the mechanism runs token-level (words are the base symbols,
+# adjacent-word bigrams the candidate multi-word pieces) so every
+# intermediate is a plain string/integer both engines replay exactly.
+#
+# The EM here is the hard-EM (Viterbi) variant: the E-step segments
+# every document by minimum total piece cost (integer micro-nats, lm2's
+# quantization device), the M-step re-estimates piece costs from
+# segmentation usage with add-one smoothing and prunes bigram pieces
+# that no optimal segmentation used (base unigrams are never pruned,
+# exactly as SentencePiece always keeps single characters).
+
+_UNI_INF = 1_000_000_000_000_000  # never beats a real path (<= ~2e9)
+_UNI_ROUNDS = 2  # E-steps; pruning happens after round 1
+
+# Learned-model memo, the tok1 device: (applicationId, sf_dir) ->
+# [(piece, n_words, cost_micro_nats)] of the FINAL vocabulary, so the
+# apply-consistency test (and any downstream segmenter) reuses the
+# model without retraining.
+_UNI_MEMO: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
+
+
+def _uni_viterbi_cte(tag: str, cost_cte: str) -> str:
+    """One E-step as DuckDB CTE text: join positions with piece costs,
+    then a per-document recursive Viterbi carrying (best_prev, path_prev,
+    best_cur, path_cur); ties prefer the unigram step (strict < for the
+    bigram), matching the Spark fold bit for bit.  ``pos`` and ``dl``
+    come from the shared prologue."""
+    return f""",
+    pc{tag} AS MATERIALIZED (
+        SELECT p.doc_id, p.i, p.word, u.cost AS ucost,
+               COALESCE(b.cost, {_UNI_INF}) AS bcost,
+               COALESCE(p.bkey, '') AS bkey
+        FROM pos p
+        JOIN {cost_cte} u ON u.piece = p.word AND u.nw = 1
+        LEFT JOIN {cost_cte} b ON b.piece = p.bkey AND b.nw = 2
+    ),
+    v{tag} AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS i,
+               CAST({_UNI_INF} AS BIGINT) AS bp, CAST([] AS VARCHAR[]) AS pp,
+               CAST(0 AS BIGINT) AS bc, CAST([] AS VARCHAR[]) AS pc
+        FROM dl
+        UNION ALL
+        SELECT v.doc_id, p.i, v.bc, v.pc,
+               CASE WHEN v.bp + p.bcost < v.bc + p.ucost
+                    THEN v.bp + p.bcost ELSE v.bc + p.ucost END,
+               CASE WHEN v.bp + p.bcost < v.bc + p.ucost
+                    THEN list_append(v.pp, p.bkey)
+                    ELSE list_append(v.pc, p.word) END
+        FROM v{tag} v JOIN pc{tag} p ON p.doc_id = v.doc_id AND p.i = v.i + 1
+    ),
+    usage{tag} AS MATERIALIZED (
+        SELECT piece, CAST(count(*) AS BIGINT) AS used
+        FROM (SELECT s.pc FROM (SELECT v.*, d.L FROM v{tag} v
+                                JOIN dl d USING (doc_id)) s
+              WHERE s.i = s.L),
+             UNNEST(pc) AS u(piece)
+        GROUP BY piece
+    )"""
+
+
+def _tok3_oracle() -> str:
+    """Full replay: seed counts -> seed costs -> Viterbi E1 -> prune +
+    re-estimate (add-one smoothing) -> Viterbi E2 -> final vocabulary."""
+    return (
+        f"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    dl AS MATERIALIZED (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS L FROM toks
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, i, t[i] AS word,
+               CASE WHEN i >= 2 THEN t[i - 1] || '+' || t[i] END AS bkey
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) g
+    ),
+    seed AS MATERIALIZED (
+        SELECT word AS piece, 1 AS nw, CAST(count(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY word
+        UNION ALL
+        SELECT bkey, 2, CAST(count(*) AS BIGINT)
+        FROM pos WHERE bkey IS NOT NULL GROUP BY bkey
+    ),
+    tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM seed),
+    cost0 AS MATERIALIZED (
+        SELECT piece, nw,
+               -CAST(ROUND(ln(CAST(cnt AS DOUBLE) / tot) * 1000000)
+                     AS BIGINT) AS cost
+        FROM seed, tot0
+    )"""
+        + _uni_viterbi_cte("1", "cost0")
+        + f""",
+    vocab1 AS MATERIALIZED (
+        SELECT c.piece, c.nw, COALESCE(u.used, 0) AS used
+        FROM cost0 c LEFT JOIN usage1 u USING (piece)
+        WHERE c.nw = 1 OR COALESCE(u.used, 0) > 0
+    ),
+    agg1 AS (SELECT CAST(sum(used) AS BIGINT) AS tu,
+                    CAST(count(*) AS BIGINT) AS v FROM vocab1),
+    cost1 AS MATERIALIZED (
+        SELECT piece, nw,
+               -CAST(ROUND(ln(CAST(used + 1 AS DOUBLE) / (tu + v))
+                           * 1000000) AS BIGINT) AS cost
+        FROM vocab1, agg1
+    )"""
+        + _uni_viterbi_cte("2", "cost1")
+        + """
+    SELECT c.piece, CAST(c.nw AS BIGINT) AS n_words,
+           c.cost AS cost_micro_nats,
+           CAST(COALESCE(u.used, 0) AS BIGINT) AS n_uses
+    FROM cost1 c LEFT JOIN usage2 u USING (piece)
+    ORDER BY piece
+    """
+    )
+
+
+_UNI_DP = f"""aggregate(ps,
+    named_struct('bp', CAST({_UNI_INF} AS BIGINT),
+                 'pp', CAST(array() AS array<string>),
+                 'bc', CAST(0 AS BIGINT),
+                 'pc', CAST(array() AS array<string>)),
+    (a, x) -> IF(a.bp + x.bcost < a.bc + x.ucost,
+        named_struct('bp', a.bc, 'pp', a.pc,
+                     'bc', a.bp + x.bcost,
+                     'pc', concat(a.pp, array(x.bkey))),
+        named_struct('bp', a.bc, 'pp', a.pc,
+                     'bc', a.bc + x.ucost,
+                     'pc', concat(a.pc, array(x.word))))).pc"""
+
+
+def _uni_positions(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    return toks.select(
+        "doc_id",
+        F.posexplode("t").alias("i0", "word"),
+        F.col("t").alias("_t"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        "word",
+        F.when(
+            F.col("i0") >= 1,
+            F.concat(F.element_at("_t", F.col("i0")), F.lit("+"), F.col("word")),
+        ).alias("bkey"),
+    )
+
+
+def _uni_viterbi_usage(pos: DataFrame, costs: DataFrame) -> DataFrame:
+    """One hard-EM E-step: per-document minimum-cost segmentation via a
+    codegen `aggregate` fold, then piece usage counts.  ``costs`` is the
+    model (vocabulary-sized) so both joins broadcast; the only data
+    shuffles are the per-document array build and the usage count."""
+    uni = costs.where(F.col("nw") == 1).select(
+        F.col("piece").alias("_up"), F.col("cost").alias("ucost")
+    )
+    bi = costs.where(F.col("nw") == 2).select(
+        F.col("piece").alias("_bp"), F.col("cost").alias("bcost")
+    )
+    j = (
+        pos.join(F.broadcast(uni), pos["word"] == uni["_up"])
+        .join(F.broadcast(bi), pos["bkey"] == bi["_bp"], "left")
+        .select(
+            "doc_id",
+            "i",
+            "word",
+            "ucost",
+            F.coalesce("bcost", F.lit(_UNI_INF)).cast("long").alias("bcost"),
+            F.coalesce("bkey", F.lit("")).alias("bkey"),
+        )
+    )
+    per = j.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(i, ucost, word, bcost, bkey)))")
+        .alias("ps")
+    )
+    seg = per.select(F.expr(_UNI_DP).alias("pieces"))
+    return (
+        seg.select(F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.count("*").cast("long").alias("used"))
+    )
+
+
+@query("tok3_unigram_train", oracle=_tok3_oracle())
+def tok3_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training by Viterbi-EM vocabulary pruning
+    (the SentencePiece trainer bpe1's merge learning doesn't cover):
+    seed an over-complete vocabulary with every word (base symbols,
+    never pruned) and every adjacent word bigram (candidate pieces),
+    cost each piece in integer micro-nats from seed frequencies, then
+    alternate (E) per-document minimum-cost Viterbi segmentation and
+    (M) usage-based cost re-estimation with add-one smoothing, pruning
+    bigram pieces no optimal segmentation used.  Output is the final
+    vocabulary — piece, width, serving cost, final usage — i.e. the
+    tokenizer MODEL, hash-checked rule by rule like bpe1's merge table.
+
+    Cross-engine exactness: piece costs are lm2's device (libm ln
+    quantized to BIGINT micro-nats); the DP compares exact integer
+    sums, bigram steps win only on STRICT improvement, and unusable
+    steps carry a 1e15 sentinel no real path reaches, so both engines
+    walk identical segmentations (the oracle replays the full EM as
+    per-document recursive CTEs over the same integers).
+
+    Scale shape: each E-step is one broadcast join of the
+    vocabulary-sized cost model onto the positions scan, ONE
+    doc_id-keyed exchange to assemble per-document position arrays,
+    a codegen `aggregate` fold (per-doc Viterbi is linear-state DP —
+    no Python, no cross-document state), and a vocabulary-bounded
+    usage count; M-steps are arithmetic on the model table.  At
+    100 TB this is train-small/apply-wide like bpe1: the corpus is
+    scanned once per E-step and only vocabulary-sized tables move.
+    The learned model is memoized per (application, sf_dir) — the
+    tok1 serving device — so downstream segmentation reuses it as a
+    pure map."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = _uni_positions(docs)
+
+    seed_uni = pos.groupBy(F.col("word").alias("piece")).agg(
+        F.count("*").cast("long").alias("cnt")
+    ).select("piece", F.lit(1).alias("nw"), "cnt")
+    seed_bi = (
+        pos.where(F.col("bkey").isNotNull())
+        .groupBy(F.col("bkey").alias("piece"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select("piece", F.lit(2).alias("nw"), "cnt")
+    )
+    seed = seed_uni.unionByName(seed_bi)
+    tot0 = seed.agg(F.sum("cnt").cast("long").alias("tot"))
+    cost0 = seed.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        "nw",
+        (-F.round(F.log(F.col("cnt").cast("double") / F.col("tot")) * 1_000_000))
+        .cast("long")
+        .alias("cost"),
+    )
+    # Each M-step output is the MODEL (vocabulary-sized): collect it and
+    # re-inject as a local table so the next E-step consumes a literal —
+    # cost1 is referenced by BOTH vocabulary joins of E2, and without the
+    # round-trip Spark would re-execute the whole E1 lineage per
+    # reference (the bpe1 per-round-collect discipline; only the model
+    # crosses the driver).  The ln quantization itself stays IN Spark so
+    # the micro-nat integers are the engine's, not the driver's.
+    cost_schema = "piece string, nw int, cost long"
+
+    def _localize(df: DataFrame) -> DataFrame:
+        rows = [(r["piece"], int(r["nw"]), int(r["cost"])) for r in df.collect()]
+        return spark.createDataFrame(rows, cost_schema)
+
+    cost0 = _localize(cost0)
+
+    usage1 = _uni_viterbi_usage(pos, cost0)
+    vocab1 = (
+        cost0.join(usage1, "piece", "left")
+        .select(
+            "piece",
+            "nw",
+            F.coalesce("used", F.lit(0)).cast("long").alias("used"),
+        )
+        .where((F.col("nw") == 1) | (F.col("used") > 0))
+    )
+    agg1 = vocab1.agg(
+        F.sum("used").cast("long").alias("tu"),
+        F.count("*").cast("long").alias("v"),
+    )
+    cost1 = _localize(
+        vocab1.crossJoin(F.broadcast(agg1)).select(
+            "piece",
+            "nw",
+            (
+                -F.round(
+                    F.log(
+                        (F.col("used") + 1).cast("double")
+                        / (F.col("tu") + F.col("v"))
+                    )
+                    * 1_000_000
+                )
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+
+    usage2 = _uni_viterbi_usage(pos, cost1)
+    out = (
+        cost1.join(usage2, "piece", "left")
+        .select(
+            "piece",
+            F.col("nw").cast("long").alias("n_words"),
+            F.col("cost").alias("cost_micro_nats"),
+            F.coalesce("used", F.lit(0)).cast("long").alias("n_uses"),
+        )
+        .orderBy("piece")
+    )
+    # The result IS the model (vocabulary-sized): collect it once for
+    # the serving memo and return it as a local table, so a consumer's
+    # action doesn't re-run both E-steps (the bpe1 return convention).
+    rows = [
+        (r["piece"], int(r["n_words"]), int(r["cost_micro_nats"]), int(r["n_uses"]))
+        for r in out.collect()
+    ]
+    _UNI_MEMO[(spark.sparkContext.applicationId, sf_dir)] = [
+        (p, n, c) for p, n, c, _ in rows
+    ]
+    return spark.createDataFrame(
+        rows,
+        "piece string, n_words bigint, cost_micro_nats bigint, n_uses bigint",
+    ).orderBy("piece")

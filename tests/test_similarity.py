@@ -554,3 +554,73 @@ def test_semdedup4_cells_bounded_and_exact_cover(spark):
         cells = Counter(r["cell"] for r in rows)
         assert len(cells) <= b * math.ceil(k / b)
         assert max(cells.values()) <= 2 * _SEMDEDUP_CELL_TARGET
+
+
+def test_sq1_quantizer_matches_python(spark):
+    """sq1: the int8 codes and quantized ranking must match an
+    independent Python replay (same IEEE double ops), and the eval
+    must report exactly k=10 per query with recall in [0, 1]."""
+    import duckdb
+    import math
+
+    from ecostream.queries.similarity import _SQ_LEVELS, sq1_int8_recall
+
+    vecs = {
+        v: list(e)
+        for v, e in duckdb.sql(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"'{SF_SMOKE}/embeddings.parquet'"
+        ).fetchall()
+    }
+    dims = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(dims)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(dims)]
+
+    def quant(v):
+        return [
+            0
+            if mx[i] == mn[i]
+            else min(
+                _SQ_LEVELS,
+                max(0, math.floor(((v[i] - mn[i]) * _SQ_LEVELS) / (mx[i] - mn[i]))),
+            )
+            for i in range(dims)
+        ]
+
+    codes = {k: quant(v) for k, v in vecs.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / math.sqrt(
+            sum(x * x for x in a) * sum(x * x for x in b)
+        )
+
+    recall = {}
+    for q in range(5):
+        exact = sorted(
+            ((round(cos(vecs[q], vecs[m]), 6), -m) for m in vecs if m != q),
+            reverse=True,
+        )[:10]
+        exact_ids = {-m for _, m in exact}
+        qd = sorted(
+            (
+                (
+                    -2.0
+                    if sum(c * c for c in codes[m]) == 0
+                    else sum(a * b for a, b in zip(codes[q], codes[m]))
+                    / math.sqrt(sum(c * c for c in codes[m])),
+                    -m,
+                )
+                for m in vecs
+                if m != q
+            ),
+            reverse=True,
+        )[:10]
+        approx_ids = {-m for _, m in qd}
+        recall[q] = len(exact_ids & approx_ids)
+
+    got = {r["query_id"]: r for r in sq1_int8_recall(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(5))
+    for q, r in got.items():
+        assert r["k"] == 10
+        assert r["n_hit"] == recall[q], q
+        assert 0.0 <= r["recall_at_10"] <= 1.0

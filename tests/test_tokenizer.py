@@ -145,3 +145,119 @@ def test_tok2_coverage_consistent_with_tok1(spark):
         )
         assert r["merge_hit_permille"] == (1000 * n_merged) // n_tok
         assert 0 <= r["n_merged_types"] <= n_merged
+
+
+def _round_away(x: float) -> int:
+    """Spark F.round / DuckDB round semantics on doubles: half away
+    from zero (Python's round() is half-even, so can't be used)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _uni_python(texts):
+    """Pure-Python replay of tok3's Viterbi-EM (third implementation,
+    the bpe1 test's device): seed word+bigram vocab, micro-nat costs,
+    two hard-EM rounds with add-one smoothing and usage pruning."""
+    import math
+    from collections import Counter
+
+    INF = 1_000_000_000_000_000
+    docs = [t.split(" ") for t in texts]
+    seed: Counter = Counter()
+    for w in docs:
+        for i, tok in enumerate(w):
+            seed[(tok, 1)] += 1
+            if i >= 1:
+                seed[(f"{w[i-1]}+{tok}", 2)] += 1
+    tot = sum(seed.values())
+    cost = {k: -_round_away(math.log(c / tot) * 1e6) for k, c in seed.items()}
+
+    def estep(cost):
+        usage: Counter = Counter()
+        uni = {p: c for (p, n), c in cost.items() if n == 1}
+        bi = {p: c for (p, n), c in cost.items() if n == 2}
+        for w in docs:
+            bp, pp, bc, pc = INF, [], 0, []
+            for i, tok in enumerate(w):
+                bkey = f"{w[i-1]}+{tok}" if i >= 1 else ""
+                bcost = bi.get(bkey, INF)
+                if bp + bcost < bc + uni[tok]:
+                    bp, pp, bc, pc = bc, pc, bp + bcost, pp + [bkey]
+                else:
+                    bp, pp, bc, pc = bc, pc, bc + uni[tok], pc + [tok]
+            for p in pc:
+                usage[p] += 1
+        return usage
+
+    usage1 = estep(cost)
+    vocab1 = {
+        (p, n): usage1.get(p, 0)
+        for (p, n) in cost
+        if n == 1 or usage1.get(p, 0) > 0
+    }
+    tu, v = sum(vocab1.values()), len(vocab1)
+    cost1 = {
+        k: -_round_away(math.log((u + 1) / (tu + v)) * 1e6)
+        for k, u in vocab1.items()
+    }
+    usage2 = estep(cost1)
+    return sorted(
+        (p, n, cost1[(p, n)], usage2.get(p, 0)) for (p, n) in cost1
+    )
+
+
+def test_tok3_matches_pure_python(spark):
+    """Third-implementation check for the unigram-LM trainer: a shared
+    Spark/DuckDB misreading of the DP (tie direction, sentinel, smoothing
+    denominator) can't hide from an independent Python replay."""
+    import duckdb
+
+    from ecostream.queries.tokenizer import tok3_unigram_train
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    ]
+    expected = _uni_python(texts)
+    got = sorted(
+        (r["piece"], r["n_words"], r["cost_micro_nats"], r["n_uses"])
+        for r in tok3_unigram_train(spark, SF_SMOKE).collect()
+    )
+    assert got == expected
+    # the trainer genuinely prunes AND genuinely keeps multi-word pieces
+    assert any(n == 2 for _, n, _, _ in got)
+    assert any(n == 2 and u > 0 for _, n, _, u in got)
+
+
+def test_tok3_apply_consistent_with_training(spark):
+    """Serving the memoized model (the tok1 memo device) must reproduce
+    training's final usage counts exactly: one more E-step with the
+    learned costs is the APPLY path, and a drifting application would
+    desync n_uses."""
+    from pyspark.sql import functions as F
+
+    from ecostream.queries import tokenizer as tk
+    from ecostream.schema import load_table
+
+    key = (spark.sparkContext.applicationId, SF_SMOKE)
+    tk._UNI_MEMO.pop(key, None)
+    out = {
+        r["piece"]: (r["n_words"], r["cost_micro_nats"], r["n_uses"])
+        for r in tk.tok3_unigram_train(spark, SF_SMOKE).collect()
+    }
+    assert key in tk._UNI_MEMO and len(tk._UNI_MEMO[key]) == len(out)
+    model = spark.createDataFrame(
+        tk._UNI_MEMO[key], "piece string, nw int, cost long"
+    )
+    pos = tk._uni_positions(load_table(spark, SF_SMOKE, "documents"))
+    served = {
+        r["piece"]: r["used"]
+        for r in tk._uni_viterbi_usage(pos, model).collect()
+    }
+    for piece, (_, _, n_uses) in out.items():
+        assert served.get(piece, 0) == n_uses, piece
+    # every served piece is in the model vocabulary
+    assert set(served) <= set(out)

@@ -42,6 +42,16 @@ Round-6 stages (VERDICT r5 #5): d12 incremental dedup, the pipeline3
 curation funnel (d11 -> ent1 -> dsir1), and g7's banded co-presence CC
 via the cap-free ``user_copresence_components`` mechanism.
 
+Round-7 stages (VERDICT r6 #3): er1 entity resolution (customer-keyed —
+the generator now also writes a scaled customer.parquet), g8's
+cell-banded geo radius join (the POINT count scales: points are the
+distinct users, and the user population grows with mult), and id1's
+bucketed global enumeration.  All three end in a presentational
+ORDER BY, so their stress wrappers aggregate over the OUTPUT columns
+(the d13 device): Catalyst's EliminateSorts drops the final sort —
+which a consumer's aggregate would too — while every upstream stage
+(blocking join, CC, cell join, bucket ranks + offset join) still runs.
+
 Usage: python tools/stress_funnel.py [--scales 1,5,10] [--runs 3]
 """
 
@@ -64,6 +74,7 @@ BASE_DOCS = 5_000  # sf0.1 cardinalities
 BASE_VECS = 2_000
 BASE_USERS = 300  # g7's declared cap = the x1 user population
 BASE_EVENTS = 100_000  # sf0.1 events cardinality
+BASE_CUST = 15_000  # sf0.1 customer cardinality (er1's record source)
 COMMUNITY = 6  # planted co-presence community size
 COMMUNITY_HOURS = 100  # each community's private hour window
 DUP_RATE = 0.10
@@ -162,7 +173,14 @@ def gen_slice(outdir: str, mult: int, seed: int = 42) -> tuple[int, int]:
         ),
         os.path.join(outdir, "events.parquet"),
     )
-    return n_docs, n_vecs, n_users
+    # customer: er1 reads only c_custkey; variants/blocks derive from
+    # the key by md5, so a bare key column is the whole record source.
+    n_cust = BASE_CUST * mult
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(range(n_cust), pa.int64())}),
+        os.path.join(outdir, "customer.parquet"),
+    )
+    return n_docs, n_vecs, n_users, n_cust
 
 
 def stages():
@@ -211,6 +229,49 @@ def stages():
             )
         )
 
+    from pyspark.sql import functions as FF
+
+    from ecostream.queries.graph import g8_geo_neighbor_join
+    from ecostream.queries.llm_pipeline import id1_global_enumeration
+    from ecostream.queries.seriesops import er1_entity_resolution
+
+    # er1/g8/id1 end in presentational ORDER BYs; aggregate over their
+    # OUTPUT columns (the d13 device) so EliminateSorts drops only the
+    # final sort while blocking/CC/cell-join/rank stages all execute.
+    def er_full(spark, d):
+        return (
+            er1_entity_resolution(spark, d)
+            .groupBy()
+            .agg(
+                FF.sum("entity_id").alias("se"),
+                FF.sum("n_records").alias("sn"),
+                FF.sum(FF.when(FF.col("is_canonical"), 1).otherwise(0)).alias("sc"),
+                FF.sum(FF.length("canon_name")).alias("sl"),
+            )
+        )
+
+    def geo_full(spark, d):
+        return (
+            g8_geo_neighbor_join(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("user_a").alias("sa"),
+                FF.sum("dist_km").alias("sd"),
+            )
+        )
+
+    def enum_full(spark, d):
+        return (
+            id1_global_enumeration(spark, d)
+            .groupBy()
+            .agg(
+                FF.sum("global_id").alias("sg"),
+                FF.max("global_id").alias("mg"),
+                FF.sum("doc_id").alias("sd"),
+            )
+        )
+
     # semdedup1/2 are now DECLARED capped baselines (vec_id < 4096 —
     # round-6 re-scope after this harness measured their flat argmax
     # quadratic at 1.62/1.67); stressing them would measure the cap
@@ -226,6 +287,9 @@ def stages():
         ("copresence_cc (g7 mech)", copresence_full, "users"),
         ("semdedup3 (hierarchical)", semdedup3_hierarchical_prune, "vecs"),
         ("semdedup4 (2-level trained)", semdedup4_two_level_trained, "vecs"),
+        ("entity_resolution (er1)", er_full, "cust"),
+        ("geo_radius_join (g8)", geo_full, "users"),
+        ("global_enumeration (id1)", enum_full, "docs"),
     ]
 
 
@@ -243,7 +307,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     todo = stages()
 
-    sizes: dict[int, tuple[int, int, int]] = {}
+    sizes: dict[int, tuple[int, int, int, int]] = {}
     for mult in scales:
         d = os.path.join(args.workdir, f"x{mult}")
         sizes[mult] = gen_slice(d, mult)
@@ -260,7 +324,8 @@ def main() -> None:
     for mult in scales:
         d = os.path.join(args.workdir, f"x{mult}")
         print(f"-- x{mult}: {sizes[mult][0]} docs, {sizes[mult][1]} vecs, "
-              f"{sizes[mult][2]} users", flush=True)
+              f"{sizes[mult][2]} users, {sizes[mult][3]} customers",
+              flush=True)
         for name, fn, _ in todo:
             times = []
             for _ in range(args.runs):
@@ -280,7 +345,7 @@ def main() -> None:
     report = {}
     for name, _, unit in todo:
         row = "".join(f"{results[name][m]:<10.2f}" for m in scales)
-        ucol = {"docs": 0, "vecs": 1, "users": 2}[unit]
+        ucol = {"docs": 0, "vecs": 1, "users": 2, "cust": 3}[unit]
         n_lo = sizes[lo][ucol]
         n_hi = sizes[hi][ucol]
         if n_hi == n_lo:  # single-scale smoke run: no exponent to fit
