@@ -59,6 +59,9 @@ HEADLINE = [
     "d13_span_removal_dedup",     # exact-substring span removal (round 6)
     "j29_bloom_semijoin_reduction",  # Bloom runtime-filter join (round 6)
     "er1_entity_resolution",      # record-linkage funnel (round 6)
+    "tok3_unigram_train",         # unigram-LM Viterbi-EM trainer (round 7)
+    "pack3_bfd_packing",          # best-fit-decreasing packing (round 7)
+    "sq1_int8_recall",            # int8 quantization recall eval (round 7)
 ]
 
 

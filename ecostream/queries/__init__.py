@@ -116,6 +116,18 @@ _ROUND_HEAD = [
     "tok3_unigram_train",        # unigram-LM (SentencePiece prune) trainer
     "pack3_bfd_packing",         # best-fit-decreasing vs next-fit packing
     "sq1_int8_recall",           # int8 scalar-quantization recall eval
+    "d14_winnowing_pairs",       # MOSS winnowing fingerprint near-dup pairs
+    "lm4_kneser_ney",            # exact-rational interpolated Kneser-Ney LM
+    "t14_pmi_collocations",      # PMI collocation mining, micro-nat ranked
+    "t15_heaps_curve",           # vocabulary-growth curve, no sequential scan
+    "funnel1_conversion",        # ordered-step conversion funnel
+    "dq4_referential_integrity", # FK orphan audit across the star schema
+    "shard1_rendezvous",         # HRW sharding + minimal-movement resize
+    "cohort1_retention",         # weekly cohort-retention triangle
+    "st14_stream_dedup",         # watermark-bounded exactly-once dedup
+    "er1_entity_resolution",     # RE-SIGN: round-7 count-adaptive blocking
+                                 # (16-char keys, kb tracks log16(n)) changed
+                                 # the signed result — see the stress fix
     # ROUND 6 additions, re-confirmed while head space allows (all
     # already signed in CORRECTNESS_r06; the 14 pre-r6 stragglers that
     # completed 246/246 driver-signed coverage rotated out this round):
@@ -140,7 +152,6 @@ _ROUND_HEAD = [
     "tok2_vocab_coverage",       # per-source BPE merge coverage eval
     "j29_bloom_semijoin_reduction",  # explicit Bloom runtime-filter join
     "id1_global_enumeration",    # dense global ids, no global sort
-    "er1_entity_resolution",     # blocking -> verify -> CC -> golden record
     "mm9_ahash_near_dup",        # perceptual-hash image dedup, real codec
     "t13_bm25_retrieval",        # integer-exact BM25 (saturation + length norm)
     "st13_late_data_audit",      # watermark-sizing lateness measurement

@@ -1636,3 +1636,286 @@ def auc1_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * np * nn) AS BIGINT)"
         ).alias("auc_micro"),
     )
+
+
+# --- FUNNEL1: ordered-step conversion funnel (round 7) ------------------------
+
+
+@query(
+    "funnel1_conversion",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        FROM ev GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(us) AS t2
+        FROM ev e JOIN w USING (user_id)
+        WHERE e.event_type = 'click' AND e.us > w.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(us) AS t3
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us > c.t2
+        GROUP BY e.user_id
+    ),
+    steps AS (
+        SELECT 1 AS step, 'view' AS event_type,
+               (SELECT CAST(count(*) AS BIGINT) FROM w WHERE t1 IS NOT NULL)
+                   AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM p)
+    )
+    SELECT step, event_type, n_users,
+           (1000 * n_users) // (SELECT max(CASE WHEN step = 1
+                                                THEN n_users END)
+                                FROM steps) AS from_start_permille,
+           (1000 * n_users)
+               // coalesce(lag(n_users) OVER (ORDER BY step), n_users)
+               AS from_prev_permille
+    FROM steps ORDER BY step
+    """,
+)
+def funnel1_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (view -> click -> purchase), the
+    product-analytics primitive every event warehouse serves: a user
+    converts step k only with an event STRICTLY AFTER their step-k-1
+    completion time (earliest-completion semantics, so re-orderings
+    and pre-funnel clicks don't count).  Emits per step the converting
+    user count and exact integer permilles vs the funnel start and the
+    previous step.
+
+    Scale shape: ONE user_id-keyed exchange serves everything — the
+    per-user step times are two window passes over the SAME partition
+    (first-view min, then conditional mins gated on the previous step's
+    time), so no join and no second shuffle touches the event log; the
+    3-row summary is a count-only aggregate.  The oracle replays the
+    strict-after gating with per-step joins — a different plan, same
+    rows, which is the point."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("us"),
+    )
+    from pyspark.sql import Window as W
+
+    uw = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(uw)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                    F.col("us"),
+                )
+            ).over(uw),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t2")),
+                    F.col("us"),
+                )
+            ).over(uw),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").cast("long").alias("n1"),
+        F.count("t2").cast("long").alias("n2"),
+        F.count("t3").cast("long").alias("n3"),
+    )
+    steps = counts.selectExpr(
+        "stack(3, 1L, 'view', n1, 2L, 'click', n2, 3L, 'purchase', n3) "
+        "AS (step, event_type, n_users)"
+    )
+    sw = W.orderBy("step")  # 3-row summary: the single-partition window is fine
+    return (
+        steps.withColumn(
+            "start_n",
+            F.first("n_users").over(
+                sw.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "prev_n", F.coalesce(F.lag("n_users").over(sw), F.col("n_users"))
+        )
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.expr("(1000 * n_users) div start_n")
+            .cast("long")
+            .alias("from_start_permille"),
+            F.expr("(1000 * n_users) div prev_n")
+            .cast("long")
+            .alias("from_prev_permille"),
+        )
+        .orderBy("step")
+    )
+
+
+# --- DQ4: referential-integrity audit (round 7) -------------------------------
+
+
+@query(
+    "dq4_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS fk, 
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    ORDER BY fk
+    """,
+)
+def dq4_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four
+    foreign keys (the dbt-test / data-contract check every warehouse
+    runs before publishing): child-row count and orphan count per FK,
+    where an orphan is a child row whose key has no parent.
+
+    Scale shape: each constraint is a LEFT ANTI join that broadcasts
+    the parent's DISTINCT key set when small (customer/part/supplier)
+    and sort-merges on the key otherwise — Spark's own plan choice via
+    AQE; counts are partial-aggregated.  No row data moves, only keys.
+    The oracle replays each audit as NOT EXISTS."""
+
+    def audit(fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        n_child = child.count()
+        orphans = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey).alias(ckey)).distinct(), ckey, "left_anti"
+        )
+        return fk, n_child, orphans.count()
+
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    rows = [
+        audit("orders.o_custkey -> customer", t("orders"), "o_custkey",
+              t("customer"), "c_custkey"),
+        audit("lineitem.l_orderkey -> orders", t("lineitem"), "l_orderkey",
+              t("orders"), "o_orderkey"),
+        audit("lineitem.l_partkey -> part", t("lineitem"), "l_partkey",
+              t("part"), "p_partkey"),
+        audit("lineitem.l_suppkey -> supplier", t("lineitem"), "l_suppkey",
+              t("supplier"), "s_suppkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk string, n_child bigint, n_orphans bigint"
+    ).orderBy("fk")
+
+
+# --- COHORT1: weekly retention triangle (round 7) ------------------------------
+
+
+@query(
+    "cohort1_retention",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+        FROM events
+    ),
+    first_wk AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first_wk GROUP BY cohort_wk
+    ),
+    active AS (
+        SELECT DISTINCT f.cohort_wk, e.wk - f.cohort_wk AS weeks_since,
+               e.user_id
+        FROM ev e JOIN first_wk f USING (user_id)
+    ),
+    cells AS (
+        SELECT cohort_wk, weeks_since,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM active GROUP BY cohort_wk, weeks_since
+    )
+    SELECT c.cohort_wk, c.weeks_since, c.n_active, s.cohort_size,
+           (1000 * c.n_active) // s.cohort_size AS retention_permille
+    FROM cells c JOIN sizes s USING (cohort_wk)
+    ORDER BY cohort_wk, weeks_since
+    """,
+)
+def cohort1_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle — THE product-analytics view:
+    users are cohorted by the epoch week of their first event, and each
+    (cohort, weeks-since) cell counts how many of them were active that
+    week, with exact integer retention permille against the cohort
+    size.  Week = epoch-microseconds div 604800000000, a pure integer
+    both engines floor identically (non-negative operands).
+
+    Scale shape: ONE user-keyed aggregate for first-activity, a
+    broadcast-or-SMJ join back onto the event scan (user-keyed, AQE's
+    choice), then a (cohort, week, user) DISTINCT that partial-
+    aggregates map-side before the (cohort, week) cell count — the
+    distinct's exchange carries at most |users| x |weeks| rows, never
+    raw events.  Cohort sizes are a model-sized table joined at the
+    end.  The triangle itself is |weeks|^2 rows."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) AS BIGINT) div 604800000000").alias("wk"),
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first_wk.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    active = (
+        ev.join(first_wk, "user_id")
+        .select(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
+            "user_id",
+        )
+        .distinct()
+    )
+    cells = active.groupBy("cohort_wk", "weeks_since").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    return (
+        cells.join(sizes, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.expr("(1000 * n_active) div cohort_size")
+            .cast("long")
+            .alias("retention_permille"),
+        )
+        .orderBy("cohort_wk", "weeks_since")
+    )

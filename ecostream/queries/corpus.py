@@ -1087,3 +1087,117 @@ def pair1_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 pair1_preference_pairs.__doc__ = pair1_preference_pairs.__doc__.format(
     m=_PAIR1_M
 )
+
+
+# --- LM4: interpolated Kneser-Ney bigram LM (round 7) --------------------------
+#
+# lm1's add-one smoothing is the teaching baseline; the smoother every
+# deployed n-gram LM actually shipped (KenLM, SRILM defaults) is
+# interpolated Kneser-Ney: absolute discounting plus a CONTINUATION
+# back-off (how many distinct contexts a word follows, not how often it
+# occurs).  With discount D = 3/4 the whole model is exact rational
+# arithmetic — no floats, no ln:
+#
+#   P_KN(b|a) = max(c(ab) - 3/4, 0)/c(a) + (3/4)·N1+(a·)/c(a) · cc(b)/T
+#             = [ T·max(4·c(ab) - 3, 0) + 3·N1+(a·)·cc(b) ]
+#               / ( 4·c(a)·T )
+#
+# where N1+(a·) = distinct successors of a, cc(b) = distinct
+# predecessors of b (the continuation count), T = distinct bigram types.
+
+
+@query(
+    "lm4_kneser_ney",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS tokens FROM documents
+    ),
+    bg AS (
+        SELECT tokens[i] AS cur, tokens[i + 1] AS nxt
+        FROM toks, unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    ),
+    cnts AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY cur, nxt
+    ),
+    stats AS (
+        SELECT cur, nxt, cnt,
+               SUM(cnt) OVER (PARTITION BY cur) AS c_a,
+               COUNT(*) OVER (PARTITION BY cur) AS n1p_a,
+               COUNT(*) OVER (PARTITION BY nxt) AS cc_b,
+               COUNT(*) OVER () AS t
+        FROM cnts
+    )
+    SELECT cur, nxt, cnt,
+           CAST(t * greatest(4 * cnt - 3, 0) + 3 * n1p_a * cc_b AS BIGINT)
+               AS p_num,
+           CAST(4 * c_a * t AS BIGINT) AS p_den,
+           CAST((1000000 * (t * greatest(4 * cnt - 3, 0) + 3 * n1p_a * cc_b))
+                // (4 * c_a * t) AS BIGINT) AS p_kn_micro
+    FROM stats
+    ORDER BY cnt DESC, cur, nxt
+    LIMIT 200
+    """,
+)
+def lm4_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (the production n-gram
+    smoother, Kneser & Ney 1995 / Chen & Goodman 1998) with discount
+    D = 3/4, which makes every probability an exact rational: the
+    numerator T·max(4c(ab)−3, 0) + 3·N1+(a·)·cc(b) and denominator
+    4·c(a)·T are BIGINTs, reported with the floor-micro probability —
+    no floats anywhere, so the oracle is bit-exact (contrast lm1's
+    add-one baseline).  cc(b) is the continuation count — distinct
+    LEFT contexts of b — the insight that makes KN beat frequency
+    back-off ("francisco" is frequent but follows only "san").
+
+    Scale shape: ONE (cur, nxt) pair-count shuffle; c(a), N1+(a·),
+    cc(b), and T are windows over the TYPE table (vocabulary², not
+    corpus, sized), the same exchange reused by partition; top-200 by
+    count via TakeOrderedAndProject.  At 100 TB the type table is the
+    model and everything after the first aggregation is model-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("tokens")).where(
+        F.size("tokens") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(element_at(tokens, i) AS cur, "
+                "element_at(tokens, CAST(i + 1 AS INT)) AS nxt))"
+            )
+        ).alias("p")
+    ).select("p.cur", "p.nxt")
+    cnts = bg.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("cnt"))
+    # c(a) and N1+(a·) ride one cur-keyed window; cc(b) is a nxt-keyed
+    # aggregate joined back; T broadcasts as a 1-row table — no global
+    # window funnels the type table through a single partition.
+    wa = Window.partitionBy("cur")
+    ccs = cnts.groupBy("nxt").agg(F.count("*").cast("long").alias("cc_b"))
+    tdf = cnts.agg(F.count("*").cast("long").alias("t"))
+    stats = (
+        cnts.withColumn("c_a", F.sum("cnt").over(wa))
+        .withColumn("n1p_a", F.count("*").over(wa))
+        .join(ccs, "nxt")
+        .crossJoin(F.broadcast(tdf))
+    )
+    num = F.expr("t * greatest(4 * cnt - 3, 0L) + 3 * n1p_a * cc_b")
+    den = F.expr("4 * c_a * t")
+    return (
+        stats.select(
+            "cur",
+            "nxt",
+            "cnt",
+            num.cast("long").alias("p_num"),
+            den.cast("long").alias("p_den"),
+            F.expr(
+                "(1000000 * (t * greatest(4 * cnt - 3, 0L) + 3 * n1p_a * cc_b))"
+                " div (4 * c_a * t)"
+            )
+            .cast("long")
+            .alias("p_kn_micro"),
+        )
+        .orderBy(F.desc("cnt"), "cur", "nxt")
+        .limit(200)
+    )

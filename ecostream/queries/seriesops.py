@@ -117,52 +117,75 @@ def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "str1_fuzzy_part_match",
     oracle="""
+    WITH nm AS MATERIALIZED (
+        SELECT DISTINCT p_type, p_name FROM part
+    ),
+    np AS MATERIALIZED (
+        SELECT x.p_type, x.p_name AS name_a, y.p_name AS name_b,
+               levenshtein(x.p_name, y.p_name) AS edit_dist
+        FROM nm x JOIN nm y
+          ON x.p_type = y.p_type AND x.p_name <> y.p_name
+        WHERE levenshtein(x.p_name, y.p_name) <= 2
+    )
     SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
-           a.p_name AS name_a, b.p_name AS name_b,
-           levenshtein(a.p_name, b.p_name) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-      AND a.p_name <> b.p_name
+           np.name_a, np.name_b, CAST(np.edit_dist AS BIGINT) AS edit_dist
+    FROM np
+    JOIN part a ON a.p_type = np.p_type AND a.p_name = np.name_a
+    JOIN part b ON b.p_type = np.p_type AND b.p_name = np.name_b
+    WHERE a.p_partkey < b.p_partkey
     ORDER BY partkey_a, partkey_b
     LIMIT 200
     """,
 )
 def str1_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate part names by edit distance ≤ 2 — the
-    record-linkage pattern: equi-join on a blocking key (p_type) so the
-    quadratic levenshtein comparison runs within blocks only, with
-    a.key < b.key deduplicating the symmetric pairs.  At 100 TB the
-    blocking key is the whole plan: the join shuffles on p_type and
-    each block's cross-pairing stays partition-local; a skewed block
-    is handled by salting or a cheap length-band second key."""
+    record-linkage pattern, computed on NAME TYPES, not rows: dedup to
+    the distinct (p_type, p_name) vocabulary first, run the quadratic
+    levenshtein over within-block name pairs (vocabulary², tiny), then
+    join the matched name pairs back to part keys.  Round 7 re-plan:
+    the row-level form compared 33M row pairs through a 6-key p_type
+    join — 6 parallel tasks doing 33M levenshteins, 57 s at sf0.1 and
+    its DuckDB replay 15 s; the type-level form does ~240k levenshteins
+    and distributes the key mapping over (type, name) joins — same
+    rows, 30x less comparison work (the dedup-before-compare move every
+    record-linkage engine makes: string similarity is a function of the
+    VALUES, so compare values once however many rows share them).  At
+    100 TB the name vocabulary is the model-sized table and the
+    row-mapping joins carry well-distributed composite keys."""
     part = _t(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("partkey_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_type").alias("type_a"),
-    )
-    b = part.select(
-        F.col("p_partkey").alias("partkey_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_type").alias("type_b"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("type_a") == F.col("type_b"))
-            & (F.col("partkey_a") < F.col("partkey_b")),
-        )
-        .where(
-            (F.levenshtein("name_a", "name_b") <= 2)
-            & (F.col("name_a") != F.col("name_b"))
-        )
+    nm = part.select("p_type", "p_name").distinct()
+    x = nm.select("p_type", F.col("p_name").alias("name_a"))
+    y = nm.select(F.col("p_type").alias("ty"), F.col("p_name").alias("name_b"))
+    np_ = (
+        x.join(y, (x["p_type"] == y["ty"]) & (F.col("name_a") != F.col("name_b")))
+        .where(F.levenshtein("name_a", "name_b") <= 2)
         .select(
-            "partkey_a",
-            "partkey_b",
+            "p_type",
             "name_a",
             "name_b",
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+    )
+    a = part.select(
+        F.col("p_type").alias("ta"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_partkey").alias("partkey_a"),
+    )
+    b = part.select(
+        F.col("p_type").alias("tb"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_partkey").alias("partkey_b"),
+    )
+    return (
+        np_.join(a, (np_["p_type"] == a["ta"]) & (np_["name_a"] == a["name_a"]))
+        .join(b, (np_["p_type"] == b["tb"]) & (np_["name_b"] == b["name_b"]))
+        .where(F.col("partkey_a") < F.col("partkey_b"))
+        .select(
+            "partkey_a",
+            "partkey_b",
+            np_["name_a"],
+            np_["name_b"],
+            "edit_dist",
         )
         .orderBy("partkey_a", "partkey_b")
         .limit(200)
@@ -387,27 +410,36 @@ def ts2_rolling_median_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "er1_entity_resolution",
     oracle="""
     WITH RECURSIVE
+    kb AS (
+        SELECT CASE WHEN 3 * count(*) < 65536 THEN 4
+                    WHEN 3 * count(*) < 1048576 THEN 5
+                    WHEN 3 * count(*) < 16777216 THEN 6
+                    ELSE 7 END AS kb
+        FROM customer
+    ),
     ent AS (
         SELECT c_custkey AS k,
-               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS base
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS base
         FROM customer
     ),
     recs AS (
         SELECT k * 4 AS rec_id, base AS raw FROM ent
         UNION ALL
         SELECT k * 4 + 1,
-               substr(base, 1, k % 10) || substr(base, k % 10 + 2)
+               substr(base, 1, k % 16) || substr(base, k % 16 + 2)
         FROM ent
         UNION ALL
         SELECT k * 4 + 2,
-               substr(base, 1, (k * 7 + 3) % 10)
-                   || substr(base, (k * 7 + 3) % 10 + 2)
+               substr(base, 1, (k * 7 + 3) % 16)
+                   || substr(base, (k * 7 + 3) % 16 + 2)
         FROM ent
     ),
     bk AS (
-        SELECT rec_id, raw, 'P' || substr(raw, 1, 4) AS b FROM recs
+        SELECT rec_id, raw, 'P' || substr(raw, 1, kb) AS b
+        FROM recs, kb
         UNION ALL
-        SELECT rec_id, raw, 'S' || substr(raw, length(raw) - 3, 4) FROM recs
+        SELECT rec_id, raw, 'S' || substr(raw, length(raw) - kb + 1, kb)
+        FROM recs, kb
     ),
     cand AS (
         SELECT DISTINCT x.rec_id AS src, y.rec_id AS dst,
@@ -445,9 +477,13 @@ def ts2_rolling_median_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full entity-resolution funnel str1 only starts: multi-pass
-    BLOCKING (prefix-4 and suffix-4 keys — one deletion can disturb at
-    most one end, so every typo variant shares at least one block with
-    its clean record), edit-distance VERIFICATION (levenshtein <= 2,
+    BLOCKING (prefix-kb and suffix-kb keys — one deletion can disturb
+    at most one end, so every typo variant shares at least one block
+    with its clean record; kb is COUNT-ADAPTIVE, one more hex char per
+    16x records, after the round-7 stress run measured fixed prefix-4
+    saturating at 10x sf0.1 — in-block pairs grow ~n^2/16^kb, so kb
+    must track log16(n), exactly how production blocking scales),
+    edit-distance VERIFICATION (levenshtein <= 2,
     JVM codegen, run only within blocks), transitive closure into
     entity CLUSTERS (functions/cc.py star contraction — variants that
     never shared a block still merge through the clean record), and
@@ -462,11 +498,22 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     MDM/record-linkage pipeline (Fellegi-Sunter blocking + survivorship)
     as declared dataflow."""
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    # Count-adaptive block-key length (round 7 — the stress harness
+    # measured fixed prefix-4 blocking saturating at 10x sf0.1: with
+    # 16^4 blocks, in-block candidate pairs grow ~n^2/65536, exponent
+    # 0.89).  Production blocking lengthens the key as the corpus
+    # grows — one more hex char per 16x records keeps expected block
+    # occupancy (and so pairs per block) constant.  kb is a pure
+    # integer CASE over the record count, replayed identically by the
+    # oracle; the deletion-coverage invariant (prefix-kb OR suffix-kb
+    # survives any single deletion) holds for kb <= len/2 = 8.
+    n_rec = 3 * cust.count()
+    kb = 4 if n_rec < 65536 else 5 if n_rec < 1048576 else 6 if n_rec < 16777216 else 7
     ent = cust.select(
-        "k", F.substring(F.md5(F.col("k").cast("string")), 1, 10).alias("base")
+        "k", F.substring(F.md5(F.col("k").cast("string")), 1, 16).alias("base")
     )
     del_at = lambda p: F.concat(  # noqa: E731
-        F.substring("base", 1, p), F.substring(F.col("base"), p + 2, 10)
+        F.substring("base", 1, p), F.substring(F.col("base"), p + 2, 16)
     )
     # One exploded variant array instead of a 3-way union: the union
     # form scanned customer once per variant per consumer (6 pruned
@@ -478,8 +525,8 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.array(
                     F.col("base"),
-                    del_at((F.col("k") % 10).cast("int")),
-                    del_at(((F.col("k") * 7 + 3) % 10).cast("int")),
+                    del_at((F.col("k") % 16).cast("int")),
+                    del_at(((F.col("k") * 7 + 3) % 16).cast("int")),
                 )
             ).alias("v", "raw"),
         )
@@ -490,10 +537,10 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw",
         F.explode(
             F.array(
-                F.concat(F.lit("P"), F.substring("raw", 1, 4)),
+                F.concat(F.lit("P"), F.substring("raw", 1, kb)),
                 F.concat(
                     F.lit("S"),
-                    F.substring(F.col("raw"), F.length("raw") - 3, 4),
+                    F.substring(F.col("raw"), F.length("raw") - (kb - 1), kb),
                 ),
             )
         ).alias("b"),

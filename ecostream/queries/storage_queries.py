@@ -573,3 +573,99 @@ def roll1_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "event_type")
     )
+
+
+# --- SHARD1: rendezvous (HRW) shard assignment (round 7) -----------------------
+#
+# The placement primitive under every sharded store and shuffle
+# service: highest-random-weight (rendezvous) hashing assigns a key to
+# the shard whose hash(key, shard) is maximal, and its defining
+# property is MINIMAL MOVEMENT — growing N shards to N+1 reassigns only
+# the keys the NEW shard now wins, ~1/(N+1) of them, where a modulo
+# scheme reshuffles (N-1)/N of everything.  This declared query
+# measures that property on the corpus.
+
+_SHARD1_N = 8
+
+
+@query(
+    "shard1_rendezvous",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(range(0, {_SHARD1_N + 1}),
+                   s -> md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(s AS VARCHAR))) AS hs
+        FROM documents
+    ),
+    asg AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(list_position(hs[1:{_SHARD1_N}],
+                                  list_max(hs[1:{_SHARD1_N}])) - 1
+                    AS BIGINT) AS shard_n,
+               CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT)
+                   AS shard_n1
+        FROM h
+    )
+    SELECT shard_n AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard_n1 <> shard_n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           (1000 * sum(CASE WHEN shard_n1 <> shard_n THEN 1 ELSE 0 END))
+               // count(*) AS moved_permille
+    FROM asg GROUP BY shard_n ORDER BY shard
+    """,
+)
+def shard1_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of documents
+    to {n} shards, plus the resize experiment: re-assign under {n1}
+    shards and report, per original shard, how many documents MOVE —
+    rendezvous hashing's minimal-disruption guarantee says ~1/{n1} of
+    keys move (only those the new shard wins), versus ~{frac} under
+    mod-N.  The per-shard doc counts double as the balance check.
+
+    Scale shape: pure MAP — each row computes its {n1} md5 weights as
+    an in-row array expression (argmax = array_position of array_max;
+    hex strings compare bytewise identically in both engines) with
+    ZERO shuffles before the final {n}-row aggregate.  This is the
+    shape that matters: shard assignment runs inside ingest at full
+    scan speed.  The oracle replays weights, both argmaxes, and the
+    movement counts."""
+    n = _SHARD1_N
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        f"transform(sequence(0, {n}), "
+        f"s -> md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))))"
+    )
+    asg = docs.select(
+        F.expr(
+            f"CAST(array_position(slice({hs}, 1, {n}), "
+            f"array_max(slice({hs}, 1, {n}))) - 1 AS BIGINT)"
+        ).alias("shard"),
+        F.expr(
+            f"CAST(array_position({hs}, array_max({hs})) - 1 AS BIGINT)"
+        ).alias("shard_n1"),
+    )
+    return (
+        asg.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("shard_n1") != F.col("shard")).cast("int"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved",
+            F.expr("(1000 * n_moved) div n_docs")
+            .cast("long")
+            .alias("moved_permille"),
+        )
+        .orderBy("shard")
+    )
+
+
+shard1_rendezvous.__doc__ = shard1_rendezvous.__doc__.format(
+    n=_SHARD1_N, n1=_SHARD1_N + 1, frac=f"{_SHARD1_N - 1}/{_SHARD1_N}"
+)

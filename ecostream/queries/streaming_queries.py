@@ -936,3 +936,72 @@ def st13_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- ST14: streaming exactly-once dedup (round 7) -----------------------------
+
+
+@query(
+    "st14_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_input,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(DISTINCT user_id) AS BIGINT) AS n_dropped
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once delivery dedup via
+    ``dropDuplicatesWithinWatermark`` — the operator that turns an
+    at-least-once source (Kafka redeliveries, producer retries) into
+    exactly-once rows: state keeps each (user_id, event_type) key until
+    the watermark passes it, and re-arrivals inside the horizon are
+    dropped.  A bounded file-stream drains in one pass, so the kept set
+    equals the batch DISTINCT over the same keys (stream-batch
+    equivalence) and the whole run is oracle-checkable: per event type,
+    input rows, kept rows, dropped duplicates.
+
+    Scale shape: the dedup state is keyed (one hash exchange on the
+    dedup key) and watermark-BOUNDED — unlike a plain stream
+    ``dropDuplicates``, whose state grows forever, the watermark evicts
+    keys older than the horizon, which is what makes this runnable on
+    an unbounded 100 TB/day feed.  The memory-sink aggregate at the end
+    is |keys|-sized."""
+    stream = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = f"st14_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from ..schema import load_table
+
+    inputs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_input"))
+    )
+    kept = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        inputs.join(kept, "event_type")
+        .select(
+            "event_type",
+            "n_input",
+            "n_kept",
+            (F.col("n_input") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )

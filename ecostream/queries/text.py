@@ -2688,3 +2688,367 @@ def ndcg1_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_micro"),
         )
     )
+
+
+# --- D14: winnowing fingerprints (round 7) ------------------------------------
+#
+# The THIRD classical near-dup fingerprint family next to MinHash (d3)
+# and SimHash (d4): winnowing (Schleimer, Wilkerson, Aiken 2003 — the
+# MOSS algorithm).  Guarantee MinHash can't give: any shared run of
+# w + k - 1 tokens between two documents is CAUGHT by a shared selected
+# fingerprint (at least one window of the run selects the same minimal
+# gram hash), so matches of bounded length are detected deterministically
+# rather than probabilistically.
+
+_D14_K = 3  # words per gram
+_D14_W = 4  # grams per winnowing window
+_D14_MIN_SHARED = 8  # pair-report threshold
+
+
+@query(
+    "d14_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    hs AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_D14_K} THEN
+                   list_transform(range(1, len(t) - {_D14_K} + 2),
+                       i -> CAST(CAST(('0x' || substring(md5(
+                                t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+                                1, 8)) AS UBIGINT) AS BIGINT))
+               ELSE [] END AS h
+        FROM toks
+    ),
+    fps AS MATERIALIZED (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(h) >= {_D14_W} THEN
+                           list_transform(range(1, len(h) - {_D14_W} + 2),
+                               j -> list_min(h[j:j + {_D14_W} - 1]))
+                       WHEN len(h) > 0 THEN [list_min(h)]
+                       ELSE [] END)) AS fp
+            FROM hs
+        )
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+              FROM fps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_D14_MIN_SHARED}
+    )
+    SELECT s.a_id, s.b_id, s.n_shared,
+           (1000 * s.n_shared) // (sa.n_fp + sb.n_fp - s.n_shared)
+               AS jaccard_permille
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.a_id
+    JOIN sizes sb ON sb.doc_id = s.b_id
+    ORDER BY a_id, b_id
+    """,
+)
+def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (MOSS): hash every {k}-word gram
+    (first 8 md5 hex digits as an integer), slide a {w}-gram window,
+    keep each window's MINIMUM hash, and report document pairs sharing
+    >= {m} distinct selected fingerprints with their fingerprint-set
+    Jaccard permille.  Winnowing's guarantee — any shared token run of
+    length >= w + k - 1 produces a shared fingerprint — is what MinHash
+    banding (d3, probabilistic) and SimHash radius search (d4,
+    similarity-metric) cannot promise, which is why plagiarism/clone
+    detection ships THIS family.
+
+    Scale shape: gram hashing and window minima are pure map-side
+    array expressions inside codegen (no explode until fingerprints,
+    which winnowing already thinned ~2/(w+1) per position); the pair
+    search is ONE equi-join on the fingerprint value — band-bucket
+    shape, like d3's LSH join, never corpus-quadratic — followed by a
+    pair-keyed count and two model-sized size lookups.  All-integer
+    output.  Both engines build identical integers, so the oracle
+    replays hash selection and pairing exactly."""
+    docs = _docs(spark, sf_dir)
+    k, w = _D14_K, _D14_W
+    grams = (
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k} + 1), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', "
+        f"element_at(t, i), element_at(t, CAST(i + 1 AS INT)), "
+        f"element_at(t, CAST(i + 2 AS INT)))), 1, 8), 16, 10) AS BIGINT)) "
+        f"ELSE array() END"
+    )
+    wins = (
+        f"CASE WHEN size(h) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(h) - {w} + 1), "
+        f"j -> array_min(slice(h, j, {w})))) "
+        f"WHEN size(h) > 0 THEN array(array_min(h)) "
+        f"ELSE array() END"
+    )
+    fps = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.expr(grams).alias("h"))
+        .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _D14_MIN_SHARED)
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "a_id")
+                    .withColumnRenamed("n_fp", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+              .withColumnRenamed("n_fp", "nb"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.expr("(1000 * n_shared) div (na + nb - n_shared)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+d14_winnowing_pairs.__doc__ = d14_winnowing_pairs.__doc__.format(
+    k=_D14_K, w=_D14_W, m=_D14_MIN_SHARED
+)
+
+
+# --- T14: PMI collocations (round 7) ------------------------------------------
+
+_T14_MIN_COUNT = 50
+
+
+@query(
+    "t14_pmi_collocations",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT string_split(text, ' ') AS tokens FROM documents
+    ),
+    uni AS MATERIALIZED (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(tokens) AS tok FROM toks) GROUP BY tok
+    ),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    bg AS MATERIALIZED (
+        SELECT tokens[i] AS cur, tokens[i + 1] AS nxt
+        FROM toks, unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    ),
+    cb AS MATERIALIZED (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY cur, nxt
+    ),
+    nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM cb),
+    scored AS (
+        SELECT cur, nxt, c_ab,
+               CAST(ROUND(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE)
+                             / CAST(n_bi * a.c * b.c AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS pmi_micro
+        FROM cb
+        JOIN uni a ON a.tok = cb.cur
+        JOIN uni b ON b.tok = cb.nxt
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE c_ab >= {_T14_MIN_COUNT}
+    )
+    SELECT cur, nxt, c_ab, pmi_micro FROM scored
+    ORDER BY pmi_micro DESC, cur, nxt
+    LIMIT 20
+    """,
+)
+def t14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the corpus
+    statistic behind phrase detection (word2vec's phrase pass, NLTK's
+    collocation finder): PMI(a,b) = ln(p(a,b) / (p(a)p(b))), reported
+    for adjacent pairs with count >= {m}, top-20.  PMI is computed as
+    ONE double division of two exact BIGINT products (c_ab·N_uni² and
+    N_bi·c_a·c_b, both < 2^53 so exactly representable) followed by the
+    lm2 micro-nat quantization — both engines evaluate the identical
+    expression tree, so ranking on the quantized integers is exact.
+
+    Scale shape: one unigram-count shuffle, one bigram-count shuffle
+    (both partial-aggregated), two vocabulary-sized joins onto the
+    bigram TYPE table, broadcast 1-row totals, TakeOrderedAndProject
+    for the top-20.  After the two counts everything is model-sized."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.split("text", " ").alias("tokens"))
+    uni = (
+        toks.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    bg = (
+        toks.where(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> struct(element_at(tokens, i) AS cur, "
+                    "element_at(tokens, CAST(i + 1 AS INT)) AS nxt))"
+                )
+            ).alias("p")
+        )
+        .select("p.cur", "p.nxt")
+    )
+    cb = bg.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("c_ab"))
+    nb = cb.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    scored = (
+        cb.where(F.col("c_ab") >= _T14_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "cur")
+                          .withColumnRenamed("c", "ca")), "cur")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "nxt")
+                          .withColumnRenamed("c", "cb_")), "nxt")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "cur",
+            "nxt",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast(
+                        "double"
+                    )
+                    / (F.col("n_bi") * F.col("ca") * F.col("cb_")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), "cur", "nxt").limit(20)
+
+
+t14_pmi_collocations.__doc__ = t14_pmi_collocations.__doc__.format(
+    m=_T14_MIN_COUNT
+)
+
+
+# --- T15: vocabulary-growth (Heaps-law) curve (round 7) ------------------------
+
+_T15_THRESHOLDS = [2**k for k in range(15)]  # 1 .. 16384 doc prefixes
+
+
+@query(
+    "t15_heaps_curve",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, tokens[i] || ' ' || tokens[i + 1] AS ty
+        FROM toks, unnest(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    ),
+    fd AS MATERIALIZED (
+        SELECT ty, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM bg GROUP BY ty
+    ),
+    dt AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi
+        FROM bg GROUP BY doc_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _T15_THRESHOLDS)}])
+               AS th)
+    SELECT CAST(th AS BIGINT) AS threshold,
+           least(th, n.n_docs) AS n_docs,
+           (SELECT coalesce(CAST(sum(n_bi) AS BIGINT), 0) FROM dt
+            WHERE dt.doc_id < th.th) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM fd
+            WHERE fd.first_doc < th.th) AS n_types
+    FROM th CROSS JOIN n
+    WHERE th < 2 * n.n_docs
+    ORDER BY threshold
+    """,
+)
+def t15_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve over bigram types: for each
+    power-of-two document prefix, the cumulative token count and the
+    number of DISTINCT bigram types first seen inside it — the
+    measurement behind "how much new data still adds new vocabulary",
+    i.e. the corpus-saturation check run before paying for more
+    crawling.  Computed without any sequential scan: a type's
+    contribution to every prefix is determined by its FIRST-occurrence
+    doc_id alone (one min-aggregate), so cumulative distinct counts
+    become ordinary conditional sums — the classic trick that turns
+    running-distinct (inherently sequential) into two shuffles.
+
+    Scale shape: one bigram explode feeding two partial-aggregated
+    groupBys (first-doc per type: model-sized; tokens per doc:
+    corpus-keyed), then each 15-row threshold arm is a conditional
+    aggregation over those tables; the totals broadcast.  All-integer
+    output; prefixes past the corpus end are dropped identically on
+    both engines (threshold < 2N keeps one saturated row)."""
+    ths = _T15_THRESHOLDS
+    docs = _docs(spark, sf_dir)
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("tokens"))
+        .where(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> concat(element_at(tokens, i), ' ', "
+                    "element_at(tokens, CAST(i + 1 AS INT))))"
+                )
+            ).alias("ty"),
+        )
+    )
+    fd = bg.groupBy("ty").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    dt = bg.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_bi"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    types_row = fd.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") < t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"ty_{t}")
+            for t in ths
+        ]
+    )
+    tokens_row = dt.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") < t, F.col("n_bi"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tk_{t}")
+            for t in ths
+        ]
+    )
+    stacked = (
+        types_row.crossJoin(tokens_row)
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "n_docs AS total_docs",
+            "stack({}, {}) AS (threshold, n_tokens, n_types)".format(
+                len(ths),
+                ", ".join(f"CAST({t} AS BIGINT), tk_{t}, ty_{t}" for t in ths),
+            ),
+        )
+    )
+    return (
+        stacked.where(F.col("threshold") < 2 * F.col("total_docs"))
+        .select(
+            "threshold",
+            F.least(F.col("threshold"), F.col("total_docs"))
+            .cast("long")
+            .alias("n_docs"),
+            "n_tokens",
+            "n_types",
+        )
+        .orderBy("threshold")
+    )
