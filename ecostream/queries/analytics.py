@@ -1919,3 +1919,109 @@ def cohort1_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "weeks_since")
     )
+
+
+# --- KS1: exact two-sample Kolmogorov-Smirnov (round 7) -------------------------
+
+
+@query(
+    "ks1_two_sample",
+    oracle="""
+    WITH ev AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pts AS (
+        SELECT value, CAST(sum(s1) AS BIGINT) AS c1,
+               CAST(sum(s2) AS BIGINT) AS c2
+        FROM ev GROUP BY value
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM pts),
+    cdf AS (
+        SELECT value,
+               SUM(c1) OVER (ORDER BY value) AS f1,
+               SUM(c2) OVER (ORDER BY value) AS f2
+        FROM pts
+    ),
+    d AS (
+        SELECT value, abs(n2 * f1 - n1 * f2) AS d_num
+        FROM cdf CROSS JOIN tot
+    )
+    SELECT t.n1, t.n2,
+           (SELECT CAST(max(d_num) AS BIGINT) FROM d) AS d_num,
+           CAST(t.n1 * t.n2 AS BIGINT) AS d_den,
+           (SELECT CAST((1000000 * CAST(max(d_num) AS BIGINT))
+                        // (t.n1 * t.n2) AS BIGINT) FROM d) AS ks_micro,
+           (SELECT value FROM d
+            WHERE d_num = (SELECT max(d_num) FROM d)
+            ORDER BY value LIMIT 1) AS at_value
+    FROM tot t
+    """,
+)
+def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    purchase and view value distributions — the UNBINNED drift/
+    experiment test beside drift1's binned TVD: D = sup over observed
+    points of |F1(v) − F2(v)|, cross-multiplied to the exact integer
+    sup |n2·cum1(v) − n1·cum2(v)| with denominator n1·n2, reported with
+    the floor-micro statistic and the (smallest) value attaining it.
+    No binning, no floats in the decision — the empirical CDFs jump
+    only at observed values, so scanning the distinct-value table is
+    the complete sup.
+
+    Scale shape: one scan tags samples map-side; ONE partial-aggregated
+    groupBy collapses events to the distinct-VALUE table; both
+    cumulative counts ride the functions/prefix.py distributed prefix
+    sum (range partition + per-partition offsets — never a global
+    single-partition window); the final sup is an ordinary max-
+    aggregate plus a 1-row argmin tie-break.  At 100 TB the value
+    table, not the event log, is what the order-dependent stage sees."""
+    from ..functions.prefix import with_prefix_sum
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum1 = with_prefix_sum(pts, ["value"], "c1", out_col="b1")
+    cum2 = with_prefix_sum(cum1, ["value"], "c2", out_col="b2")
+    cdf = cum2.select(
+        "value",
+        (F.col("b1") + F.col("c1")).alias("f1"),
+        (F.col("b2") + F.col("c2")).alias("f2"),
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = cdf.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("n2") * F.col("f1") - F.col("n1") * F.col("f2")).alias(
+            "d_num"
+        ),
+    )
+    mx = d.agg(F.max("d_num").alias("d_num_max"))
+    arg = (
+        d.join(F.broadcast(mx), d["d_num"] == mx["d_num_max"])
+        .orderBy("value")
+        .limit(1)
+    )
+    return arg.select(
+        "n1",
+        "n2",
+        F.col("d_num").cast("long").alias("d_num"),
+        (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
+        F.expr("(1000000 * d_num) div (n1 * n2)").cast("long").alias("ks_micro"),
+        F.col("value").alias("at_value"),
+    )

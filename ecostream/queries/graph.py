@@ -824,3 +824,169 @@ def g8_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", dist.alias("dist_km"))
         .orderBy("user_a", "user_b")
     )
+
+
+# --- G9: k-core decomposition by iterative peeling (round 7) -------------------
+#
+# The degeneracy/k-core primitive (Seidman 1983; Batagelj-Zaversnik
+# peeling) — the graph-analytics counterpart of the dedup funnels'
+# fixpoint loops: repeatedly delete every vertex whose degree WITHIN
+# the surviving subgraph is below k until nothing changes.  The result
+# (the maximal subgraph of minimum degree >= k) is ORDER-INDEPENDENT —
+# peeling in any order converges to the same core, which is what makes
+# a distributed bulk peel (drop ALL under-k vertices each round)
+# correct and oracle-checkable.
+
+_G9_SUPPORT = 4  # co-presence buckets required for an edge
+_G9_MAX_PEELS = 12  # oracle unroll depth; parity fails LOUDLY if exceeded
+
+
+def _g9_oracle() -> str:
+    """Unrolled bulk-peel replay: a{i} = vertices alive after i rounds,
+    d{i} = within-a{i-1} degrees.  Each level is MATERIALIZED (each
+    a{i} feeds BOTH endpoint semijoins of the next level — the
+    tokenizer-tower lesson).  k is count-adaptive: E div V + 1, one
+    more than half the average degree, so the query tracks corpus
+    density instead of going vacuous (semdedup's count-derived-k
+    device).  The final SELECT takes degrees within a{N} filtered to
+    >= k, which equals the fixpoint core's degree table only if
+    peeling CONVERGED within N rounds — a truncated oracle would
+    disagree with the engine's true fixpoint, so non-convergence fails
+    parity loudly instead of silently truncating."""
+    n = _G9_MAX_PEELS
+    parts = [
+        f"""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               event_type, user_id
+        FROM events
+    ),
+    p AS MATERIALIZED (
+        SELECT x.user_id AS s, y.user_id AS d
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_G9_SUPPORT}
+    ),
+    e AS MATERIALIZED (
+        SELECT s AS u, d AS w FROM p UNION ALL SELECT d, s FROM p
+    ),
+    vk AS MATERIALIZED (
+        SELECT CAST((SELECT count(*) FROM p)
+                    // (SELECT count(DISTINCT u) FROM e) + 1 AS BIGINT) AS k
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT u FROM e)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT e.u, CAST(count(*) AS BIGINT) AS cnt
+        FROM e JOIN a{i - 1} x ON x.u = e.u
+               JOIN a{i - 1} y ON y.u = e.w
+        GROUP BY e.u
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT u FROM d{i}, vk WHERE cnt >= vk.k
+    )"""
+        )
+    parts.append(
+        f""",
+    fin AS (
+        SELECT e.u, CAST(count(*) AS BIGINT) AS core_degree
+        FROM e JOIN a{n} x ON x.u = e.u
+               JOIN a{n} y ON y.u = e.w
+        GROUP BY e.u
+    )
+    SELECT u AS user_id, core_degree, (SELECT k FROM vk) AS k
+    FROM fin, vk WHERE core_degree >= vk.k
+    ORDER BY user_id"""
+    )
+    return "".join(parts)
+
+
+@query("g9_kcore_peel", oracle=_g9_oracle())
+def g9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the user co-presence graph by distributed bulk
+    peeling: build support-{s} co-presence edges (g7's banded bucket
+    join), set k = E div V + 1 (one past half the average degree —
+    count-adaptive so the core is non-vacuous at every scale), then
+    repeatedly drop ALL vertices whose within-subgraph degree is
+    below k until a fixpoint.  Output is the core members with their
+    in-core degrees — the dense-community backbone extraction used
+    for influence analysis and as a community-detection seed.
+
+    Scale shape: each peel round is two semi-joins of the (checkpointed)
+    edge list against the shrinking alive set plus one partial-
+    aggregated degree count — all keyed shuffles, no global state; the
+    driver sees only the per-round survivor COUNT (the pagerank-loop
+    discipline), and lineage is truncated per round by localCheckpoint.
+    Bulk peeling converges in O(peel-width) rounds regardless of vertex
+    order because the k-core is order-independent.  The oracle unrolls
+    {n} bulk rounds with a built-in convergence guard: if the engine's
+    fixpoint needed more than {n}, the oracle's truncated core would
+    mismatch and parity fails loudly."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("s"), F.col("b.user_id").alias("d")
+        )
+        .agg(F.count("*").alias("nb"))
+        .where(F.col("nb") >= _G9_SUPPORT)
+        .select("s", "d")
+    )
+    edges = (
+        pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
+        .unionByName(pairs.select(F.col("d").alias("u"), F.col("s").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    n_e = edges.count() // 2
+    alive = edges.select("u").distinct().localCheckpoint(eager=True)
+    n_v = alive.count()
+    k = n_e // n_v + 1  # same integer derivation the oracle replays
+
+    def degrees(al: DataFrame) -> DataFrame:
+        return (
+            edges.join(al, "u")
+            .join(al.withColumnRenamed("u", "w"), "w")
+            .groupBy("u")
+            .agg(F.count("*").cast("long").alias("core_degree"))
+        )
+
+    n_alive = n_v
+    for _ in range(_G9_MAX_PEELS):
+        survivors = (
+            degrees(alive).where(F.col("core_degree") >= k).select("u")
+        ).localCheckpoint(eager=True)
+        n_next = survivors.count()
+        if n_next == n_alive:
+            break
+        alive, n_alive = survivors, n_next
+    return (
+        degrees(alive)
+        .where(F.col("core_degree") >= k)
+        .select(
+            F.col("u").alias("user_id"),
+            "core_degree",
+            F.lit(k).cast("long").alias("k"),
+        )
+        .orderBy("user_id")
+    )
+
+
+g9_kcore_peel.__doc__ = g9_kcore_peel.__doc__.format(
+    s=_G9_SUPPORT, n=_G9_MAX_PEELS
+)

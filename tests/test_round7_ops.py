@@ -295,3 +295,71 @@ def test_st14_dedup_equals_batch_distinct(spark):
         n, d = exp[r["event_type"]]
         assert (r["n_input"], r["n_kept"], r["n_dropped"]) == (n, d, n - d)
         assert r["n_dropped"] > 0  # the source genuinely redelivers keys
+
+
+def test_ks1_matches_python(spark):
+    from ecostream.queries.analytics import ks1_two_sample
+
+    ev = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_SMOKE}/events.parquet' "
+        "WHERE event_type IN ('purchase', 'view')"
+    ).fetchall()
+    s1 = sorted(v for et, v in ev if et == "purchase")
+    s2 = sorted(v for et, v in ev if et == "view")
+    n1, n2 = len(s1), len(s2)
+    pts = sorted(set(s1) | set(s2))
+    import bisect
+
+    best, at = -1, None
+    for v in pts:
+        f1 = bisect.bisect_right(s1, v)
+        f2 = bisect.bisect_right(s2, v)
+        d = abs(n2 * f1 - n1 * f2)
+        if d > best:
+            best, at = d, v
+    r = ks1_two_sample(spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["d_num"] == best
+    assert r["d_den"] == n1 * n2
+    assert r["ks_micro"] == 1_000_000 * best // (n1 * n2)
+    assert r["at_value"] == at
+    assert 0 < r["ks_micro"] <= 1_000_000
+
+
+def test_g9_kcore_matches_python(spark):
+    from collections import defaultdict
+
+    from ecostream.queries.graph import _G9_SUPPORT, g9_kcore_peel
+
+    rows = duckdb.sql(
+        f"""
+        WITH b AS (SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS h, event_type, user_id
+                   FROM '{SF_SMOKE}/events.parquet')
+        SELECT x.user_id, y.user_id FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2 HAVING count(*) >= {_G9_SUPPORT}"""
+    ).fetchall()
+    adj = defaultdict(set)
+    for s, d in rows:
+        adj[s].add(d)
+        adj[d].add(s)
+    n_v, n_e = len(adj), len(rows)
+    k = n_e // n_v + 1
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if sum(1 for u in adj[v] if u in alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    expected = {
+        v: sum(1 for u in adj[v] if u in alive) for v in alive
+    }
+    got = {r["user_id"]: r for r in g9_kcore_peel(spark, SF_SMOKE).collect()}
+    assert {v: r["core_degree"] for v, r in got.items()} == expected
+    for r in got.values():
+        assert r["k"] == k
+        assert r["core_degree"] >= k  # the defining k-core property
