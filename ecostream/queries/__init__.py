@@ -127,6 +127,7 @@ _ROUND_HEAD = [
     "st14_stream_dedup",         # watermark-bounded exactly-once dedup
     "ks1_two_sample",            # exact integer Kolmogorov-Smirnov
     "g9_kcore_peel",             # k-core by distributed bulk peeling
+    "ece1_calibration",          # exact expected-calibration-error bins
     "er1_entity_resolution",     # RE-SIGN: round-7 count-adaptive blocking
                                  # (16-char keys, kb tracks log16(n)) changed
                                  # the signed result — see the stress fix

@@ -2025,3 +2025,102 @@ def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * d_num) div (n1 * n2)").cast("long").alias("ks_micro"),
         F.col("value").alias("at_value"),
     )
+
+
+# --- ECE1: expected calibration error (round 7) ---------------------------------
+
+
+@query(
+    "ece1_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               (1000 * length(text))
+                   // (len(string_split(text, ' ')) + 1) AS score
+        FROM documents
+    ),
+    st AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+    pm AS (
+        SELECT pos,
+               (1000 * (score - mn)) // (mx - mn) AS p_milli
+        FROM scored, st
+    ),
+    bk AS (
+        SELECT least(9, p_milli // 100) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(p_milli) AS BIGINT) AS sum_p_milli
+        FROM pm GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(abs(sum_p_milli - 1000 * n_pos)) AS BIGINT) AS gap
+        FROM bk
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, sum_p_milli,
+           sum_p_milli // n AS conf_milli,
+           (1000 * n_pos) // n AS acc_milli,
+           CAST(abs(sum_p_milli - 1000 * n_pos) AS BIGINT) AS gap_abs,
+           (1000 * tot.gap) // tot.n_total AS ece_micro
+    FROM bk, tot
+    ORDER BY bucket
+    """,
+)
+def ece1_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (reliability diagram) of the same
+    score/label pair auc1 evaluates: min-max-normalize the integer
+    quality score into milli-probabilities, bucket into 10 equal-width
+    confidence bins, and report per bin the predicted confidence vs
+    realized positive rate plus the corpus ECE — THE companion metric
+    to AUC (a model can rank perfectly yet be miscalibrated; serving
+    thresholds need calibration, not just ranking).  All-integer: the
+    per-bin gap |sum_p − 1000·n_pos| is an exact BIGINT, and
+    ECE = Σ(n_b/N)·|conf_b − acc_b| telescopes to
+    (1000·Σgap) div N micro units with no per-bin division.
+
+    Scale shape: one scan computes scores map-side; the min/max stats
+    broadcast back (sq1's device); ONE partial-aggregated 10-group
+    aggregation; the summary is a 1-row broadcast joined onto the bin
+    table.  The oracle replays normalization, binning, and the
+    telescoped ECE exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.expr(
+            "(1000 * length(text)) div (size(split(text, ' ')) + 1)"
+        ).alias("score"),
+    )
+    st = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    pm = scored.crossJoin(F.broadcast(st)).select(
+        "pos",
+        F.expr("(1000 * (score - mn)) div (mx - mn)").alias("p_milli"),
+    )
+    bk = pm.groupBy(
+        F.least(F.lit(9), F.expr("p_milli div 100")).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("p_milli").cast("long").alias("sum_p_milli"),
+    )
+    tot = bk.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.abs(F.col("sum_p_milli") - 1000 * F.col("n_pos")))
+        .cast("long")
+        .alias("gap"),
+    )
+    return (
+        bk.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n",
+            "n_pos",
+            "sum_p_milli",
+            F.expr("sum_p_milli div n").cast("long").alias("conf_milli"),
+            F.expr("(1000 * n_pos) div n").cast("long").alias("acc_milli"),
+            F.abs(F.col("sum_p_milli") - 1000 * F.col("n_pos"))
+            .cast("long")
+            .alias("gap_abs"),
+            F.expr("(1000 * gap) div n_total").cast("long").alias("ece_micro"),
+        )
+        .orderBy("bucket")
+    )

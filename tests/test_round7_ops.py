@@ -363,3 +363,36 @@ def test_g9_kcore_matches_python(spark):
     for r in got.values():
         assert r["k"] == k
         assert r["core_degree"] >= k  # the defining k-core property
+
+
+def test_ece1_matches_python(spark):
+    from ecostream.queries.analytics import ece1_calibration
+
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    data = [
+        (1 if lang == "en" else 0, 1000 * len(t) // (len(t.split(" ")) + 1))
+        for lang, t in rows
+    ]
+    mn = min(s for _, s in data)
+    mx = max(s for _, s in data)
+    bins: dict = {}
+    for pos, s in data:
+        p = 1000 * (s - mn) // (mx - mn)
+        b = min(9, p // 100)
+        n, np_, sp = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + pos, sp + p)
+    n_total = sum(n for n, _, _ in bins.values())
+    gap = sum(abs(sp - 1000 * np_) for _, np_, sp in bins.values())
+    ece = 1000 * gap // n_total
+    got = {r["bucket"]: r for r in ece1_calibration(spark, SF_SMOKE).collect()}
+    assert set(got) == set(bins)
+    for b, (n, np_, sp) in bins.items():
+        r = got[b]
+        assert (r["n"], r["n_pos"], r["sum_p_milli"]) == (n, np_, sp)
+        assert r["conf_milli"] == sp // n
+        assert r["acc_milli"] == 1000 * np_ // n
+        assert r["gap_abs"] == abs(sp - 1000 * np_)
+        assert r["ece_micro"] == ece
+    assert 0 <= ece <= 1_000_000
