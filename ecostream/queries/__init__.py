@@ -128,6 +128,7 @@ _ROUND_HEAD = [
     "ks1_two_sample",            # exact integer Kolmogorov-Smirnov
     "g9_kcore_peel",             # k-core by distributed bulk peeling
     "ece1_calibration",          # exact expected-calibration-error bins
+    "ts1_seasonal_outliers",     # seasonal MAD anomaly flags, all-integer
     "er1_entity_resolution",     # RE-SIGN: round-7 count-adaptive blocking
                                  # (16-char keys, kb tracks log16(n)) changed
                                  # the signed result — see the stress fix

@@ -2124,3 +2124,104 @@ def ece1_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- TS1: seasonal-baseline outlier detection (round 7) -------------------------
+
+
+@query(
+    "ts1_seasonal_outliers",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    st AS (
+        SELECT hod, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM ev GROUP BY hod
+    ),
+    ad AS (
+        SELECT e.hod,
+               CAST(sum(abs(s.n * e.cents - s.sum_cents)) AS BIGINT)
+                   AS sum_absdev
+        FROM ev e JOIN st s USING (hod) GROUP BY e.hod
+    ),
+    fl AS (
+        SELECT e.hod,
+               CAST(sum(CASE WHEN s.n * abs(s.n * e.cents - s.sum_cents)
+                                  > 3 * a.sum_absdev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM ev e JOIN st s USING (hod) JOIN ad a USING (hod)
+        GROUP BY e.hod
+    )
+    SELECT s.hod, s.n, s.sum_cents, a.sum_absdev, f.n_outliers,
+           (1000 * f.n_outliers) // s.n AS outlier_permille
+    FROM st s JOIN ad a USING (hod) JOIN fl f USING (hod)
+    ORDER BY s.hod
+    """,
+)
+def ts1_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the ops-monitoring shape
+    behind every "is this hour's traffic weird" alert: per hour-of-day
+    bucket, learn the seasonal level (mean) and dispersion (mean
+    absolute deviation), then flag events more than 3 MADs from their
+    bucket's level.  Everything cross-multiplies to exact BIGINTs
+    (cents channel): the flag is n·|n·x − Σx| > 3·Σ|n·x − Σx| — no
+    division, no float, so the count of anomalies is hash-exact (the
+    dq2 z-score device applied to seasonal buckets, with MAD replacing
+    the sqrt-needing sigma).
+
+    Scale shape: three passes over the scan — level (24-row model),
+    dispersion (model broadcast back, absolute deviations aggregated),
+    flag (both models broadcast back) — the canonical multi-pass
+    statistic plan, one more pass than dq2 because MAD needs the level
+    first; every join side beyond the scan is the 24-row model.  The
+    oracle replays all three passes and the flag inequality exactly."""
+    ev = _events(spark, sf_dir).select(
+        F.expr("CAST(unix_micros(ts) div 3600000000 % 24 AS BIGINT)").alias(
+            "hod"
+        ),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    st = ev.groupBy("hod").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    with_st = ev.join(F.broadcast(st), "hod")
+    ad = with_st.groupBy("hod").agg(
+        F.sum(F.abs(F.col("n") * F.col("cents") - F.col("sum_cents")))
+        .cast("long")
+        .alias("sum_absdev")
+    )
+    fl = (
+        with_st.join(F.broadcast(ad), "hod")
+        .groupBy("hod")
+        .agg(
+            F.sum(
+                (
+                    F.col("n")
+                    * F.abs(F.col("n") * F.col("cents") - F.col("sum_cents"))
+                    > 3 * F.col("sum_absdev")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        st.join(ad, "hod")
+        .join(fl, "hod")
+        .select(
+            "hod",
+            "n",
+            "sum_cents",
+            "sum_absdev",
+            "n_outliers",
+            F.expr("(1000 * n_outliers) div n")
+            .cast("long")
+            .alias("outlier_permille"),
+        )
+        .orderBy("hod")
+    )

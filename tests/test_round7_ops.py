@@ -396,3 +396,33 @@ def test_ece1_matches_python(spark):
         assert r["gap_abs"] == abs(sp - 1000 * np_)
         assert r["ece_micro"] == ece
     assert 0 <= ece <= 1_000_000
+
+
+def test_ts1_matches_python(spark):
+    from ecostream.queries.analytics import ts1_seasonal_outliers
+
+    ev = duckdb.sql(
+        f"SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT), "
+        f"CAST(round(value * 100) AS BIGINT) "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    by_h: dict = {}
+    for h, c in ev:
+        by_h.setdefault(h, []).append(c)
+    got = {r["hod"]: r for r in ts1_seasonal_outliers(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_h)
+    total_out = 0
+    for h, cs in by_h.items():
+        n, s = len(cs), sum(cs)
+        absdev = sum(abs(n * c - s) for c in cs)
+        n_out = sum(1 for c in cs if n * abs(n * c - s) > 3 * absdev)
+        r = got[h]
+        assert (r["n"], r["sum_cents"], r["sum_absdev"], r["n_outliers"]) == (
+            n,
+            s,
+            absdev,
+            n_out,
+        )
+        assert r["outlier_permille"] == 1000 * n_out // n
+        total_out += n_out
+    assert total_out > 0  # the 3-MAD gate genuinely fires somewhere
