@@ -2185,15 +2185,33 @@ def ts1_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
-    st = ev.groupBy("hod").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sum_cents"),
+
+    # Each pass's output is the 24-row MODEL: collect it and re-inject
+    # as a local table (the tok3 discipline) so later passes join a
+    # literal instead of re-deriving the earlier pass's whole lineage —
+    # without this the flag pass re-scanned events 7x (each model
+    # consumer replayed its producer's scan); with it the scan count is
+    # the three passes the plan claims.
+    def _localize(df: DataFrame, schema: str) -> DataFrame:
+        return spark.createDataFrame(
+            [tuple(r) for r in df.collect()], schema
+        )
+
+    st = _localize(
+        ev.groupBy("hod").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ),
+        "hod bigint, n bigint, sum_cents bigint",
     )
     with_st = ev.join(F.broadcast(st), "hod")
-    ad = with_st.groupBy("hod").agg(
-        F.sum(F.abs(F.col("n") * F.col("cents") - F.col("sum_cents")))
-        .cast("long")
-        .alias("sum_absdev")
+    ad = _localize(
+        with_st.groupBy("hod").agg(
+            F.sum(F.abs(F.col("n") * F.col("cents") - F.col("sum_cents")))
+            .cast("long")
+            .alias("sum_absdev")
+        ),
+        "hod bigint, sum_absdev bigint",
     )
     fl = (
         with_st.join(F.broadcast(ad), "hod")
