@@ -129,15 +129,15 @@ _ROUND_HEAD = [
     "g9_kcore_peel",             # k-core by distributed bulk peeling
     "ece1_calibration",          # exact expected-calibration-error bins
     "ts1_seasonal_outliers",     # seasonal MAD anomaly flags, all-integer
+    "s11_time_travel",           # manifest snapshots: append + CoW delete
     "er1_entity_resolution",     # RE-SIGN: round-7 count-adaptive blocking
                                  # (16-char keys, kb tracks log16(n)) changed
                                  # the signed result — see the stress fix
     # ROUND 6 additions, re-confirmed while head space allows (all
     # already signed in CORRECTNESS_r06; the 14 pre-r6 stragglers that
-    # completed 246/246 driver-signed coverage rotated out this round):
-    "sim10_hard_negatives",      # hard-negative mining for contrastive pairs
-    "mrl1_matryoshka_recall",    # truncated-dimension recall eval
-    "mix2_budget_waterfill",     # token-budget waterfill allocation
+    # completed 246/246 driver-signed coverage rotated out this round,
+    # and sim10/mrl1/mix2 rotated out late in round 7 to keep the head
+    # at 50 as round-7 additions landed):
     "pair1_preference_pairs",    # DPO-style preference-pair assembly
     "eval4_lsh_precision",       # LSH candidate precision vs exact Jaccard
     "eval5_lsh_recall",          # LSH candidate recall vs exact truth

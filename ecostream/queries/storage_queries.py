@@ -669,3 +669,108 @@ def shard1_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
 shard1_rendezvous.__doc__ = shard1_rendezvous.__doc__.format(
     n=_SHARD1_N, n1=_SHARD1_N + 1, frac=f"{_SHARD1_N - 1}/{_SHARD1_N}"
 )
+
+
+# --- S11: snapshot time travel (round 7) ---------------------------------------
+
+
+@query(
+    "s11_time_travel",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               (SELECT count(*) // 2 FROM events) AS split
+        FROM events
+    ),
+    v1 AS (SELECT * FROM ev WHERE event_id < split),
+    v2 AS (SELECT * FROM ev),
+    v3 AS (SELECT * FROM ev
+           WHERE event_id >= split OR event_type <> 'error')
+    SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM v1
+    UNION ALL
+    SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, count(*), CAST(sum(cents) AS BIGINT),
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM v3
+    ORDER BY version
+    """,
+)
+def s11_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 write side, SNAPSHOT TIME TRAVEL: the lakehouse commit model
+    (Iceberg/Delta) as plain parquet + a manifest table.  Three commits
+    are physically written — c1 (the first half of events), c2 (an
+    APPEND of the second half), c1r (a COPY-ON-WRITE DELETE: c1
+    rewritten without its 'error' rows) — and a model-sized MANIFEST
+    maps each version to the file sets alive at that version: v1=[c1],
+    v2=[c1,c2], v3=[c1r,c2].  Reading "as of v" is then just resolving
+    the manifest and scanning v's files: old versions stay queryable
+    because commits never mutate files, exactly the property that makes
+    snapshot isolation and reproducible training runs possible on a
+    100 TB lake.  The declared result audits all three versions (row
+    count, cents total, surviving error rows), so the driver hash-pins
+    that v1 still reads pre-append, that the append is isolated to v2+,
+    and that the delete rewrote history for v3 only.
+
+    Scale shape: the manifest is the ONLY driver-side state (one row
+    per commit — Iceberg's own design); each version's read plans as a
+    plain multi-dir parquet scan with full pushdown; the audit is one
+    union of partial-aggregated scans.  The oracle replays the commit
+    boundaries (count-derived midpoint split, the s9 device) from the
+    raw table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    split = ev.count() // 2
+    root = _workdir("s11_tt")
+    c1 = os.path.join(root, "c1")
+    c2 = os.path.join(root, "c2")
+    c1r = os.path.join(root, "c1r")
+    ev.where(F.col("event_id") < split).write.mode("overwrite").parquet(c1)
+    ev.where(F.col("event_id") >= split).write.mode("overwrite").parquet(c2)
+    spark.read.parquet(c1).where(F.col("event_type") != "error").write.mode(
+        "overwrite"
+    ).parquet(c1r)
+    manifest = spark.createDataFrame(
+        [(1, c1), (2, c1), (2, c2), (3, c1r), (3, c2)],
+        "version int, path string",
+    )
+    man_path = os.path.join(root, "manifest")
+    manifest.write.mode("overwrite").parquet(man_path)
+
+    # time travel: resolve each version's live file set FROM THE
+    # MANIFEST TABLE (model-sized collect — the Iceberg read path),
+    # then scan exactly those files
+    man = spark.read.parquet(man_path)
+    by_version: dict[int, list[str]] = {}
+    for r in man.collect():
+        by_version.setdefault(int(r["version"]), []).append(r["path"])
+
+    audits = []
+    for version in sorted(by_version):
+        snap = spark.read.parquet(*by_version[version])
+        audits.append(
+            snap.agg(
+                F.lit(version).cast("long").alias("version"),
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.sum((F.col("event_type") == "error").cast("long"))
+                .cast("long")
+                .alias("n_errors"),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("version")

@@ -426,3 +426,37 @@ def test_ts1_matches_python(spark):
         assert r["outlier_permille"] == 1000 * n_out // n
         total_out += n_out
     assert total_out > 0  # the 3-MAD gate genuinely fires somewhere
+
+
+def test_s11_versions_are_isolated(spark):
+    from ecostream.queries.storage_queries import s11_time_travel
+
+    n_total, n_err_lo, n_err_all, sum_lo, sum_all = duckdb.sql(
+        f"""
+        WITH ev AS (SELECT event_id, event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents,
+                           (SELECT count(*) // 2
+                            FROM '{SF_SMOKE}/events.parquet') AS split
+                    FROM '{SF_SMOKE}/events.parquet')
+        SELECT count(*),
+               sum(CASE WHEN event_type = 'error' AND event_id < split
+                        THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_id < split THEN cents ELSE 0 END),
+               sum(cents)
+        FROM ev"""
+    ).fetchone()
+    got = {r["version"]: r for r in s11_time_travel(spark, SF_SMOKE).collect()}
+    assert set(got) == {1, 2, 3}
+    # v1: pre-append snapshot — half the rows, errors intact
+    assert got[1]["n"] == n_total // 2
+    assert got[1]["sum_cents"] == sum_lo
+    assert got[1]["n_errors"] == n_err_lo
+    # v2: after the append — everything, errors intact
+    assert got[2]["n"] == n_total
+    assert got[2]["sum_cents"] == sum_all
+    assert got[2]["n_errors"] == n_err_all
+    # v3: after the copy-on-write delete — only c1's errors are gone
+    assert got[3]["n"] == n_total - n_err_lo
+    assert got[3]["n_errors"] == n_err_all - n_err_lo
+    assert n_err_lo > 0  # the delete genuinely removed rows
