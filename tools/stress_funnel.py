@@ -272,6 +272,48 @@ def stages():
             )
         )
 
+    # Round-7 additions (stress-measured the round they land, so the
+    # next verdict's "measure last round's funnels" ask is pre-paid):
+    # tok3's two hard-EM E-steps, pack3's per-shard BFD/NF folds, d14's
+    # fingerprint-bucket pair join, and g9's bulk peeling.
+    from ecostream.queries.graph import g9_kcore_peel
+    from ecostream.queries.llm_pipeline import pack3_bfd_packing
+    from ecostream.queries.text import d14_winnowing_pairs
+    from ecostream.queries.tokenizer import tok3_unigram_train
+
+    def pack_full(spark, d):
+        return (
+            pack3_bfd_packing(spark, d)
+            .groupBy()
+            .agg(
+                FF.sum("bfd_bins").alias("sb"),
+                FF.sum("nf_bins").alias("sn"),
+                FF.sum("bfd_waste_permille").alias("sw"),
+            )
+        )
+
+    def winnow_full(spark, d):
+        return (
+            d14_winnowing_pairs(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("n_shared").alias("ss"),
+                FF.sum("jaccard_permille").alias("sj"),
+            )
+        )
+
+    def kcore_full(spark, d):
+        return (
+            g9_kcore_peel(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("core_degree").alias("sd"),
+                FF.max("k").alias("k"),
+            )
+        )
+
     # semdedup1/2 are now DECLARED capped baselines (vec_id < 4096 —
     # round-6 re-scope after this harness measured their flat argmax
     # quadratic at 1.62/1.67); stressing them would measure the cap
@@ -290,6 +332,10 @@ def stages():
         ("entity_resolution (er1)", er_full, "cust"),
         ("geo_radius_join (g8)", geo_full, "users"),
         ("global_enumeration (id1)", enum_full, "docs"),
+        ("unigram_train (tok3)", tok3_unigram_train, "docs"),
+        ("bfd_packing (pack3)", pack_full, "docs"),
+        ("winnowing_pairs (d14)", winnow_full, "docs"),
+        ("kcore_peel (g9)", kcore_full, "users"),
     ]
 
 
