@@ -1675,11 +1675,13 @@ def auc1_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM p)
     )
     SELECT step, event_type, n_users,
-           (1000 * n_users) // (SELECT max(CASE WHEN step = 1
-                                                THEN n_users END)
-                                FROM steps) AS from_start_permille,
            (1000 * n_users)
-               // coalesce(lag(n_users) OVER (ORDER BY step), n_users)
+               // greatest((SELECT max(CASE WHEN step = 1
+                                            THEN n_users END)
+                            FROM steps), 1) AS from_start_permille,
+           (1000 * n_users)
+               // greatest(coalesce(lag(n_users) OVER (ORDER BY step),
+                                    n_users), 1)
                AS from_prev_permille
     FROM steps ORDER BY step
     """,
@@ -1759,10 +1761,14 @@ def funnel1_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step",
             "event_type",
             "n_users",
-            F.expr("(1000 * n_users) div start_n")
+            # greatest(.., 1): a corpus with zero 'view' users makes
+            # start_n/prev_n 0 — Spark div would yield NULL while the
+            # DuckDB oracle's // raises, a divergent degenerate edge
+            # (ADVICE r7); both sides now emit 0 permille instead.
+            F.expr("(1000 * n_users) div greatest(start_n, 1)")
             .cast("long")
             .alias("from_start_permille"),
-            F.expr("(1000 * n_users) div prev_n")
+            F.expr("(1000 * n_users) div greatest(prev_n, 1)")
             .cast("long")
             .alias("from_prev_permille"),
         )
@@ -2042,7 +2048,7 @@ def ks1_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
     pm AS (
         SELECT pos,
-               (1000 * (score - mn)) // (mx - mn) AS p_milli
+               (1000 * (score - mn)) // greatest(mx - mn, 1) AS p_milli
         FROM scored, st
     ),
     bk AS (
@@ -2091,9 +2097,15 @@ def ece1_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     st = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    # greatest(mx - mn, 1): when every score is equal the span is 0 and
+    # the two engines would otherwise fail DIFFERENTLY (Spark div ->
+    # NULL, DuckDB // -> division-by-zero error); the guard pins both
+    # to p_milli = 0 on degenerate input (ADVICE r7).
     pm = scored.crossJoin(F.broadcast(st)).select(
         "pos",
-        F.expr("(1000 * (score - mn)) div (mx - mn)").alias("p_milli"),
+        F.expr(
+            "(1000 * (score - mn)) div greatest(mx - mn, 1)"
+        ).alias("p_milli"),
     )
     bk = pm.groupBy(
         F.least(F.lit(9), F.expr("p_milli div 100")).alias("bucket")

@@ -966,8 +966,15 @@ def g9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("core_degree"))
         )
 
+    # Peel to the TRUE fixpoint — the engine must NOT share the
+    # oracle's _G9_MAX_PEELS truncation, or a graph needing more
+    # rounds would yield the same truncated non-core on both sides and
+    # parity would pass silently (ADVICE r7).  The alive set strictly
+    # shrinks every non-fixpoint round, so the loop terminates in at
+    # most n_v rounds; the n_v + 1 cap is a defensive impossibility
+    # guard, not a semantic bound.
     n_alive = n_v
-    for _ in range(_G9_MAX_PEELS):
+    for _ in range(n_v + 1):
         survivors = (
             degrees(alive).where(F.col("core_degree") >= k).select("u")
         ).localCheckpoint(eager=True)
@@ -975,6 +982,8 @@ def g9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_next == n_alive:
             break
         alive, n_alive = survivors, n_next
+    else:  # pragma: no cover - mathematically unreachable
+        raise RuntimeError("g9 bulk peeling failed to reach a fixpoint")
     return (
         degrees(alive)
         .where(F.col("core_degree") >= k)

@@ -611,8 +611,9 @@ _SHARD1_N = 8
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN shard_n1 <> shard_n THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_moved,
-           (1000 * sum(CASE WHEN shard_n1 <> shard_n THEN 1 ELSE 0 END))
-               // count(*) AS moved_permille
+           CAST((1000 * CAST(sum(CASE WHEN shard_n1 <> shard_n
+                                      THEN 1 ELSE 0 END) AS BIGINT))
+                // count(*) AS BIGINT) AS moved_permille
     FROM asg GROUP BY shard_n ORDER BY shard
     """,
 )
@@ -774,3 +775,158 @@ def s11_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out.orderBy("version")
+
+
+# --- ROLL2: mergeable quantile-sketch serving (round 8) ------------------------
+#
+# roll1 proves ADDITIVE rollup serving (counts / decimal sums);
+# production serving also needs NON-additive stats — p50/p95 latencies,
+# value quantiles — answered from stored partials without rescanning
+# raw data.  The standard device is a mergeable quantile sketch
+# (DDSketch [Masson et al., VLDB 2019], HdrHistogram): log-bucketed
+# counters with a RELATIVE-error guarantee, merged by plain addition.
+# This implementation uses an integer-exact variant so the DuckDB
+# oracle replays it bit-for-bit: a value's bucket keeps the top 6
+# binary digits (octave o = bit-length, shift = max(o - 6, 0),
+# bucket = [cents >> shift << shift, +2^shift)), giving <= 2^-5 ~ 3.1%
+# relative error at any magnitude — all integer shifts, no libm.
+#
+# The sketch bin expressions are shared with st15 (streaming
+# maintenance of the same daily sketch) the way roll1 shares
+# _ROLL1_WEEKLY_ORACLE with st12.
+
+_ROLL2_KEEP_BITS = 6
+
+
+def roll2_bin_exprs():
+    """(b_lo, ub) bucket expressions over a BIGINT ``cents`` column —
+    Spark side of the sketch binning (guarded to >= 1 so the octave is
+    defined; the events generator's floor is 1 cent)."""
+    kb = _ROLL2_KEEP_BITS
+    c = f"greatest(CAST(round(value * 100) AS BIGINT), CAST(1 AS BIGINT))"
+    shift = f"greatest(length(bin({c})) - {kb}, 0)"
+    b_lo = f"shiftleft(shiftright({c}, {shift}), {shift})"
+    ub = f"{b_lo} + shiftleft(CAST(1 AS BIGINT), {shift}) - 1"
+    return F.expr(b_lo).alias("b_lo"), F.expr(ub).alias("ub")
+
+
+_ROLL2_WEEKLY_ORACLE = f"""
+    WITH c AS (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week,
+               event_type,
+               greatest(CAST(round(value * 100) AS BIGINT),
+                        CAST(1 AS BIGINT)) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT week, event_type,
+               (cents >> s) << s AS b_lo,
+               ((cents >> s) << s) + (CAST(1 AS BIGINT) << s) - 1 AS ub,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT *, greatest(length(bin(cents)) - {_ROLL2_KEEP_BITS}, 0)
+                            AS s
+              FROM c)
+        GROUP BY 1, 2, 3, 4
+    ),
+    cum AS (
+        SELECT week, event_type, ub, n,
+               CAST(sum(n) OVER (PARTITION BY week, event_type
+                                 ORDER BY b_lo) AS BIGINT) AS cum,
+               CAST(sum(n) OVER (PARTITION BY week, event_type)
+                    AS BIGINT) AS total
+        FROM b
+    )
+    SELECT week, event_type, CAST(max(total) AS BIGINT) AS n,
+           CAST(min(CASE WHEN 2 * cum >= total THEN ub END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN 20 * cum >= 19 * total THEN ub END)
+                AS BIGINT) AS p95_cents
+    FROM cum GROUP BY week, event_type ORDER BY week, event_type
+    """
+
+
+@query("roll2_quantile_sketch_serve", oracle=_ROLL2_WEEKLY_ORACLE)
+def roll2_quantile_sketch_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable QUANTILE-sketch serving — the non-additive companion
+    to roll1 (VERDICT r7 #7): per-(day, event_type) log-bucketed value
+    histograms (DDSketch-style, see module comment) are built once and
+    WRITTEN to parquet; the weekly p50/p95 serve then reads ONLY the
+    stored sketches and merges them by summing bucket counters —
+    quantiles are not additive, but the sketch is, which is the whole
+    point of sketch-based serving.  Quantile extraction is integer
+    rank selection over the cumulative bucket counts: p50 = first
+    bucket where 2·cum >= total (cum >= ceil(total/2)), p95 where
+    20·cum >= 19·total; the served value is the bucket upper bound, so
+    the answer is within one bucket width (<= 2^-5 relative) of the
+    exact percentile — tests/test_storage.py pins that bound against
+    exact percentiles AND proves merge-vs-direct losslessness (the
+    merged weekly sketch is bit-identical to a sketch built directly
+    over the week's raw values).
+
+    Exactness for the oracle: binning is integer bit arithmetic
+    (bit-length octave, shifts), counters are BIGINTs, rank conditions
+    are integer inequalities — the oracle replays construction, merge,
+    and selection exactly, so a single mis-bucketed or double-counted
+    value fails the hash.
+
+    Scale shape: the sketch build is one partial-aggregated shuffle on
+    (day, type, bucket) — at most |days|·|types|·(64·octaves) rows
+    regardless of event count (the 100 TB saving: raw events are never
+    rescanned at serve time); the weekly merge is a group-sum over
+    that model-sized table, and the per-(week, type) cumulative
+    windows run over <= a few hundred buckets each."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+    b_lo, ub = roll2_bin_exprs()
+    daily = (
+        ev.select(day.alias("day"), "event_type", b_lo, ub)
+        .groupBy("day", "event_type", "b_lo", "ub")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sketch_path = _workdir("roll2_daily_sketch")
+    daily.write.mode("overwrite").parquet(sketch_path)
+    sketches = spark.read.parquet(sketch_path)
+    return roll2_serve_weekly(sketches)
+
+
+def roll2_serve_weekly(daily_sketches: DataFrame) -> DataFrame:
+    """Serve weekly p50/p95 from stored daily sketch rows
+    (day, event_type, b_lo, ub, n) — merge by addition, then integer
+    rank selection.  Shared by roll2 (batch-built sketches) and st15
+    (stream-maintained sketches)."""
+    from pyspark.sql import Window as W
+
+    weekly = (
+        daily_sketches.groupBy(
+            F.expr("day div 7").cast("long").alias("week"),
+            "event_type",
+            "b_lo",
+            "ub",
+        )
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    pw = W.partitionBy("week", "event_type")
+    cum = weekly.select(
+        "week",
+        "event_type",
+        "ub",
+        F.sum("n").over(pw.orderBy("b_lo")).cast("long").alias("cum"),
+        F.sum("n").over(pw).cast("long").alias("total"),
+    )
+    return (
+        cum.groupBy("week", "event_type")
+        .agg(
+            F.max("total").cast("long").alias("n"),
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("ub")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.min(
+                F.when(20 * F.col("cum") >= 19 * F.col("total"), F.col("ub"))
+            )
+            .cast("long")
+            .alias("p95_cents"),
+        )
+        .orderBy("week", "event_type")
+    )

@@ -957,10 +957,15 @@ def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once source (Kafka redeliveries, producer retries) into
     exactly-once rows: state keeps each (user_id, event_type) key until
     the watermark passes it, and re-arrivals inside the horizon are
-    dropped.  A bounded file-stream drains in one pass, so the kept set
-    equals the batch DISTINCT over the same keys (stream-batch
-    equivalence) and the whole run is oracle-checkable: per event type,
-    input rows, kept rows, dropped duplicates.
+    dropped.  PRECONDITION (asserted below): the bounded file-stream
+    must drain in ONE micro-batch — only then does the kept set equal
+    the batch DISTINCT over the same keys (stream-batch equivalence)
+    and the whole run is oracle-checkable: per event type, input rows,
+    kept rows, dropped duplicates.  With multiple batches, duplicates
+    arriving more than the 1 h horizon apart in event time would be
+    re-emitted and the DISTINCT oracle would not model the operator
+    (ADVICE r7), so a multi-batch drain raises instead of silently
+    comparing the wrong thing.
 
     Scale shape: the dedup state is keyed (one hash exchange on the
     dedup key) and watermark-BOUNDED — unlike a plain stream
@@ -981,6 +986,18 @@ def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        # Enforce the single-batch stream-batch-equivalence precondition:
+        # count micro-batches that actually carried rows.
+        data_batches = sum(
+            1 for p in q.recentProgress if p and p["numInputRows"] > 0
+        )
+        if data_batches > 1:  # pragma: no cover - single-file sf dirs
+            raise AssertionError(
+                "st14 oracle assumes a single micro-batch drain; got "
+                f"{data_batches} data-carrying batches — the COUNT("
+                "DISTINCT) oracle no longer models "
+                "dropDuplicatesWithinWatermark re-emissions"
+            )
     finally:
         q.stop()
     from ..schema import load_table
@@ -1005,3 +1022,91 @@ def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- ST15: streaming quantile-sketch maintenance (round 8) ---------------------
+
+from .storage_queries import (  # noqa: E402
+    _ROLL2_WEEKLY_ORACLE,
+    roll2_bin_exprs,
+    roll2_serve_weekly,
+)
+
+
+@query("st15_stream_quantile_maintenance", oracle=_ROLL2_WEEKLY_ORACLE)
+def st15_stream_quantile_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of roll2's daily quantile sketches — the
+    st12-to-roll1 relationship applied to the NON-additive stat: the
+    events table replays as a 4-file feed (maxFilesPerTrigger=1 → 4
+    micro-batches), each batch bucket-counted into (day, type, bucket)
+    sketch partials and MERGED into the versioned sketch store via
+    ``foreachBatch`` (union + group-sum — sketch counters are plain
+    BIGINT adds, which is exactly what makes a DDSketch-style histogram
+    streamable).  The final weekly p50/p95 serve must equal the direct
+    raw-events sketch query (roll2's oracle): sketch maintenance is
+    micro-batch-slicing-invariant because bucket counters are
+    associative/commutative integers.
+
+    Scale shape: each micro-batch shuffles only its own bucket partials
+    (batch-sized); the merge touches the model-sized sketch table;
+    raw events are never rescanned — the unbounded-feed form of the
+    roll2 serving story."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st15_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.repartition(4).write.parquet(str(work / "feed"))
+
+    day = F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        b_lo, ub = roll2_bin_exprs()
+        return (
+            df.select(day.alias("day"), "event_type", b_lo, ub)
+            .groupBy("day", "event_type", "b_lo", "ub")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    base = work / "sketch_v0"
+    _sketch(ev.limit(0)).write.parquet(str(base))
+
+    schema = spark.read.parquet(str(work / "feed")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(work / "feed"))
+    )
+    state = {"cur": str(base), "v": 0}
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(state["cur"])
+        merged = (
+            cur.unionByName(_sketch(batch))
+            .groupBy("day", "event_type", "b_lo", "ub")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        state["v"] += 1
+        nxt = str(work / f"sketch_v{state['v']}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return roll2_serve_weekly(spark.read.parquet(state["cur"]))

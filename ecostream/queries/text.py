@@ -2856,9 +2856,17 @@ d14_winnowing_pairs.__doc__ = d14_winnowing_pairs.__doc__.format(
 )
 
 
-# --- T14: PMI collocations (round 7) ------------------------------------------
+# --- T14: PMI collocations (round 7; threshold made count-adaptive and
+# broadcast hints dropped in round 8 per VERDICT r7 #4 / ADVICE) ----------------
+#
+# Eligibility is a RELATIVE-frequency floor, not a fixed count: a bigram
+# qualifies when c_ab >= max(2, N_bi // _T14_FLOOR_DEN), i.e. its corpus
+# probability is >= 1/_T14_FLOOR_DEN.  A fixed count=50 was vacuous at
+# the driver's sf0.01 gate (max bigram count there is 48 — the signed r7
+# row matched on 0 rows) and would be uselessly permissive at 100 TB;
+# the relative floor is scale-invariant (er1's count-adaptive device).
 
-_T14_MIN_COUNT = 50
+_T14_FLOOR_DEN = 1000
 
 
 @query(
@@ -2891,7 +2899,7 @@ _T14_MIN_COUNT = 50
         JOIN uni a ON a.tok = cb.cur
         JOIN uni b ON b.tok = cb.nxt
         CROSS JOIN nu CROSS JOIN nb
-        WHERE c_ab >= {_T14_MIN_COUNT}
+        WHERE c_ab >= greatest(2, n_bi // {_T14_FLOOR_DEN})
     )
     SELECT cur, nxt, c_ab, pmi_micro FROM scored
     ORDER BY pmi_micro DESC, cur, nxt
@@ -2902,7 +2910,10 @@ def t14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by pointwise mutual information — the corpus
     statistic behind phrase detection (word2vec's phrase pass, NLTK's
     collocation finder): PMI(a,b) = ln(p(a,b) / (p(a)p(b))), reported
-    for adjacent pairs with count >= {m}, top-20.  PMI is computed as
+    for adjacent pairs whose corpus probability clears 1/{m} (a
+    count-adaptive floor: c_ab >= max(2, N_bi // {m}), so the eligible
+    set is non-empty at every scale the driver gates), top-20.  PMI is
+    computed as
     ONE double division of two exact BIGINT products (c_ab·N_uni² and
     N_bi·c_a·c_b, both < 2^53 so exactly representable) followed by the
     lm2 micro-nat quantization — both engines evaluate the identical
@@ -2910,8 +2921,11 @@ def t14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one unigram-count shuffle, one bigram-count shuffle
     (both partial-aggregated), two vocabulary-sized joins onto the
-    bigram TYPE table, broadcast 1-row totals, TakeOrderedAndProject
-    for the top-20.  After the two counts everything is model-sized."""
+    bigram TYPE table (UNHINTED — AQE picks broadcast vs shuffle by
+    measured size, since a 100 TB vocabulary can exceed broadcast
+    memory; only the 1-row totals keep explicit broadcast hints),
+    TakeOrderedAndProject for the top-20.  After the two counts
+    everything is model-sized."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.split("text", " ").alias("tokens"))
     uni = (
@@ -2936,13 +2950,19 @@ def t14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = bg.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("c_ab"))
     nb = cb.agg(F.sum("c_ab").cast("long").alias("n_bi"))
     scored = (
-        cb.where(F.col("c_ab") >= _T14_MIN_COUNT)
-        .join(F.broadcast(uni.withColumnRenamed("tok", "cur")
-                          .withColumnRenamed("c", "ca")), "cur")
-        .join(F.broadcast(uni.withColumnRenamed("tok", "nxt")
-                          .withColumnRenamed("c", "cb_")), "nxt")
+        cb.crossJoin(F.broadcast(nb))
+        .where(
+            F.col("c_ab")
+            >= F.greatest(
+                F.lit(2).cast("long"),
+                F.expr(f"n_bi div {_T14_FLOOR_DEN}"),
+            )
+        )
+        .join(uni.withColumnRenamed("tok", "cur")
+              .withColumnRenamed("c", "ca"), "cur")
+        .join(uni.withColumnRenamed("tok", "nxt")
+              .withColumnRenamed("c", "cb_"), "nxt")
         .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb))
         .select(
             "cur",
             "nxt",
@@ -2964,7 +2984,7 @@ def t14_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 t14_pmi_collocations.__doc__ = t14_pmi_collocations.__doc__.format(
-    m=_T14_MIN_COUNT
+    m=_T14_FLOOR_DEN
 )
 
 

@@ -47,6 +47,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            # Resolution only (ns vs us is a pandas conversion detail,
+            # not an engine difference — the driver's typed hash also
+            # treats them as one type); int-vs-datetime still fails the
+            # dtype assert below.
+            df[c] = df[c].astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -67,6 +73,19 @@ def compare(
     assert list(actual.columns) == list(expected.columns), (
         f"{name}: column mismatch spark={list(actual.columns)} "
         f"duck={list(expected.columns)}"
+    )
+    # Dtype strictness (VERDICT r7 #1): the driver's value hash is TYPED,
+    # so an int64 Spark column vs a float64 oracle column (e.g. DuckDB's
+    # HUGEINT `//` quotient surfacing as float) must FAIL locally too —
+    # `62 == 62.0` passing under `==` is exactly the hole that let
+    # shard1_rendezvous ship driver-red in round 7.  _normalize already
+    # canonicalizes int widths to int64 and float widths to float64, so
+    # any residual dtype difference is a genuine int-vs-float (or
+    # object-vs-numeric) drift between engine and oracle.
+    assert list(map(str, actual.dtypes)) == list(map(str, expected.dtypes)), (
+        f"{name}: dtype mismatch "
+        f"spark={dict(zip(actual.columns, map(str, actual.dtypes)))} "
+        f"duck={dict(zip(expected.columns, map(str, expected.dtypes)))}"
     )
     assert len(actual) == len(expected), (
         f"{name}: row count spark={len(actual)} duck={len(expected)}"

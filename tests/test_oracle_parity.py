@@ -30,6 +30,36 @@ def test_oracle_parity(spark, duck, name):
     compare(QUERIES[name](spark, SF_SMOKE), duck, ORACLES[name], name)
 
 
+def test_parity_harness_is_dtype_strict(spark, duck):
+    """VERDICT r7 #1: an int64 engine column vs a float64 oracle column
+    must FAIL locally even when every value compares equal under `==`.
+    This is exactly the shard1_rendezvous failure mode — DuckDB's
+    HUGEINT `//` quotient surfaces as float64 in pandas (62.0), Spark
+    returns BIGINT (62), the driver's TYPED hash rejects it, and the
+    round-7 harness let it through.  Both directions are exercised."""
+    eng_long = spark.sql("SELECT CAST(62 AS BIGINT) AS v")
+    # sum(BIGINT) // in DuckDB is HUGEINT -> float64 in pandas: the
+    # literal un-cast-quotient shape that shipped driver-red in r7.
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        compare(
+            eng_long,
+            duck,
+            "SELECT (62 * sum(x)) // count(*) AS v FROM (SELECT CAST(1 AS BIGINT) AS x)",
+            "dtype_probe_int_vs_hugeint",
+        )
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        compare(
+            eng_long, duck, "SELECT 62.0 AS v", "dtype_probe_int_vs_float"
+        )
+    # And the straight case still passes (no false positives).
+    compare(
+        eng_long,
+        duck,
+        "SELECT CAST(62 AS BIGINT) AS v",
+        "dtype_probe_matched",
+    )
+
+
 def test_all_queries_run(spark):
     """Queries without oracles (seeded / non-SQL ops) must still run and
     return a stable schema (the driver's rows-only check)."""

@@ -200,7 +200,7 @@ def test_shard1_movement_is_new_shard_wins_only(spark):
 
 
 def test_t14_pmi_matches_python(spark):
-    from ecostream.queries.text import _T14_MIN_COUNT, t14_pmi_collocations
+    from ecostream.queries.text import _T14_FLOOR_DEN, t14_pmi_collocations
 
     uni: Counter = Counter()
     bg: Counter = Counter()
@@ -210,9 +210,10 @@ def test_t14_pmi_matches_python(spark):
         for i in range(len(t) - 1):
             bg[(t[i], t[i + 1])] += 1
     n_uni, n_bi = sum(uni.values()), sum(bg.values())
+    min_count = max(2, n_bi // _T14_FLOOR_DEN)
     scored = []
     for (a, b), c in bg.items():
-        if c < _T14_MIN_COUNT:
+        if c < min_count:
             continue
         x = (c * n_uni * n_uni) / (n_bi * uni[a] * uni[b])
         pmi = int(
@@ -220,6 +221,9 @@ def test_t14_pmi_matches_python(spark):
         )
         scored.append((a, b, c, pmi))
     expected = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:20]
+    # The round-7 fixed count=50 was vacuous at small SFs (0-row green);
+    # the count-adaptive floor must keep every gate scale non-empty.
+    assert expected, "t14 floor left the smoke-scale eligible set empty"
     got = [
         (r["cur"], r["nxt"], r["c_ab"], r["pmi_micro"])
         for r in t14_pmi_collocations(spark, SF_SMOKE).collect()

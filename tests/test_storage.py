@@ -224,3 +224,82 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     for r in rows:
         assert r["max_user"] - r["min_user"] <= gu // 8 + gu // 256 + 2, r
         assert r["max_minute"] - r["min_minute"] <= gm // 8 + gm // 256 + 2, r
+
+
+def test_roll2_sketch_error_bound_vs_exact(spark):
+    """The DDSketch-style guarantee: the served p50/p95 is the upper
+    bound of the bucket containing the exact rank value, so
+    exact <= served < exact + bucket_width, with bucket_width <=
+    max(1, served / 32) at KEEP_BITS=6 (the 2^-5 relative bound)."""
+    import duckdb
+
+    from ecostream.queries.storage_queries import (
+        roll2_quantile_sketch_serve,
+    )
+
+    got = {
+        (r["week"], r["event_type"]): r
+        for r in roll2_quantile_sketch_serve(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    exact = con.sql(
+        f"""
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS week,
+               event_type,
+               quantile_disc(greatest(CAST(round(value * 100) AS BIGINT),
+                                      1), 0.5) AS p50,
+               quantile_disc(greatest(CAST(round(value * 100) AS BIGINT),
+                                      1), 0.95) AS p95
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert exact
+    for week, etype, p50, p95 in exact:
+        r = got[(week, etype)]
+        for served, ex in ((r["p50_cents"], p50), (r["p95_cents"], p95)):
+            assert ex <= served, (week, etype, ex, served)
+            width = max(1, served // 32 + 1)
+            assert served - ex < width, (week, etype, ex, served)
+
+
+def test_roll2_merge_equals_direct_sketch(spark):
+    """Merge losslessness: serving a week from SUMMED per-day sketches
+    must be bit-identical to a sketch built directly over the whole
+    week's raw values in one pass (bucket counters are associative
+    integers — the property that licenses distributed / incremental
+    maintenance, st12's slicing-invariance applied to quantiles)."""
+    from pyspark.sql import functions as F
+
+    from ecostream.queries.storage_queries import (
+        roll2_bin_exprs,
+        roll2_serve_weekly,
+    )
+    from ecostream.schema import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    b_lo, ub = roll2_bin_exprs()
+    day = F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+    daily = (
+        ev.select(day.alias("day"), "event_type", b_lo, ub)
+        .groupBy("day", "event_type", "b_lo", "ub")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    merged = roll2_serve_weekly(daily).collect()
+    # direct: bucket-count the raw values at WEEK granularity in one
+    # aggregation (no daily partials, no merge), same serve.
+    direct_daily = (
+        ev.select(
+            (day - (day % 7)).alias("day"),  # any day within the week
+            "event_type",
+            b_lo,
+            ub,
+        )
+        .groupBy("day", "event_type", "b_lo", "ub")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    direct = roll2_serve_weekly(direct_daily).collect()
+    key = lambda r: (r["week"], r["event_type"])  # noqa: E731
+    assert sorted(map(tuple, merged), key=str) == sorted(
+        map(tuple, direct), key=str
+    )
