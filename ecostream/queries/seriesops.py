@@ -497,6 +497,53 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution is a self-join on the records' own keys.  This is the
     MDM/record-linkage pipeline (Fellegi-Sunter blocking + survivorship)
     as declared dataflow."""
+    recs, pairs = er1_blocking_and_verify(spark, sf_dir)
+    from ..functions.cc import connected_components
+
+    labels = connected_components(None, pairs)
+    every = recs.join(
+        labels.withColumnRenamed("v", "rec_id"), "rec_id", "left"
+    ).select(
+        "rec_id",
+        F.col("raw").alias("raw_name"),
+        F.coalesce("component", F.col("rec_id")).alias("entity_id"),
+    )
+    sized = every.withColumn(
+        "n_records",
+        F.count("*").over(Window.partitionBy("entity_id")).cast("long"),
+    )
+    canon = recs.select(
+        F.col("rec_id").alias("entity_id"), F.col("raw").alias("canon_name")
+    )
+    return (
+        sized.join(canon, "entity_id")
+        .select(
+            "rec_id",
+            "raw_name",
+            "entity_id",
+            "n_records",
+            (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
+            "canon_name",
+        )
+        .orderBy("rec_id")
+    )
+
+
+def er1_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct post-blocking candidate pairs BEFORE edit-distance
+    verification — exposed so the stress harness can measure cost per
+    candidate pair across scales (VERDICT r7 #5: the 0.80 exponent is
+    attributed to pair-output growth; this makes that a number)."""
+    return er1_blocking_and_verify(spark, sf_dir, verified=False)[1]
+
+
+def er1_blocking_and_verify(
+    spark: SparkSession, sf_dir: str, verified: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(records, pairs) for er1: planted variant records plus the
+    blocked candidate pairs (levenshtein-verified when ``verified``).
+    Factored out of er1 so the candidate stage is independently
+    measurable; er1's declared result is unchanged."""
     cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     # Count-adaptive block-key length (round 7 — the stress harness
     # measured fixed prefix-4 blocking saturating at 10x sf0.1: with
@@ -556,35 +603,7 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst", "ra", "rb")
         .distinct()
-        .where(F.levenshtein("ra", "rb") <= 2)
-        .select("src", "dst")
     )
-    from ..functions.cc import connected_components
-
-    labels = connected_components(None, pairs)
-    every = recs.join(
-        labels.withColumnRenamed("v", "rec_id"), "rec_id", "left"
-    ).select(
-        "rec_id",
-        F.col("raw").alias("raw_name"),
-        F.coalesce("component", F.col("rec_id")).alias("entity_id"),
-    )
-    sized = every.withColumn(
-        "n_records",
-        F.count("*").over(Window.partitionBy("entity_id")).cast("long"),
-    )
-    canon = recs.select(
-        F.col("rec_id").alias("entity_id"), F.col("raw").alias("canon_name")
-    )
-    return (
-        sized.join(canon, "entity_id")
-        .select(
-            "rec_id",
-            "raw_name",
-            "entity_id",
-            "n_records",
-            (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
-            "canon_name",
-        )
-        .orderBy("rec_id")
-    )
+    if verified:
+        pairs = pairs.where(F.levenshtein("ra", "rb") <= 2)
+    return recs, pairs.select("src", "dst")

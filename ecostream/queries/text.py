@@ -828,6 +828,9 @@ def norm1_normalized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D6: MinHashLSH library form (SURVEY K4 option b) ------------------------
 
 
+_D6_CAP = 1500  # library-baseline slice bound — see docstring
+
+
 @query("d6_ml_minhash_lsh_pairs")
 def d6_ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via the pyspark.ml pipeline —
@@ -838,9 +841,28 @@ def d6_ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; tests/test_lsh.py-style recall against the exact
     n-gram Jaccard pairs is covered by the d2/d3 property tests.
 
-    Scale note: approxSimilarityJoin explodes each row per hash table
-    and self-joins on (table, hash) — the same band-bucket shuffle d3
-    builds explicitly; both avoid the all-pairs product."""
+    EXPLICITLY CAPPED LIBRARY BASELINE (VERDICT r7 #3, the
+    semdedup1/semdedup2 precedent): Spark's MinHashLSH is
+    OR-amplification only — each of the L hash tables keys buckets on
+    a SINGLE minhash (r = 1), so a pair is a candidate when ANY one
+    minhash collides: P(candidate) = 1 − (1 − s)^L.  On this corpus
+    (small shared vocabulary → typical cross-pair Jaccard ~0.2) that
+    is ~97% at L = 16 — measured 3.9M distinct candidates out of 12.5M
+    all-pairs at sf0.1, i.e. the library path degenerates to a
+    near-quadratic join with per-pair sparse-vector distance calls
+    (80.9 s engine in the round-7 sweep, 16× the next-slowest query).
+    No numHashTables/numFeatures setting fixes the missing
+    AND-amplification (L = 4 still yields 1.23M candidates and 23.7 s,
+    measured), so the query is re-scoped to a FIXED 1500-document
+    slice (8.1 s at sf0.1, full 16-table recall within the slice) —
+    the API-fidelity baseline.  THE PRODUCTION PATH IS d3: its
+    explicit 4-hash band keys give P(candidate) = s^4 per band
+    (~0.16% at s = 0.2), the same computation at 2 s full-corpus.
+
+    Scale note: within the slice, approxSimilarityJoin explodes each
+    row per hash table and self-joins on (table, hash) — the band-
+    bucket shuffle d3 builds explicitly, minus the AND-composition
+    that makes d3's buckets survive data growth."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     # Same set space as d2/d3: distinct word 2-gram shingles (unigrams
@@ -857,7 +879,11 @@ def d6_ml_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.size(F.split(s, " ")) == 2,
         )
     )
-    docs = _docs(spark, sf_dir).select("doc_id", shingles.alias("toks"))
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < _D6_CAP)  # capped baseline — see docstring
+        .select("doc_id", shingles.alias("toks"))
+    )
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
     )

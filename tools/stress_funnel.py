@@ -169,6 +169,11 @@ def gen_slice(outdir: str, mult: int, seed: int = 42) -> tuple[int, int]:
                         for x in rng.integers(0, len(EVENT_TYPES), n_events)
                     ]
                 ),
+                # value: roll2's sketch input (testdata's 0.01..490
+                # range); other stages ignore the extra column.
+                "value": pa.array(
+                    np.round(rng.uniform(0.01, 490.0, n_events), 2)
+                ),
             }
         ),
         os.path.join(outdir, "events.parquet"),
@@ -180,7 +185,7 @@ def gen_slice(outdir: str, mult: int, seed: int = 42) -> tuple[int, int]:
         pa.table({"c_custkey": pa.array(range(n_cust), pa.int64())}),
         os.path.join(outdir, "customer.parquet"),
     )
-    return n_docs, n_vecs, n_users, n_cust
+    return n_docs, n_vecs, n_users, n_cust, n_events
 
 
 def stages():
@@ -319,6 +324,15 @@ def stages():
     # quadratic at 1.62/1.67); stressing them would measure the cap
     # constant, so the flat rows are retired from the table and the
     # scale-path successors (semdedup3/4) remain the measured rows.
+    #
+    # Round-8 stages: sim11's incremental IVF (delta assignment onto
+    # frozen centroids + the rebuild eval tower) and roll2's sketch
+    # build + weekly quantile serve.
+    from ecostream.queries.similarity import sim11_ivf_incremental
+    from ecostream.queries.storage_queries import (
+        roll2_quantile_sketch_serve,
+    )
+
     return [
         ("lsh_candidates (d3)", d3_minhash_lsh_candidates, "docs"),
         ("sparse_verify (d10 mech)", verify_full, "docs"),
@@ -336,7 +350,28 @@ def stages():
         ("bfd_packing (pack3)", pack_full, "docs"),
         ("winnowing_pairs (d14)", winnow_full, "docs"),
         ("kcore_peel (g9)", kcore_full, "users"),
+        ("ivf_incremental (sim11)", sim11_ivf_incremental, "vecs"),
+        ("quantile_sketch (roll2)", roll2_quantile_sketch_serve, "events"),
     ]
+
+
+def pair_probes():
+    """Per-stage OUTPUT-PAIR counters (VERDICT r7 #5): the d14/er1
+    stress exponents are attributed to pair-output growth from the
+    generator's dup forests; dividing stage time by these counts turns
+    the attribution into a measured per-pair cost.  Probes run
+    UNTIMED, once per scale."""
+    from ecostream.queries.seriesops import er1_candidate_pairs
+    from ecostream.queries.text import d14_winnowing_pairs
+
+    return {
+        "winnowing_pairs (d14)": lambda s, d: d14_winnowing_pairs(
+            s, d
+        ).count(),
+        "entity_resolution (er1)": lambda s, d: er1_candidate_pairs(
+            s, d
+        ).count(),
+    }
 
 
 def main() -> None:
@@ -353,10 +388,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     todo = stages()
 
-    sizes: dict[int, tuple[int, int, int, int]] = {}
+    sizes: dict[int, tuple[int, int, int, int, int]] = {}
     for mult in scales:
         d = os.path.join(args.workdir, f"x{mult}")
         sizes[mult] = gen_slice(d, mult)
+    probes = pair_probes()
 
     # Untimed warm-up at the smallest scale: JVM, codegen, parquet
     # footer caches, broadcast machinery — all paid before any timing.
@@ -367,6 +403,7 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {s: {} for s, _, _ in todo}
     counts: dict[str, dict[int, int]] = {s: {} for s, _, _ in todo}
+    pairs: dict[str, dict[int, int]] = {s: {} for s in probes}
     for mult in scales:
         d = os.path.join(args.workdir, f"x{mult}")
         print(f"-- x{mult}: {sizes[mult][0]} docs, {sizes[mult][1]} vecs, "
@@ -384,6 +421,11 @@ def main() -> None:
             counts[name][mult] = n
             print(f"   {name:26s} {results[name][mult]:7.2f}s "
                   f"({n} rows)", flush=True)
+            if name in probes:
+                pairs[name][mult] = probes[name](spark, d)
+                upp = 1e6 * results[name][mult] / max(pairs[name][mult], 1)
+                print(f"   {name:26s} pairs={pairs[name][mult]} "
+                      f"({upp:.2f} us/pair)", flush=True)
 
     hi = max(scales)
     print("\nstage                       "
@@ -391,7 +433,9 @@ def main() -> None:
     report = {}
     for name, _, unit in todo:
         row = "".join(f"{results[name][m]:<10.2f}" for m in scales)
-        ucol = {"docs": 0, "vecs": 1, "users": 2, "cust": 3}[unit]
+        ucol = {"docs": 0, "vecs": 1, "users": 2, "cust": 3, "events": 4}[
+            unit
+        ]
         n_lo = sizes[lo][ucol]
         n_hi = sizes[hi][ucol]
         if n_hi == n_lo:  # single-scale smoke run: no exponent to fit
@@ -406,6 +450,19 @@ def main() -> None:
             "rows": counts[name],
             "exponent": round(e, 2),
         }
+        if name in pairs and pairs[name]:
+            upp = {
+                str(m): round(
+                    1e6 * results[name][m] / max(pairs[name][m], 1), 2
+                )
+                for m in scales
+            }
+            report[name]["pairs"] = {
+                str(m): pairs[name][m] for m in scales
+            }
+            report[name]["us_per_pair"] = upp
+            print(f"{name:28s}us/pair: "
+                  + "  ".join(f"x{m}={upp[str(m)]}" for m in scales))
     print(json.dumps(report))
     spark.stop()
 
