@@ -108,36 +108,48 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # ROUND 7: maintenance head — every oracle-bearing key is already
-    # driver-signed (cumulative r01..r06 = 246/246), so the head holds
-    # only this round's additions (each oracle-bearing, per the
-    # rotation convention); the driver then re-signs trailing
-    # already-signed keys, which is harmless re-confirmation.
+    # ROUND 8 additions (each oracle-bearing, entering the head the
+    # round they land, per the rotation convention):
+    "roll2_quantile_sketch_serve",  # mergeable DDSketch-style p50/p95 serve
+    "st15_stream_quantile_maintenance",  # streaming sketch upkeep twin
+    "sim11_ivf_incremental",     # delta-assign IVF maintenance + recall eval
+    "m5_transition_heldout",     # Markov next-event heldout accuracy
+    "d16_containment_pairs",     # asymmetric shingle-containment near-dup
+    "s12_zonemap_skipping",      # zone-map file pruning from a stats manifest
+    "zipf1_rank_frequency",      # ln-ln rank-frequency power-law fit
+    "g10_link_prediction",       # common-neighbor link prediction
+    # ROUND 8 re-signs — changed signed queries re-enter the head:
+    "shard1_rendezvous",         # RE-SIGN: the r7 driver-red row — oracle's
+                                 # moved_permille now BIGINT-cast (VERDICT #1)
+    "t14_pmi_collocations",      # RE-SIGN: count-adaptive frequency floor
+                                 # makes the sf0.01 signature non-vacuous
+                                 # (900-ish eligible bigrams at sf0.1, 20 at
+                                 # every gate scale now) (VERDICT #4)
+    "ece1_calibration",          # RE-SIGN: degenerate-span guard (greatest)
+                                 # — identical rows on testdata, code changed
+    "funnel1_conversion",        # RE-SIGN: zero-start guard — identical rows
+    "g9_kcore_peel",             # RE-SIGN: engine peels to true fixpoint —
+                                 # identical rows (converges < 12 here)
+    "st14_stream_dedup",         # RE-SIGN: single-batch precondition assert
+    # ROUND 7 additions re-confirmed while head space allows (all
+    # signed in CORRECTNESS_r07):
     "tok3_unigram_train",        # unigram-LM (SentencePiece prune) trainer
     "pack3_bfd_packing",         # best-fit-decreasing vs next-fit packing
     "sq1_int8_recall",           # int8 scalar-quantization recall eval
     "d14_winnowing_pairs",       # MOSS winnowing fingerprint near-dup pairs
     "lm4_kneser_ney",            # exact-rational interpolated Kneser-Ney LM
-    "t14_pmi_collocations",      # PMI collocation mining, micro-nat ranked
     "t15_heaps_curve",           # vocabulary-growth curve, no sequential scan
-    "funnel1_conversion",        # ordered-step conversion funnel
     "dq4_referential_integrity", # FK orphan audit across the star schema
-    "shard1_rendezvous",         # HRW sharding + minimal-movement resize
     "cohort1_retention",         # weekly cohort-retention triangle
-    "st14_stream_dedup",         # watermark-bounded exactly-once dedup
     "ks1_two_sample",            # exact integer Kolmogorov-Smirnov
-    "g9_kcore_peel",             # k-core by distributed bulk peeling
-    "ece1_calibration",          # exact expected-calibration-error bins
     "ts1_seasonal_outliers",     # seasonal MAD anomaly flags, all-integer
     "s11_time_travel",           # manifest snapshots: append + CoW delete
-    "er1_entity_resolution",     # RE-SIGN: round-7 count-adaptive blocking
-                                 # (16-char keys, kb tracks log16(n)) changed
-                                 # the signed result — see the stress fix
-    # ROUND 6 additions, re-confirmed while head space allows (all
-    # already signed in CORRECTNESS_r06; the 14 pre-r6 stragglers that
-    # completed 246/246 driver-signed coverage rotated out this round,
-    # and sim10/mrl1/mix2 rotated out late in round 7 to keep the head
-    # at 50 as round-7 additions landed):
+    "er1_entity_resolution",     # r8 blocking/verify factored out for the
+                                 # per-pair stress probe — rows unchanged
+    # ROUND 6 additions, re-confirmed while head space allows (the
+    # trailing third of the round-6 block rotated out this round as
+    # round-8 keys entered; everything rotated out stays covered by
+    # tools/parity_sweep.py + tests/test_oracle_parity.py):
     "pair1_preference_pairs",    # DPO-style preference-pair assembly
     "eval4_lsh_precision",       # LSH candidate precision vs exact Jaccard
     "eval5_lsh_recall",          # LSH candidate recall vs exact truth
@@ -160,14 +172,6 @@ _ROUND_HEAD = [
     "t13_bm25_retrieval",        # integer-exact BM25 (saturation + length norm)
     "st13_late_data_audit",      # watermark-sizing lateness measurement
     "dq3_chi2_independence",     # exact-milli chi-square via 38-digit ints
-    "dp1_randomized_response",   # local-DP randomized response + debiasing
-    "cuped1_adjusted_delta",     # CUPED covariate-adjusted A/B delta
-    "g8_geo_neighbor_join",      # grid-cell-banded 50km radius join
-    "attr1_last_touch",          # last-touch revenue attribution window
-    "auc1_classifier_eval",      # exact Mann-Whitney AUC, no global sort
-    "w10_error_run_detection",   # gaps-and-islands consecutive-run match
-    "eval7_distinct_n",          # distinct-1/2 generation-diversity metric
-    "ndcg1_retrieval_quality",   # NDCG@10 of the BM25 retriever
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

@@ -838,6 +838,39 @@ def g8_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correct and oracle-checkable.
 
 _G9_SUPPORT = 4  # co-presence buckets required for an edge
+
+
+def copresence_support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-{s} co-presence user pairs (s < d) — g7's banded
+    (hour, event_type) bucket join with a HAVING-count support filter.
+    Factored out of g9 (round 8) so g10's link prediction runs on the
+    identical edge set; g9's declared result is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        "event_type",
+        "user_id",
+    ).distinct()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("s"), F.col("b.user_id").alias("d")
+        )
+        .agg(F.count("*").alias("nb"))
+        .where(F.col("nb") >= _G9_SUPPORT)
+        .select("s", "d")
+    )
+
+
+copresence_support_pairs.__doc__ = copresence_support_pairs.__doc__.format(
+    s=_G9_SUPPORT
+)
 _G9_MAX_PEELS = 12  # oracle unroll depth; parity fails LOUDLY if exceeded
 
 
@@ -927,27 +960,7 @@ def g9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     {n} bulk rounds with a built-in convergence guard: if the engine's
     fixpoint needed more than {n}, the oracle's truncated core would
     mismatch and parity fails loudly."""
-    ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(
-        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
-        "event_type",
-        "user_id",
-    ).distinct()
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("s"), F.col("b.user_id").alias("d")
-        )
-        .agg(F.count("*").alias("nb"))
-        .where(F.col("nb") >= _G9_SUPPORT)
-        .select("s", "d")
-    )
+    pairs = copresence_support_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
         .unionByName(pairs.select(F.col("d").alias("u"), F.col("s").alias("w")))
@@ -999,3 +1012,87 @@ def g9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 g9_kcore_peel.__doc__ = g9_kcore_peel.__doc__.format(
     s=_G9_SUPPORT, n=_G9_MAX_PEELS
 )
+
+
+# --- G10: common-neighbor link prediction (round 8) ----------------------------
+
+
+@query(
+    "g10_link_prediction",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               event_type, user_id
+        FROM events
+    ),
+    p AS MATERIALIZED (
+        SELECT x.user_id AS s, y.user_id AS d
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_G9_SUPPORT}
+    ),
+    e AS MATERIALIZED (
+        SELECT s AS u, d AS w FROM p UNION ALL SELECT d, s FROM p
+    ),
+    cn AS (
+        SELECT e1.u AS u, e2.w AS v, CAST(count(*) AS BIGINT) AS n_common
+        FROM e e1 JOIN e e2 ON e1.w = e2.u AND e1.u < e2.w
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT cn.u, cn.v, cn.n_common
+        FROM cn LEFT JOIN p ON p.s = cn.u AND p.d = cn.v
+        WHERE p.s IS NULL
+    )
+    SELECT u, v, n_common,
+           CAST(row_number() OVER (ORDER BY n_common DESC, u, v)
+                AS BIGINT) AS rnk
+    FROM nonedge ORDER BY n_common DESC, u, v LIMIT 20
+    """,
+)
+def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor LINK PREDICTION on the co-presence graph
+    (Liben-Nowell & Kleinberg's strongest simple baseline): for every
+    NON-adjacent user pair, score = |N(u) ∩ N(v)| counted by the wedge
+    join e(u,w) ⋈ e(w,v), existing edges removed by an anti-join
+    against the support pairs, top-20 reported — the
+    "people you may know" / graph-completion primitive, run on
+    exactly g9's edge set (shared builder, so the two queries describe
+    one graph).
+
+    Scale shape: the wedge join shuffles edges twice on user keys and
+    partial-aggregates wedge counts; degree skew is the g6-triangles
+    caveat (a hub's wedges are quadratic in its degree — production
+    caps or samples hub neighborhoods; this graph's community
+    structure bounds degrees); the anti-join is edge-keyed; the final
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    pairs = copresence_support_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    edges = pairs.select(F.col("s").alias("u"), F.col("d").alias("w")).unionByName(
+        pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
+    )
+    e1 = edges.select(F.col("u"), F.col("w"))
+    e2 = edges.select(F.col("u").alias("w2u"), F.col("w").alias("v"))
+    cn = (
+        e1.join(e2, F.col("w") == F.col("w2u"))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    nonedge = cn.join(
+        pairs.select(F.col("s").alias("u"), F.col("d").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    top = nonedge.orderBy(F.desc("n_common"), "u", "v").limit(20)
+    from pyspark.sql import Window as W
+
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.desc("n_common"), "u", "v"))
+        .cast("long"),
+    )

@@ -534,3 +534,132 @@ def rc1_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("rc1_events")
     return spark.sql(_RC1_SQL.format(table="rc1_events"))
+
+
+# --- M5: held-out next-event prediction accuracy (round 8) ---------------------
+
+
+@query(
+    "m5_transition_heldout",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    tr AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                   ) AS nxt
+            FROM ev, mid WHERE us <= mid
+        ) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    model AS (
+        SELECT cur, nxt AS predicted, c AS n_train FROM (
+            SELECT cur, nxt, c,
+                   row_number() OVER (
+                       PARTITION BY cur ORDER BY c DESC, nxt
+                   ) AS rn
+            FROM tr
+        ) WHERE rn = 1
+    ),
+    te AS (
+        SELECT cur, nxt FROM (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                   ) AS nxt
+            FROM ev, mid WHERE us > mid
+        ) WHERE nxt IS NOT NULL
+    )
+    SELECT t.cur, m.predicted, m.n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((1000 * sum(CASE WHEN t.nxt = m.predicted
+                                 THEN 1 ELSE 0 END))
+                // greatest(count(*), 1) AS BIGINT) AS acc_permille
+    FROM te t JOIN model m USING (cur)
+    GROUP BY t.cur, m.predicted, m.n_train
+    ORDER BY cur
+    """,
+)
+def m5_transition_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the Markov transition model — the eval
+    the reference's DTMC analysis never runs: train argmax-next on the
+    first half of event time, score next-event prediction accuracy on
+    the second half.  Split is the event-time midpoint (drift1's exact
+    integer device); pairs are m1's per-user consecutive semantics,
+    formed WITHIN each half so no pair straddles the split.  The model
+    is argmax_{{nxt}} count(cur→nxt) with lexicographic tie-break, and
+    the report is per-state test support, hits, and exact integer
+    accuracy permille — the train/test discipline every production
+    sequence model gets, applied to the reference's M2 object.
+
+    Scale shape: two window passes over the SAME user-keyed exchange
+    (one per half), two partial-aggregated count shuffles, a |states|²
+    model reduced driver-free via row_number over |states| partitions,
+    and a broadcast model join onto the test pairs — nothing beyond
+    m1's cost.  The oracle replays split, training, tie-breaks, and
+    scoring exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    mid = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+
+    def half_pairs(pred) -> DataFrame:
+        return (
+            ev.crossJoin(F.broadcast(mid))
+            .where(pred)
+            .select(
+                F.col("event_type").alias("cur"),
+                F.lead("event_type").over(w).alias("nxt"),
+            )
+            .where(F.col("nxt").isNotNull())
+        )
+
+    tr = (
+        half_pairs(F.col("us") <= F.col("mid"))
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mw = W.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+    model = (
+        tr.withColumn("rn", F.row_number().over(mw))
+        .where(F.col("rn") == 1)
+        .select(
+            "cur",
+            F.col("nxt").alias("predicted"),
+            F.col("c").alias("n_train"),
+        )
+    )
+    te = half_pairs(F.col("us") > F.col("mid"))
+    return (
+        te.join(F.broadcast(model), "cur")
+        .groupBy("cur", "predicted", "n_train")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum((F.col("nxt") == F.col("predicted")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "cur",
+            "predicted",
+            "n_train",
+            "n_test",
+            "n_correct",
+            F.expr("(1000 * n_correct) div greatest(n_test, 1L)")
+            .cast("long")
+            .alias("acc_permille"),
+        )
+        .orderBy("cur")
+    )

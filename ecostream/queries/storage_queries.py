@@ -930,3 +930,107 @@ def roll2_serve_weekly(daily_sketches: DataFrame) -> DataFrame:
         )
         .orderBy("week", "event_type")
     )
+
+
+# --- S12: zone-map data skipping (round 8) --------------------------------------
+
+_S12_BUCKETS = 16
+
+
+@query(
+    "s12_zonemap_skipping",
+    oracle=f"""
+    WITH g AS (SELECT CAST(max(user_id) AS BIGINT) AS gmax FROM events),
+    w AS (SELECT gmax, gmax // {_S12_BUCKETS} + 1 AS wd FROM g),
+    m AS (
+        SELECT CAST(user_id // wd AS BIGINT) AS bucket,
+               CAST(min(user_id) AS BIGINT) AS mn,
+               CAST(max(user_id) AS BIGINT) AS mx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, w GROUP BY 1
+    ),
+    p AS (SELECT gmax // 4 AS lo, gmax // 2 AS hi FROM g)
+    SELECT bucket, mn AS min_user, mx AS max_user, n AS n_rows,
+           (mx < lo OR mn > hi) AS pruned,
+           (SELECT CAST((1000 * sum(CASE WHEN m2.mx < p2.lo
+                                           OR m2.mn > p2.hi
+                                         THEN m2.n ELSE 0 END))
+                        // sum(m2.n) AS BIGINT)
+            FROM m m2, p p2) AS skipped_permille
+    FROM m, p ORDER BY bucket
+    """,
+)
+def s12_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP data skipping — the file-pruning mechanic behind every
+    lakehouse scan (parquet footer min/max, Delta/Iceberg file stats,
+    ORC stripe indexes), declared end to end: the events table is
+    physically REWRITTEN clustered into {b} user-range buckets
+    (partitionBy — each bucket is a real directory of files), a
+    model-sized ZONE MAP (per-bucket min/max/rowcount) is derived from
+    the written layout, and a range predicate (the second user-id
+    quartile, derived from the data so it scales) is answered AGAINST
+    THE MAP ALONE: a bucket whose [min, max] misses the range is
+    pruned without touching its files.  Output is the map plus each
+    bucket's pruning verdict and the corpus-level skipped-rows
+    permille — the number a layout advisor optimizes (on a clustered
+    key ~{b}-2 of {b} buckets prune; on a random key none would, which
+    is zorder1's motivation).
+
+    Exactness: bucket width, bounds, and permille are pure integer
+    arithmetic replayed by the oracle from the raw table — any row
+    landing in the wrong physical bucket (or lost by the rewrite)
+    changes a min/max/count and fails the hash.
+
+    Scale shape: the rewrite is one range-style shuffle; the zone map
+    is built by ONE partial-aggregated pass over the written layout
+    (real writers collect it from footers at write time); the pruning
+    decision itself touches only the |buckets|-row map — that is the
+    entire point at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    g = ev.agg(F.max("user_id").cast("long").alias("gmax"))
+    bucketed = ev.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "event_type",
+        F.expr(f"user_id div (gmax div {_S12_BUCKETS} + 1L)")
+        .cast("long")
+        .alias("bucket"),
+    )
+    path = _workdir("s12_zonemap")
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    written = spark.read.parquet(path)
+    manifest = written.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    pred = g.select(
+        F.expr("gmax div 4").cast("long").alias("lo"),
+        F.expr("gmax div 2").cast("long").alias("hi"),
+    )
+    flagged = manifest.crossJoin(F.broadcast(pred)).withColumn(
+        "pruned",
+        (F.col("max_user") < F.col("lo")) | (F.col("min_user") > F.col("hi")),
+    )
+    tot = flagged.agg(
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN pruned THEN n_rows ELSE 0 END))"
+            " div sum(n_rows) AS BIGINT)"
+        ).alias("skipped_permille")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "min_user",
+            "max_user",
+            "n_rows",
+            "pruned",
+            "skipped_permille",
+        )
+        .orderBy("bucket")
+    )
+
+
+s12_zonemap_skipping.__doc__ = s12_zonemap_skipping.__doc__.format(
+    b=_S12_BUCKETS
+)

@@ -3130,3 +3130,249 @@ def t15_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --- D16: shingle-containment near-dup pairs (round 8) -------------------------
+
+_D16_MIN_PERMILLE = 500
+
+
+@query(
+    "d16_containment_pairs",
+    oracle=f"""
+    WITH shingles AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)
+                            + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        coalesce(string_split(text, ' ')[i + 1], '')
+               ))) AS sh
+        FROM documents WHERE doc_id < 500
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST((1000 * n_inter) // sa.sz AS BIGINT) AS a_in_b_permille,
+           CAST((1000 * n_inter) // sb.sz AS BIGINT) AS b_in_a_permille
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE greatest((1000 * n_inter) // sa.sz,
+                   (1000 * n_inter) // sb.sz) >= {_D16_MIN_PERMILLE}
+    ORDER BY a_id, b_id
+    """,
+)
+def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs — the measure Jaccard
+    misses: C(A,B) = |S_A ∩ S_B| / |S_A| flags a short document
+    embedded inside a long one (quote inclusion, boilerplate wrapping,
+    chunk-of-a-book) even when the symmetric Jaccard is tiny because
+    the union is dominated by the long side.  This is the dedup axis
+    CCNet/RefinedWeb-style pipelines run BESIDE MinHash: both
+    directions are reported as exact integer permilles over d2's
+    distinct bigram-shingle sets, keeping pairs where either direction
+    clears {m}‰.  Declared on the doc_id < 500 slice (the d2/d3b
+    exact-twin convention); at scale the SAME directional verify runs
+    over d3's LSH candidates — candidates are symmetric, containment
+    is directional, so this is a verify-stage scoring swap, not a new
+    join.
+
+    Scale shape (within the slice): one inverted-index self-join on
+    the shingle (the d2 mechanism), sizes joined back by doc key; all
+    arithmetic integer, so the oracle replays it exactly."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    shingle_expr = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 1, 1)),"
+            " i -> concat(element_at(t, i), ' ',"
+            " coalesce(element_at(t, i + 1), '')))"
+        )
+    )
+    shingles = toks.select("doc_id", F.explode(shingle_expr).alias("sh"))
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            F.expr("(1000 * n_inter) div sz_a")
+            .cast("long")
+            .alias("a_in_b_permille"),
+            F.expr("(1000 * n_inter) div sz_b")
+            .cast("long")
+            .alias("b_in_a_permille"),
+        )
+    )
+    return (
+        out.where(
+            F.greatest("a_in_b_permille", "b_in_a_permille")
+            >= _D16_MIN_PERMILLE
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+d16_containment_pairs.__doc__ = d16_containment_pairs.__doc__.format(
+    m=_D16_MIN_PERMILLE
+)
+
+
+# --- ZIPF1: rank-frequency power-law fit (round 8) ------------------------------
+
+_ZIPF1_MAX_RANKS = 1000
+
+
+@query(
+    "zipf1_rank_frequency",
+    oracle=f"""
+    WITH uni AS MATERIALIZED (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    top AS MATERIALIZED (
+        SELECT tok, c,
+               CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+                   AS rnk
+        FROM uni ORDER BY c DESC, tok LIMIT {_ZIPF1_MAX_RANKS}
+    ),
+    q AS MATERIALIZED (
+        SELECT tok, c, rnk,
+               CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS lr,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS lc
+        FROM top
+    ),
+    fit AS (
+        SELECT CAST(round(
+                   1000000.0 *
+                   CAST(count(*)::HUGEINT * sum(lr::HUGEINT * lc::HUGEINT)
+                        - sum(lr::HUGEINT) * sum(lc::HUGEINT) AS DOUBLE)
+                   / CAST(count(*)::HUGEINT * sum(lr::HUGEINT * lr::HUGEINT)
+                          - sum(lr::HUGEINT) * sum(lr::HUGEINT) AS DOUBLE)
+               ) AS BIGINT) AS slope_micro,
+               CAST(count(*) AS BIGINT) AS n_ranks
+        FROM q
+    )
+    SELECT rnk, tok, c, lr AS ln_rank_micro, lc AS ln_freq_micro,
+           slope_micro, n_ranks
+    FROM q, fit WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def zipf1_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — t15's Heaps curve measures vocabulary
+    GROWTH; this measures the frequency DISTRIBUTION the growth falls
+    out of: unigram types ranked by count, ln-ln least-squares slope
+    over the top {r} ranks (a natural corpus has slope ≈ −1; a heavily
+    templated or deduplicated one drifts, which is why data-quality
+    dashboards track it).  The regression is reg1's normal-equation
+    device on lm2's micro-nat quantized logs: both engines quantize
+    ln(rank)/ln(count) to integer micro-nats, accumulate the exact
+    38-digit integer moments (dq3's device — int64 would overflow the
+    cross products), and perform ONE identical IEEE division, so the
+    fitted slope is hash-exact.
+
+    Scale shape: one partial-aggregated unigram count shuffle, then
+    TakeOrderedAndProject caps the fit input at the top {r} types —
+    every later stage (rank window, moments, fit) runs on a
+    MODEL-SIZED table regardless of corpus size, which is what keeps
+    a frequency-law probe runnable beside a 100 TB scan."""
+    docs = _docs(spark, sf_dir)
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = uni.orderBy(F.desc("c"), "tok").limit(_ZIPF1_MAX_RANKS)
+    from pyspark.sql import Window as W
+
+    # single-partition window is fine HERE: input is the top-K
+    # TakeOrdered result, <= _ZIPF1_MAX_RANKS rows by construction.
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("c"), "tok")).cast("long"),
+    )
+    q = ranked.select(
+        "tok",
+        "c",
+        "rnk",
+        F.round(F.log(F.col("rnk").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("lr"),
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("lc"),
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    fit = q.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(d38("lr") * d38("lc")).alias("sxy"),
+        F.sum(d38("lr")).alias("sx"),
+        F.sum(d38("lc")).alias("sy"),
+        F.sum(d38("lr") * d38("lr")).alias("sxx"),
+    ).select(
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        .cast("long")
+        .alias("slope_micro"),
+        F.col("n").cast("long").alias("n_ranks"),
+    )
+    return (
+        q.crossJoin(F.broadcast(fit))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "tok",
+            "c",
+            F.col("lr").alias("ln_rank_micro"),
+            F.col("lc").alias("ln_freq_micro"),
+            "slope_micro",
+            "n_ranks",
+        )
+        .orderBy("rnk")
+    )
+
+
+zipf1_rank_frequency.__doc__ = zipf1_rank_frequency.__doc__.format(
+    r=_ZIPF1_MAX_RANKS
+)

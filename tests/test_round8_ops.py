@@ -1,0 +1,215 @@
+"""Third-implementation and property tests for the round-8 operators
+(the bpe1 test convention: oracles pin Spark==DuckDB, a pure-Python
+replay pins both against an independent reading of the algorithm)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from .conftest import SF_SMOKE
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def _duck(sf: str, sql: str):
+    con = duckdb.connect()
+    try:
+        return con.sql(sql.replace("$SF", sf)).fetchall()
+    finally:
+        con.close()
+
+
+def test_m5_matches_pure_python(spark):
+    """Independent replay of the held-out Markov eval: split, per-user
+    consecutive pairing, argmax-with-ties training, scoring."""
+    from ecostream.queries.markov import m5_transition_heldout
+
+    rows = _duck(
+        SF_SMOKE,
+        "SELECT user_id, event_type, epoch_us(ts), event_id "
+        "FROM '$SF/events.parquet'",
+    )
+    mid = (min(r[2] for r in rows) + max(r[2] for r in rows)) // 2
+
+    def pairs(pred):
+        by_user = defaultdict(list)
+        for u, et, us, eid in rows:
+            if pred(us):
+                by_user[u].append((us, eid, et))
+        out = []
+        for seq in by_user.values():
+            seq.sort()
+            out += [
+                (seq[i][2], seq[i + 1][2]) for i in range(len(seq) - 1)
+            ]
+        return out
+
+    train = Counter(pairs(lambda us: us <= mid))
+    # argmax count per cur state with lexicographic LOW tie-break
+    by_cur = defaultdict(list)
+    for (cur, nxt), c in train.items():
+        by_cur[cur].append((c, nxt))
+    model = {
+        cur: min(
+            [x for x in opts if x[0] == max(o[0] for o in opts)],
+            key=lambda x: x[1],
+        )
+        for cur, opts in by_cur.items()
+    }
+    test = pairs(lambda us: us > mid)
+    agg = defaultdict(lambda: [0, 0])
+    for cur, nxt in test:
+        if cur in model:
+            agg[cur][0] += 1
+            agg[cur][1] += int(nxt == model[cur][1])
+    expected = sorted(
+        (
+            cur,
+            model[cur][1],
+            model[cur][0],
+            n,
+            h,
+            (1000 * h) // max(n, 1),
+        )
+        for cur, (n, h) in agg.items()
+    )
+    got = [
+        (
+            r["cur"],
+            r["predicted"],
+            r["n_train"],
+            r["n_test"],
+            r["n_correct"],
+            r["acc_permille"],
+        )
+        for r in m5_transition_heldout(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    assert got, "held-out eval unexpectedly empty at smoke scale"
+
+
+def test_d16_containment_bounds_and_jaccard_relation(spark):
+    """Containment dominates Jaccard (C >= J always since the union
+    contains each set); each direction is a valid permille; n_inter
+    bounded by both set sizes; threshold respected."""
+    from ecostream.queries.text import (
+        _D16_MIN_PERMILLE,
+        d16_containment_pairs,
+    )
+
+    rows = d16_containment_pairs(spark, SF_SMOKE).collect()
+    assert rows, "containment pairs empty at smoke scale"
+    for r in rows:
+        assert 0 < r["n_inter"] <= min(r["sz_a"], r["sz_b"])
+        assert 0 < r["a_in_b_permille"] <= 1000
+        assert 0 < r["b_in_a_permille"] <= 1000
+        assert (
+            max(r["a_in_b_permille"], r["b_in_a_permille"])
+            >= _D16_MIN_PERMILLE
+        )
+        jac_permille = (1000 * r["n_inter"]) // (
+            r["sz_a"] + r["sz_b"] - r["n_inter"]
+        )
+        assert jac_permille <= r["a_in_b_permille"]
+        assert jac_permille <= r["b_in_a_permille"]
+
+
+def test_s12_pruning_verdicts_are_sound(spark):
+    """A pruned bucket must lie entirely outside [lo, hi]; an unpruned
+    one must overlap it; the permille must re-derive from the rows."""
+    from ecostream.queries.storage_queries import s12_zonemap_skipping
+
+    rows = s12_zonemap_skipping(spark, SF_SMOKE).collect()
+    assert rows
+    gmax = max(r["max_user"] for r in rows)
+    lo, hi = gmax // 4, gmax // 2
+    total = sum(r["n_rows"] for r in rows)
+    skipped = sum(r["n_rows"] for r in rows if r["pruned"])
+    assert rows[0]["skipped_permille"] == (1000 * skipped) // total
+    assert any(r["pruned"] for r in rows)
+    assert any(not r["pruned"] for r in rows)
+    for r in rows:
+        outside = r["max_user"] < lo or r["min_user"] > hi
+        assert r["pruned"] == outside, r
+
+
+def test_zipf1_slope_matches_numpy(spark):
+    """Recompute the ln-ln least-squares slope from the full unigram
+    counts with numpy over the SAME quantized integers."""
+    import numpy as np
+
+    from ecostream.queries.text import (
+        _ZIPF1_MAX_RANKS,
+        zipf1_rank_frequency,
+    )
+
+    counts = Counter()
+    for (text,) in _duck(SF_SMOKE, "SELECT text FROM '$SF/documents.parquet'"):
+        counts.update(text.split(" "))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_ZIPF1_MAX_RANKS
+    ]
+    lr = np.array(
+        [round(math.log(i + 1) * 1e6) for i in range(len(ranked))],
+        dtype=object,
+    )
+    lc = np.array(
+        [round(math.log(c) * 1e6) for _, c in ranked], dtype=object
+    )
+    n = len(ranked)
+    num = n * int((lr * lc).sum()) - int(lr.sum()) * int(lc.sum())
+    den = n * int((lr * lr).sum()) - int(lr.sum()) ** 2
+    expected_slope = round(1e6 * float(num) / float(den))
+    rows = zipf1_rank_frequency(spark, SF_SMOKE).collect()
+    assert rows[0]["slope_micro"] == expected_slope
+    assert rows[0]["n_ranks"] == n
+    assert rows[0]["slope_micro"] < 0  # frequencies decay with rank
+    got_top = [(r["rnk"], r["tok"], r["c"]) for r in rows]
+    exp_top = [(i + 1, t, c) for i, (t, c) in enumerate(ranked[:20])]
+    assert got_top == exp_top
+
+
+def test_g10_predictions_are_nonadjacent_and_correct(spark):
+    """Every predicted link must be absent from the edge set, and its
+    score must equal the python-side common-neighbor count."""
+    from ecostream.queries.graph import (
+        copresence_support_pairs,
+        g10_link_prediction,
+    )
+
+    pairs = {
+        (r["s"], r["d"])
+        for r in copresence_support_pairs(spark, SF_001).collect()
+    }
+    nbrs = defaultdict(set)
+    for s, d in pairs:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    rows = g10_link_prediction(spark, SF_001).collect()
+    assert rows, "no predictions at sf0.01"
+    prev = None
+    for r in rows:
+        u, v = r["u"], r["v"]
+        assert (u, v) not in pairs
+        assert r["n_common"] == len(nbrs[u] & nbrs[v])
+        key = (-r["n_common"], u, v)
+        assert prev is None or prev < key  # deterministic ranking order
+        prev = key
+
+
+def test_sim11_growth_covers_corpus_and_recall_bounded(spark):
+    from ecostream.queries.similarity import sim11_ivf_incremental
+
+    rows = sim11_ivf_incremental(spark, SF_SMOKE).collect()
+    assert rows
+    n_total = sum(r["n_base"] + r["n_delta"] for r in rows)
+    n_emb = _duck(
+        SF_SMOKE, "SELECT count(*) FROM '$SF/embeddings.parquet'"
+    )[0][0]
+    assert n_total == n_emb  # every vector indexed exactly once
+    r0 = rows[0]["recall_permille"]
+    assert 0 <= r0 <= 1000
+    assert all(r["recall_permille"] == r0 for r in rows)
