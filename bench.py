@@ -62,6 +62,9 @@ HEADLINE = [
     "tok3_unigram_train",         # unigram-LM Viterbi-EM trainer (round 7)
     "pack3_bfd_packing",          # best-fit-decreasing packing (round 7)
     "sq1_int8_recall",            # int8 quantization recall eval (round 7)
+    "roll2_quantile_sketch_serve",  # mergeable quantile-sketch serve (round 8)
+    "sim11_ivf_incremental",      # incremental IVF maintenance (round 8)
+    "d16_containment_pairs",      # asymmetric containment dedup (round 8)
 ]
 
 

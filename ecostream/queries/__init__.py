@@ -118,6 +118,8 @@ _ROUND_HEAD = [
     "s12_zonemap_skipping",      # zone-map file pruning from a stats manifest
     "zipf1_rank_frequency",      # ln-ln rank-frequency power-law fit
     "g10_link_prediction",       # common-neighbor link prediction
+    "eval8_bleu",                # BLEU-2 clipped precision + brevity penalty
+    "bootstrap1_mean_ci",        # one-pass Poisson bootstrap error bars
     # ROUND 8 re-signs — changed signed queries re-enter the head:
     "shard1_rendezvous",         # RE-SIGN: the r7 driver-red row — oracle's
                                  # moved_permille now BIGINT-cast (VERDICT #1)
@@ -171,7 +173,6 @@ _ROUND_HEAD = [
     "mm9_ahash_near_dup",        # perceptual-hash image dedup, real codec
     "t13_bm25_retrieval",        # integer-exact BM25 (saturation + length norm)
     "st13_late_data_audit",      # watermark-sizing lateness measurement
-    "dq3_chi2_independence",     # exact-milli chi-square via 38-digit ints
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

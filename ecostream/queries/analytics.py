@@ -2255,3 +2255,148 @@ def ts1_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+# --- BOOTSTRAP1: hash-deterministic Poisson bootstrap CI (round 8) --------------
+#
+# Poisson(1) inverse-CDF cutoffs scaled to 2^32 (computed once from
+# e^-1 * sum 1/k!): a 32-bit md5-derived uniform compared against these
+# integers yields each row's replicate weight — identical integer
+# comparisons in both engines, no floats in the draw.
+_B1_CUTS = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373]
+_B1_REPS = 64
+
+
+@query(
+    "bootstrap1_mean_ci",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    drawn AS (
+        SELECT b.b, e.cents,
+               ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                               || CAST(b.b AS VARCHAR)), 1, 8))
+                   ::UBIGINT::BIGINT AS h
+        FROM ev e, (SELECT unnest(range(0, {_B1_REPS})) AS b) b
+    ),
+    weighted AS (
+        SELECT b, cents,
+               CASE WHEN h < {_B1_CUTS[0]} THEN 0
+                    WHEN h < {_B1_CUTS[1]} THEN 1
+                    WHEN h < {_B1_CUTS[2]} THEN 2
+                    WHEN h < {_B1_CUTS[3]} THEN 3
+                    WHEN h < {_B1_CUTS[4]} THEN 4
+                    ELSE 5 END AS w
+        FROM drawn
+    ),
+    reps AS (
+        SELECT b,
+               CAST((1000 * CAST(sum(w * cents) AS BIGINT))
+                    // greatest(CAST(sum(w) AS BIGINT), 1)
+                    AS BIGINT) AS mean_milli
+        FROM weighted GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_milli,
+               row_number() OVER (ORDER BY mean_milli, b) AS rn
+        FROM reps
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_events,
+           (SELECT CAST((1000 * CAST(sum(cents) AS BIGINT)) // count(*)
+                        AS BIGINT) FROM ev) AS mean_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = 2) AS boot_lo_milli,
+           (SELECT mean_milli FROM ranked
+            WHERE rn = {_B1_REPS - 1}) AS boot_hi_milli,
+           CAST({_B1_REPS} AS BIGINT) AS n_replicates
+    """,
+)
+def bootstrap1_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value —
+    the one-pass distributed bootstrap (Chamandy et al., Google 2012;
+    the map-reduce-friendly replacement for resampling with
+    replacement): each row contributes to each of {B} replicates with
+    a Poisson(1) weight, so all replicates stream through ONE scan
+    with map-side partial aggregation instead of {B} shuffled
+    resamples.  Determinism: the weight is an integer inverse-CDF
+    lookup on a 32-bit md5 hash of (event_id, replicate) — no PRNG
+    state, both engines draw the identical weight (the truncation at
+    w = 5, ~3e-4 of draws, is part of the estimator's definition).
+    Replicate means are exact integer milli-cents; the CI is the
+    2nd / {hi}rd order statistic of the {B} means (the 2.5/97.5
+    percentile ranks), reported beside the full-sample mean.
+
+    Scale shape: one explode(×{B}) + partial-aggregated group-sum to
+    {B} rows — the shuffle carries {B} partials per input partition;
+    the order statistics run on a {B}-row table.  At 100 TB this is
+    THE way to put error bars on a corpus statistic without {B} extra
+    scans."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    )
+    cuts = _B1_CUTS
+    w_expr = (
+        f"CASE WHEN h < {cuts[0]} THEN 0 "
+        f"WHEN h < {cuts[1]} THEN 1 "
+        f"WHEN h < {cuts[2]} THEN 2 "
+        f"WHEN h < {cuts[3]} THEN 3 "
+        f"WHEN h < {cuts[4]} THEN 4 ELSE 5 END"
+    )
+    drawn = ev.select(
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_B1_REPS - 1})")).alias("b"),
+        "event_id",
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
+            "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    reps = (
+        drawn.select("b", "cents", F.expr(w_expr).cast("long").alias("w"))
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "CAST((1000 * CAST(sum(w * cents) AS BIGINT))"
+                " div greatest(CAST(sum(w) AS BIGINT), 1L) AS BIGINT)"
+            ).alias("mean_milli")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # 64-row table: the single-partition rank window is model-sized.
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_milli", "b"))
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        F.col("mean_milli").alias("boot_lo_milli")
+    )
+    hi = ranked.where(F.col("rn") == _B1_REPS - 1).select(
+        F.col("mean_milli").alias("boot_hi_milli")
+    )
+    full = ev.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((1000 * CAST(sum(cents) AS BIGINT)) div count(*) AS BIGINT)"
+        ).alias("mean_milli"),
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_events",
+            "mean_milli",
+            "boot_lo_milli",
+            "boot_hi_milli",
+            F.lit(_B1_REPS).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+bootstrap1_mean_ci.__doc__ = bootstrap1_mean_ci.__doc__.format(
+    B=_B1_REPS, hi=_B1_REPS - 1
+)

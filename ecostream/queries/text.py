@@ -3376,3 +3376,216 @@ def zipf1_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 zipf1_rank_frequency.__doc__ = zipf1_rank_frequency.__doc__.format(
     r=_ZIPF1_MAX_RANKS
 )
+
+
+# --- EVAL8: BLEU-2 generation-quality scoring (round 8) -------------------------
+
+
+@query(
+    "eval8_bleu",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < {_EVAL6_CAP}
+    ),
+    g1 AS ({_eval6_gram_duck(1)}),
+    g2 AS ({_eval6_gram_duck(2)}),
+    c1 AS (SELECT pair_id, side, gram, count(*) AS c FROM g1
+           GROUP BY pair_id, side, gram),
+    c2 AS (SELECT pair_id, side, gram, count(*) AS c FROM g2
+           GROUP BY pair_id, side, gram),
+    tot1 AS (SELECT pair_id, side, CAST(count(*) AS BIGINT) AS tot
+             FROM g1 GROUP BY pair_id, side),
+    tot2 AS (SELECT pair_id, side, CAST(count(*) AS BIGINT) AS tot
+             FROM g2 GROUP BY pair_id, side),
+    clip1 AS (
+        SELECT r.pair_id, CAST(SUM(LEAST(r.c, d.c)) AS BIGINT) AS clip
+        FROM (SELECT * FROM c1 WHERE side = 0) r
+        JOIN (SELECT * FROM c1 WHERE side = 1) d
+          ON r.pair_id = d.pair_id AND r.gram = d.gram
+        GROUP BY r.pair_id
+    ),
+    clip2 AS (
+        SELECT r.pair_id, CAST(SUM(LEAST(r.c, d.c)) AS BIGINT) AS clip
+        FROM (SELECT * FROM c2 WHERE side = 0) r
+        JOIN (SELECT * FROM c2 WHERE side = 1) d
+          ON r.pair_id = d.pair_id AND r.gram = d.gram
+        GROUP BY r.pair_id
+    ),
+    pairs AS (SELECT DISTINCT doc_id // 2 AS pair_id FROM toks),
+    m AS (
+        SELECT p.pair_id,
+               COALESCE(k1.clip, 0) AS c1v, COALESCE(k2.clip, 0) AS c2v,
+               (SELECT tot FROM tot1 t WHERE t.pair_id = p.pair_id
+                  AND side = 0) AS rt1,
+               (SELECT tot FROM tot1 t WHERE t.pair_id = p.pair_id
+                  AND side = 1) AS ct1,
+               (SELECT tot FROM tot2 t WHERE t.pair_id = p.pair_id
+                  AND side = 1) AS ct2
+        FROM pairs p
+        LEFT JOIN clip1 k1 USING (pair_id) LEFT JOIN clip2 k2 USING (pair_id)
+    ),
+    sc AS (
+        SELECT pair_id, rt1, ct1, c1v, c2v,
+               CAST((1000 * c1v) // ct1 AS BIGINT) AS p1_permille,
+               CAST((1000 * c2v) // ct2 AS BIGINT) AS p2_permille,
+               least(CAST(0 AS BIGINT),
+                     1000000 - CAST((1000000 * rt1) // ct1 AS BIGINT))
+                   AS bpl,
+               CASE WHEN c1v > 0 AND c2v > 0 THEN
+                   CAST(round(ln(CAST(c1v AS DOUBLE) / CAST(ct1 AS DOUBLE))
+                              * 1000000) AS BIGINT)
+                 + CAST(round(ln(CAST(c2v AS DOUBLE) / CAST(ct2 AS DOUBLE))
+                              * 1000000) AS BIGINT)
+               END AS lsum
+        FROM m
+    )
+    SELECT pair_id,
+           CAST(pair_id * 2 AS BIGINT) AS ref_id,
+           CAST(pair_id * 2 + 1 AS BIGINT) AS cand_id,
+           rt1 AS r_len, ct1 AS c_len, p1_permille, p2_permille,
+           CASE WHEN lsum IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(1000000 * exp(
+                         CAST(bpl + lsum // 2 AS DOUBLE) / 1000000.0))
+                     AS BIGINT) END AS bleu2_micro
+    FROM sc ORDER BY pair_id
+    """,
+)
+def eval8_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 generation scoring (Papineni et al. 2002) — the
+    precision-side companion to eval6's ROUGE: clipped unigram/bigram
+    CANDIDATE precision, geometric mean, and the brevity penalty
+    exp(min(0, 1 − r/c)), over eval6's positional pairs (ref = doc 2i,
+    cand = doc 2i+1, doc_id < {cap}).  Integer discipline: precisions
+    are exact permilles; the log-domain score follows lm2's micro-nat
+    convention — each ln is quantized to BIGINT micro-nats, the
+    brevity exponent is an exact integer rational, they combine in
+    integer arithmetic, and ONE final exp runs on the identical
+    integer in both engines (identical double in, identical double
+    out); a pair with any zero clip scores 0 by definition rather
+    than −inf.
+
+    Scale shape: identical to eval6 — map-side gram partial counts,
+    (pair_id, gram)-keyed clip joins, pair-keyed totals; nothing wider
+    than the gram count shuffle."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _EVAL6_CAP)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+
+    def gram_counts(n: int) -> DataFrame:
+        if n == 1:
+            g = F.explode("t").alias("gram")
+        else:
+            expr = (
+                f"transform(sequence(1, size(t) - {n - 1}), i -> "
+                "concat_ws(' ', "
+                + ", ".join(
+                    f"element_at(t, CAST(i + {j} AS INT))" for j in range(n)
+                )
+                + "))"
+            )
+            g = F.explode(F.expr(expr)).alias("gram")
+        return (
+            toks.select(
+                F.expr("doc_id div 2").alias("pair_id"),
+                (F.col("doc_id") % 2).alias("side"),
+                g,
+            )
+            .groupBy("pair_id", "side", "gram")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def clip_and_tot(n: int, cname: str, tname: str):
+        cnt = gram_counts(n)
+        clip = (
+            cnt.where(F.col("side") == 0)
+            .select("pair_id", "gram", F.col("c").alias("rc"))
+            .join(
+                cnt.where(F.col("side") == 1).select(
+                    "pair_id", "gram", F.col("c").alias("cc")
+                ),
+                ["pair_id", "gram"],
+            )
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("rc", "cc")).cast("long").alias(cname))
+        )
+        tot = cnt.groupBy("pair_id", "side").agg(
+            F.sum("c").cast("long").alias("tot")
+        )
+        return clip, tot.withColumnRenamed("tot", tname)
+
+    clip1, tot1 = clip_and_tot(1, "c1v", "t1")
+    clip2, tot2 = clip_and_tot(2, "c2v", "t2")
+    base = (
+        tot1.where(F.col("side") == 0)
+        .select("pair_id", F.col("t1").alias("rt1"))
+        .join(
+            tot1.where(F.col("side") == 1).select(
+                "pair_id", F.col("t1").alias("ct1")
+            ),
+            "pair_id",
+        )
+        .join(
+            tot2.where(F.col("side") == 1).select(
+                "pair_id", F.col("t2").alias("ct2")
+            ),
+            "pair_id",
+        )
+        .join(clip1, "pair_id", "left")
+        .join(clip2, "pair_id", "left")
+        .select(
+            "pair_id",
+            "rt1",
+            "ct1",
+            "ct2",
+            F.coalesce("c1v", F.lit(0)).cast("long").alias("c1v"),
+            F.coalesce("c2v", F.lit(0)).cast("long").alias("c2v"),
+        )
+    )
+    lsum = F.when(
+        (F.col("c1v") > 0) & (F.col("c2v") > 0),
+        F.round(
+            F.log(F.col("c1v").cast("double") / F.col("ct1").cast("double"))
+            * 1_000_000
+        ).cast("long")
+        + F.round(
+            F.log(F.col("c2v").cast("double") / F.col("ct2").cast("double"))
+            * 1_000_000
+        ).cast("long"),
+    )
+    sc = base.select(
+        "pair_id",
+        "rt1",
+        "ct1",
+        "c1v",
+        "c2v",
+        F.expr("(1000 * c1v) div ct1").cast("long").alias("p1_permille"),
+        F.expr("(1000 * c2v) div ct2").cast("long").alias("p2_permille"),
+        F.least(
+            F.lit(0).cast("long"),
+            F.lit(1_000_000)
+            - F.expr("(1000000 * rt1) div ct1").cast("long"),
+        ).alias("bpl"),
+        lsum.alias("lsum"),
+    )
+    return sc.select(
+        "pair_id",
+        (F.col("pair_id") * 2).cast("long").alias("ref_id"),
+        (F.col("pair_id") * 2 + 1).cast("long").alias("cand_id"),
+        F.col("rt1").alias("r_len"),
+        F.col("ct1").alias("c_len"),
+        "p1_permille",
+        "p2_permille",
+        F.when(F.col("lsum").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                1_000_000
+                * F.exp(
+                    F.expr("bpl + lsum div 2").cast("double") / 1_000_000.0
+                )
+            ).cast("long")
+        )
+        .alias("bleu2_micro"),
+    ).orderBy("pair_id")
+
+
+eval8_bleu.__doc__ = eval8_bleu.__doc__.format(cap=_EVAL6_CAP)

