@@ -120,6 +120,11 @@ _ROUND_HEAD = [
     "g10_link_prediction",       # common-neighbor link prediction
     "eval8_bleu",                # BLEU-2 clipped precision + brevity penalty
     "bootstrap1_mean_ci",        # one-pass Poisson bootstrap error bars
+    "trend2_theil_sen",          # median-of-pairwise-slopes robust trend
+    "kappa1_agreement",          # Cohen's kappa inter-annotator agreement
+    "dq5_benford_deviation",     # first-digit Benford fraud/quality audit
+    "ewma1_decay_smoothing",     # half-life EWMA over daily series
+    "g11_label_propagation",     # deterministic LPA community detection
     # ROUND 8 re-signs — changed signed queries re-enter the head:
     "shard1_rendezvous",         # RE-SIGN: the r7 driver-red row — oracle's
                                  # moved_permille now BIGINT-cast (VERDICT #1)
@@ -169,10 +174,6 @@ _ROUND_HEAD = [
     "anon1_k_anonymity",         # quasi-identifier k-anonymity audit
     "tok2_vocab_coverage",       # per-source BPE merge coverage eval
     "j29_bloom_semijoin_reduction",  # explicit Bloom runtime-filter join
-    "id1_global_enumeration",    # dense global ids, no global sort
-    "mm9_ahash_near_dup",        # perceptual-hash image dedup, real codec
-    "t13_bm25_retrieval",        # integer-exact BM25 (saturation + length norm)
-    "st13_late_data_audit",      # watermark-sizing lateness measurement
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

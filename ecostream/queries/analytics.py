@@ -2400,3 +2400,286 @@ def bootstrap1_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 bootstrap1_mean_ci.__doc__ = bootstrap1_mean_ci.__doc__.format(
     B=_B1_REPS, hi=_B1_REPS - 1
 )
+
+
+# --- TREND2: Theil-Sen robust trend estimation (round 8) ------------------------
+
+
+@query(
+    "trend2_theil_sen",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.event_type, a.d AS d1, b.d AS d2,
+               CAST((1000000 * (b.y - a.y)) // (b.d - a.d) AS BIGINT)
+                   AS slope_micro
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, slope_micro, d1, d2,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope_micro, d1, d2) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+        FROM pairs
+    ),
+    nd AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT r.event_type, nd.n_days, r.np AS n_pairs, r.slope_micro
+    FROM ranked r JOIN nd ON nd.event_type = r.event_type
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY r.event_type
+    """,
+)
+def trend2_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type (Theil 1950, Sen
+    1968 — the median-of-pairwise-slopes estimator, up to ~29%
+    outlier-resistant where least squares breaks at one bad day): over
+    the per-type DAILY count series, every day pair (d1 < d2) yields
+    slope (y2 − y1)/(d2 − d1); the estimate is the (lower) median.
+    The production monitor for 'is this source growing or dying' on
+    event volumes with spiky days — w9's least-squares twin answers
+    the same question fragilely.  Exactness: each pairwise slope is
+    one BIGINT floor division to micro-units/day (truncation toward
+    zero is identical in Spark `div` and DuckDB `//`), and the median
+    is the rank-(n+1)//2 order statistic under the total
+    (slope, d1, d2) order, so both engines pick the identical pair.
+
+    Scale shape: ONE partial-aggregated groupBy collapses the event
+    log to the |types| x |days| daily table — the pair join is
+    quadratic in CALENDAR DAYS (bounded: 30 here, 365 for a year),
+    never in events, so 100 TB of events still yields ~66k pairs per
+    type-year after a linear scan.  The self-join and both windows
+    share the event_type partitioning; one exchange end to end."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("y").alias("y2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            F.expr(
+                "CAST((1000000 * (y2 - y1)) div (d2 - d1) AS BIGINT)"
+            ).alias("slope_micro"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    byt = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope_micro",
+        F.row_number()
+        .over(byt.orderBy("slope_micro", "d1", "d2"))
+        .alias("rn"),
+        F.count("*").over(byt).cast("long").alias("np"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return (
+        ranked.where(F.expr("rn = (np + 1) div 2"))
+        .join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("np").alias("n_pairs"),
+            "slope_micro",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- KAPPA1: Cohen's kappa inter-annotator agreement (round 8) ------------------
+
+
+@query(
+    "kappa1_agreement",
+    oracle="""
+    WITH rated AS (
+        SELECT source,
+               CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN len(string_split(text, ' ')) >= 40
+                    THEN 1 ELSE 0 END AS rb
+        FROM documents
+    ),
+    cm AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ra * rb) AS BIGINT) AS a,
+               CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+               CAST(sum((1 - ra) * rb) AS BIGINT) AS c,
+               CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS d
+        FROM rated GROUP BY 1
+    )
+    SELECT source, n, a, b, c, d,
+           CAST((1000 * (a + d)) // n AS BIGINT) AS po_milli,
+           CAST((1000 * ((a + b) * (a + c) + (c + d) * (b + d)))
+                // (n * n) AS BIGINT) AS pe_milli,
+           CAST((1000 * (n * (a + d)
+                         - ((a + b) * (a + c) + (c + d) * (b + d))))
+                // greatest(n * n - ((a + b) * (a + c) + (c + d) * (b + d)),
+                            1) AS BIGINT) AS kappa_milli
+    FROM cm ORDER BY source
+    """,
+)
+def kappa1_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source between two deterministic raters — the
+    inter-annotator agreement statistic every labeling / LLM-judge
+    pipeline reports before trusting its labels (Cohen 1960): kappa =
+    (p_o − p_e)/(1 − p_e), observed agreement corrected by the
+    agreement two independent raters with the same marginals would
+    reach by chance.  Rater A flags documents >= 200 chars, rater B
+    >= 40 whitespace tokens (ece1's split device) — correlated but not
+    identical, so kappa lands strictly between 0 and 1.  Exactness:
+    the 2x2 confusion counts are exact BIGINTs and kappa's
+    numerator/denominator cross-multiply to integers before ONE floor
+    division each (po, pe, kappa all reported in milli-units);
+    greatest(., 1) pins the degenerate all-one-label source to 0 in
+    both engines rather than failing differently (the ece1 guard).
+
+    Scale shape: a pure map tags each document, ONE partial-aggregated
+    groupBy(source) produces the confusion matrix, and everything
+    after runs on the |sources|-row model table — no second shuffle,
+    no row ever leaves its scan partition before aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "source",
+        (F.col("n_chars") >= 200).cast("long").alias("ra"),
+        (F.size(F.split(F.col("text"), " ")) >= 40)
+        .cast("long")
+        .alias("rb"),
+    )
+    cm = rated.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("a"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("c"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("d"),
+    )
+    return cm.select(
+        "source",
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("CAST((1000 * (a + d)) div n AS BIGINT)").alias("po_milli"),
+        F.expr(
+            "CAST((1000 * ((a + b) * (a + c) + (c + d) * (b + d)))"
+            " div (n * n) AS BIGINT)"
+        ).alias("pe_milli"),
+        F.expr(
+            "CAST((1000 * (n * (a + d)"
+            " - ((a + b) * (a + c) + (c + d) * (b + d))))"
+            " div greatest(n * n - ((a + b) * (a + c) + (c + d) * (b + d)),"
+            " 1) AS BIGINT)"
+        ).alias("kappa_milli"),
+    ).orderBy("source")
+
+
+# --- DQ5: Benford first-digit deviation audit (round 8) -------------------------
+
+
+@query(
+    "dq5_benford_deviation",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events
+    ),
+    obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1
+    ),
+    ben AS (
+        SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+                              (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+            AS t(digit, exp_milli)
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           CAST((1000 * COALESCE(o.n_obs, 0)) // t.n AS BIGINT) AS obs_milli,
+           CAST(e.exp_milli AS BIGINT) AS exp_milli,
+           CAST(abs((1000 * COALESCE(o.n_obs, 0)) // t.n - e.exp_milli)
+                AS BIGINT) AS dev_milli
+    FROM ben e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+)
+def dq5_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over event values — the
+    classic fraud / synthetic-data / unit-mixup detector (Benford
+    1938, Nigrini's forensic-accounting standard): natural multi-scale
+    positive amounts put digit d first with probability log10(1+1/d);
+    a flat or spiked observed histogram flags fabricated or truncated
+    measures before they poison a training set.  The expected permille
+    column is a 9-row LITERAL table (301...46) identical in both
+    engines — no runtime libm log10 anywhere; the observed share is
+    one exact BIGINT floor division; the first digit comes from the
+    cents integer's decimal string (both engines render BIGINT
+    identically), dodging float log/pow entirely.  Digits missing from
+    the data still appear (LEFT join against the literal), so the
+    result is always exactly 9 rows.
+
+    Scale shape: map-side digit extraction, ONE partial-aggregated
+    9-group count, then literal-table joins — the post-scan plan is
+    constant-size regardless of corpus scale."""
+    ev = _events(spark, sf_dir).select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = ev.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    ben = F.broadcast(
+        spark.createDataFrame(
+            [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79), (6, 67),
+             (7, 58), (8, 51), (9, 46)],
+            "digit long, exp_milli long",
+        )
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    return (
+        ben.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            F.expr(
+                "CAST((1000 * coalesce(n_obs, CAST(0 AS BIGINT)))"
+                " div n AS BIGINT)"
+            ).alias("obs_milli"),
+            F.col("exp_milli").cast("long").alias("exp_milli"),
+            F.expr(
+                "CAST(abs((1000 * coalesce(n_obs, CAST(0 AS BIGINT)))"
+                " div n - exp_milli) AS BIGINT)"
+            ).alias("dev_milli"),
+        )
+        .orderBy("digit")
+    )

@@ -1096,3 +1096,142 @@ def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("n_common"), "u", "v"))
         .cast("long"),
     )
+
+
+# --- G11: community detection by label propagation (round 8) --------------------
+#
+# Raghavan et al. 2007's LPA — the near-linear community detector
+# (GraphFrames/GraphX ship exactly this as labelPropagation) — made
+# deterministic and oracle-replayable: synchronous rounds, each vertex
+# adopting the label that is MOST FREQUENT among its neighbors with
+# ties broken toward the SMALLEST label.  Plain LPA leaves both the
+# update order and tie-breaks to chance; pinning them makes the
+# R-round result a pure function of the edge set, which is what lets
+# DuckDB replay it.  Synchronous LPA can oscillate on bipartite
+# structure rather than converge, so — like the library
+# implementations, which run a fixed maxIter and document that
+# "convergence is not guaranteed" — the DECLARED semantics are exactly
+# R rounds, not a fixpoint; g9's convergence-guard pattern does not
+# apply because a fixpoint is not part of the contract.
+
+_G11_ROUNDS = 4
+
+
+def _g11_oracle() -> str:
+    parts = [
+        """
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               event_type, user_id
+        FROM events
+    ),
+    p AS MATERIALIZED (
+        SELECT x.user_id AS s, y.user_id AS d
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 4
+    ),
+    e AS MATERIALIZED (
+        SELECT s AS u, d AS w FROM p UNION ALL SELECT d, s FROM p
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lab FROM e)"""
+    ]
+    for i in range(1, _G11_ROUNDS + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.u, l.lab, CAST(count(*) AS BIGINT) AS cnt
+        FROM e JOIN l{i - 1} l ON l.u = e.w
+        GROUP BY 1, 2
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT u, lab FROM (
+            SELECT u, lab,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY cnt DESC, lab) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS size,
+           CAST(min(u) AS BIGINT) AS min_member,
+           CAST(max(u) AS BIGINT) AS max_member,
+           CAST(sum(u) AS BIGINT) AS member_sum
+    FROM l{_G11_ROUNDS}
+    GROUP BY lab ORDER BY size DESC, community"""
+    )
+    return "".join(parts)
+
+
+@query("g11_label_propagation", oracle=_g11_oracle())
+def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the support-4 co-presence user graph
+    (g9/g10's edge set) by {R} synchronous rounds of deterministic
+    label propagation: every vertex starts as its own label and each
+    round adopts its neighborhood's plurality label, ties toward the
+    smallest.  Output is the community table — label, size, member
+    min/max/sum — the segmentation primitive feeding cohort analytics
+    and the cheap precursor to modularity methods (LPA is the standard
+    'communities at near-linear cost' baseline).
+
+    Scale shape: per round, ONE edge-keyed join ships each vertex's
+    current label to its neighbors, one partial-aggregated
+    (vertex, label) count, and a per-vertex argmax window — all
+    partitioned by vertex id, no global state; the label table is
+    |V| rows and lineage is cut per round by localCheckpoint (the
+    pagerank-loop discipline).  Exactly {R} rounds regardless of
+    scale, so the whole job is {R} bounded shuffle waves over the
+    edge list — the GraphX labelPropagation dataflow without the
+    Pregel runtime.  Determinism: (count DESC, label ASC) is a total
+    order per vertex, so both engines converge on identical labels
+    round by round; the oracle unrolls all {R} rounds as MATERIALIZED
+    CTEs and replays the same argmax."""
+    from pyspark.sql import Window as W
+
+    pairs = copresence_support_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
+        .unionByName(
+            pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
+    for _ in range(_G11_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.withColumnRenamed("u", "w"), "w"
+            )  # neighbor labels arrive at u
+            .groupBy("u", "lab")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("u").orderBy(F.desc("cnt"), "lab")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("u", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("size"),
+            F.min("u").cast("long").alias("min_member"),
+            F.max("u").cast("long").alias("max_member"),
+            F.sum("u").cast("long").alias("member_sum"),
+        )
+        .orderBy(F.desc("size"), "community")
+    )
+
+
+g11_label_propagation.__doc__ = g11_label_propagation.__doc__.format(
+    R=_G11_ROUNDS
+)

@@ -607,3 +607,94 @@ def er1_blocking_and_verify(
     if verified:
         pairs = pairs.where(F.levenshtein("ra", "rb") <= 2)
     return recs, pairs.select("src", "dst")
+
+
+# --- EWMA1: exponential half-life smoothing (round 8) ---------------------------
+
+
+@query(
+    "ewma1_decay_smoothing",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    off AS (
+        SELECT * FROM (VALUES
+            (0, 32768), (1, 16384), (2, 8192), (3, 4096), (4, 2048),
+            (5, 1024), (6, 512), (7, 256), (8, 128), (9, 64), (10, 32),
+            (11, 16), (12, 8), (13, 4), (14, 2), (15, 1))
+            AS t(off, w)
+    ),
+    terms AS (
+        SELECT c.event_type, c.d, o.off, CAST(o.w AS BIGINT) AS w, p.y
+        FROM daily c JOIN off o ON TRUE
+             JOIN daily p ON p.event_type = c.event_type
+                         AND p.d = c.d - o.off
+    )
+    SELECT event_type, d,
+           CAST(sum(CASE WHEN off = 0 THEN y END) AS BIGINT) AS y,
+           CAST((1000 * CAST(sum(w * y) AS BIGINT))
+                // CAST(sum(w) AS BIGINT) AS BIGINT) AS ewma_milli
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ewma1_decay_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the per-type daily
+    event counts with a one-day half-life — the smoothing behind every
+    ops dashboard, alert baseline, and feature-store 'recent activity'
+    column (RFC-1122's SRTT, monitoring EWMAs, pandas ewm): today's
+    smoothed level weights the observation from g days ago by 2^-g.
+    The geometric tail is truncated at 16 days (weight < 2^-15 of the
+    head — far below the milli-unit resolution reported), which turns
+    the unbounded recursive definition into a FINITE weighted window
+    both engines compute identically: weights are the exact integer
+    powers 2^15..2^0 from a 16-row LITERAL table, missing days simply
+    contribute nothing (their weight drops out of the normalizer — no
+    imputation), and the level is ONE floor division of two exact
+    BIGINT sums to milli-units.  The recursion-free form is also the
+    backfill-correct one: recomputing any day window never depends on
+    a previously materialized smoothed value.
+
+    Scale shape: one partial-aggregated groupBy collapses events to
+    the |types| x |days| daily table; the 16-row offset table is
+    broadcast; the day-offset equi-join and final groupBy share the
+    (event_type, day) key space — calendar-bounded model-sized work
+    after one linear scan, the same contract as trend2."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(j, 1 << (15 - j)) for j in range(16)], "off long, w long"
+        )
+    )
+    cur = daily.select("event_type", F.col("d").alias("d_cur"))
+    obs = daily.select(
+        "event_type", F.col("d").alias("d_obs"), F.col("y").alias("y_obs")
+    )
+    terms = (
+        cur.crossJoin(off)  # 16-row broadcast weight table
+        .withColumn("d_obs", F.col("d_cur") - F.col("off"))
+        .join(obs, ["event_type", "d_obs"])
+    )
+    return (
+        terms.groupBy("event_type", F.col("d_cur").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("off") == 0, F.col("y_obs")))
+            .cast("long")
+            .alias("y"),
+            F.expr(
+                "CAST((1000 * CAST(sum(w * y_obs) AS BIGINT))"
+                " div CAST(sum(w) AS BIGINT) AS BIGINT)"
+            ).alias("ewma_milli"),
+        )
+        .orderBy("event_type", "d")
+    )

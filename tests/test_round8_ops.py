@@ -280,3 +280,185 @@ def test_bootstrap1_ci_brackets_mean_and_tightens(spark):
     assert r["boot_lo_milli"] <= r["mean_milli"] <= r["boot_hi_milli"]
     width = r["boot_hi_milli"] - r["boot_lo_milli"]
     assert width < r["mean_milli"] // 5
+
+
+def test_trend2_matches_pure_python(spark):
+    """Independent Theil-Sen replay: daily counts -> all pairwise
+    slopes -> lower median under the (slope, d1, d2) total order."""
+    from ecostream.queries.analytics import trend2_theil_sen
+
+    daily = _duck(
+        SF_001,
+        """
+        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM '$SF/events.parquet' GROUP BY 1, 2
+        """,
+    )
+    series = defaultdict(dict)
+    for et, d, y in daily:
+        series[et][d] = y
+    expect = {}
+    for et, dy in series.items():
+        days = sorted(dy)
+        pairs = []
+        for i, d1 in enumerate(days):
+            for d2 in days[i + 1:]:
+                num = 1000000 * (dy[d2] - dy[d1])
+                den = d2 - d1
+                q = abs(num) // den  # truncation toward zero, as div//
+                pairs.append((q if num >= 0 else -q, d1, d2))
+        pairs.sort()
+        med = pairs[(len(pairs) + 1) // 2 - 1][0]
+        expect[et] = (len(days), len(pairs), med)
+    got = {
+        r["event_type"]: (r["n_days"], r["n_pairs"], r["slope_micro"])
+        for r in trend2_theil_sen(spark, SF_001).collect()
+    }
+    assert got == expect
+
+
+def test_kappa1_matches_closed_form(spark):
+    """Kappa from independently-computed confusion counts; also pins
+    kappa strictly inside (0, 1000) — agreement above chance but not
+    perfect, so the statistic is non-vacuous."""
+    from ecostream.queries.analytics import kappa1_agreement
+
+    rows = _duck(
+        SF_001,
+        """
+        SELECT source,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_chars >= 200
+                             AND len(string_split(text, ' ')) >= 40
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN n_chars >= 200
+                             AND len(string_split(text, ' ')) < 40
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN n_chars < 200
+                             AND len(string_split(text, ' ')) >= 40
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM '$SF/documents.parquet' GROUP BY 1
+        """,
+    )
+    expect = {}
+    for src, n, a, b, c in rows:
+        d = n - a - b - c
+        pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+        num = 1000 * (n * (a + d) - pe_num)
+        den = max(n * n - pe_num, 1)
+        q = abs(num) // den
+        expect[src] = q if num >= 0 else -q
+    got = {
+        r["source"]: r["kappa_milli"]
+        for r in kappa1_agreement(spark, SF_001).collect()
+    }
+    assert got == expect
+    # above chance everywhere; perfect (1000) is possible in a small
+    # source but the corpus as a whole must show real disagreement
+    assert all(0 < k <= 1000 for k in got.values())
+    assert any(k < 1000 for k in got.values())
+
+
+def test_dq5_nine_rows_and_digit_extraction(spark):
+    """Always exactly 9 rows; observed permilles sum to ~1000 (floor
+    loss < 9); digits replayed from cents strings."""
+    from ecostream.queries.analytics import dq5_benford_deviation
+
+    rows = dq5_benford_deviation(spark, SF_001).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    tot_obs = sum(r["n_obs"] for r in rows)
+    assert 1000 - 9 <= sum(r["obs_milli"] for r in rows) <= 1000
+    cents = _duck(
+        SF_001,
+        "SELECT CAST(round(value * 100) AS BIGINT)"
+        " FROM '$SF/events.parquet'",
+    )
+    counts = Counter(int(str(c[0])[0]) for c in cents)
+    assert tot_obs == sum(counts.values())
+    for r in rows:
+        assert r["n_obs"] == counts.get(r["digit"], 0)
+        assert r["dev_milli"] == abs(r["obs_milli"] - r["exp_milli"])
+
+
+def test_ewma1_matches_pure_python_and_constant_series(spark):
+    """Weighted-window replay; plus the defining property: on any day
+    whose trailing 16 days all carry the same count y, EWMA == y."""
+    from ecostream.queries.seriesops import ewma1_decay_smoothing
+
+    daily = _duck(
+        SF_001,
+        """
+        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM '$SF/events.parquet' GROUP BY 1, 2
+        """,
+    )
+    series = defaultdict(dict)
+    for et, d, y in daily:
+        series[et][d] = y
+    expect = {}
+    for et, dy in series.items():
+        for d in dy:
+            num = den = 0
+            for off in range(16):
+                if (d - off) in dy:
+                    w = 1 << (15 - off)
+                    num += w * dy[d - off]
+                    den += w
+            expect[(et, d)] = (dy[d], (1000 * num) // den)
+    got = {
+        (r["event_type"], r["d"]): (r["y"], r["ewma_milli"])
+        for r in ewma1_decay_smoothing(spark, SF_001).collect()
+    }
+    assert got == expect
+    # constant-series fixpoint property on the replay itself
+    flat = {(et, d): v for (et, d), (y, v) in expect.items()
+            if all(series[et].get(d - o) == y for o in range(16))}
+    assert all(v == 1000 * got[k][0] for k, v in flat.items())
+
+
+def test_g11_matches_pure_python_lpa(spark):
+    """Four synchronous plurality-label rounds replayed in pure Python
+    over the same support-4 co-presence edge set."""
+    from ecostream.queries.graph import g11_label_propagation
+
+    pairs = _duck(
+        SF_001,
+        """
+        WITH b AS (
+            SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS h, event_type, user_id
+            FROM '$SF/events.parquet'
+        )
+        SELECT x.user_id, y.user_id
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 4
+        """,
+    )
+    nbrs = defaultdict(list)
+    for s, d in pairs:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    lab = {u: u for u in nbrs}
+    for _ in range(4):
+        nxt = {}
+        for u, ns in nbrs.items():
+            cnt = Counter(lab[w] for w in ns)
+            nxt[u] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = nxt
+    comm = defaultdict(list)
+    for u, L in lab.items():
+        comm[L].append(u)
+    expect = {
+        L: (len(m), min(m), max(m), sum(m)) for L, m in comm.items()
+    }
+    got = {
+        r["community"]: (
+            r["size"], r["min_member"], r["max_member"], r["member_sum"]
+        )
+        for r in g11_label_propagation(spark, SF_001).collect()
+    }
+    assert got == expect

@@ -333,6 +333,22 @@ def stages():
         roll2_quantile_sketch_serve,
     )
 
+    # g11 LPA rides the same co-presence edge set as g9/g7 but adds
+    # 4 synchronous label-shuffle rounds — measured the round it
+    # lands, like every new graph join.
+    from ecostream.queries.graph import g11_label_propagation
+
+    def lpa_full(spark, d):
+        return (
+            g11_label_propagation(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("size").alias("sz"),
+                FF.sum("member_sum").alias("ms"),
+            )
+        )
+
     return [
         ("lsh_candidates (d3)", d3_minhash_lsh_candidates, "docs"),
         ("sparse_verify (d10 mech)", verify_full, "docs"),
@@ -352,6 +368,7 @@ def stages():
         ("kcore_peel (g9)", kcore_full, "users"),
         ("ivf_incremental (sim11)", sim11_ivf_incremental, "vecs"),
         ("quantile_sketch (roll2)", roll2_quantile_sketch_serve, "events"),
+        ("label_propagation (g11)", lpa_full, "users"),
     ]
 
 
@@ -379,6 +396,13 @@ def main() -> None:
     ap.add_argument("--scales", default="1,5,10")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/ecostream_stress")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated substrings; run only matching stages "
+        "(for measuring a newly added stage without re-timing the "
+        "whole table)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -387,6 +411,9 @@ def main() -> None:
     spark = get_spark(app_name="ecostream-stress")
     spark.sparkContext.setLogLevel("ERROR")
     todo = stages()
+    if args.only:
+        keys = [k.strip() for k in args.only.split(",")]
+        todo = [t for t in todo if any(k in t[0] for k in keys)]
 
     sizes: dict[int, tuple[int, int, int, int, int]] = {}
     for mult in scales:
