@@ -125,6 +125,12 @@ _ROUND_HEAD = [
     "dq5_benford_deviation",     # first-digit Benford fraud/quality audit
     "ewma1_decay_smoothing",     # half-life EWMA over daily series
     "g11_label_propagation",     # deterministic LPA community detection
+    "g12_modularity",            # Newman modularity of the LPA partition
+    "gini1_concentration",       # Lorenz/Gini activity-concentration audit
+    "surv1_conversion_hazard",   # censored Nelson-Aalen conversion curve
+    "m6_stationary_distribution",  # Markov chain long-run state shares
+    "cusum1_change_point",       # CUSUM level-shift detection per type
+    "anon2_l_diversity",         # homogeneity-attack audit beside anon1
     # ROUND 8 re-signs — changed signed queries re-enter the head:
     "shard1_rendezvous",         # RE-SIGN: the r7 driver-red row — oracle's
                                  # moved_permille now BIGINT-cast (VERDICT #1)
@@ -168,12 +174,6 @@ _ROUND_HEAD = [
     "roll1_weekly_from_daily",   # materialized daily rollup -> weekly serve
     "st12_stream_rollup_maintenance",  # streaming rollup merge upkeep
     "d13_span_removal_dedup",    # repeated-span removal + doc reassembly
-    "eval6_rouge_overlap",       # clipped n-gram ROUGE-1/2 pair scoring
-    "conv1_chat_threads",        # multi-turn conversation assembly
-    "batch1_length_grouped",     # length-grouped batch planning
-    "anon1_k_anonymity",         # quasi-identifier k-anonymity audit
-    "tok2_vocab_coverage",       # per-source BPE merge coverage eval
-    "j29_bloom_semijoin_reduction",  # explicit Bloom runtime-filter join
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

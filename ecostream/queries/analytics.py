@@ -2683,3 +2683,371 @@ def dq5_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- GINI1: activity concentration (Lorenz/Gini) (round 8) -----------------------
+
+
+@query(
+    "gini1_concentration",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    h AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM pu GROUP BY 1),
+    p AS (
+        SELECT c, m,
+               CAST(COALESCE(SUM(m) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS pb
+        FROM h
+    ),
+    s AS (
+        SELECT CAST(sum(c * (m * pb + (m * (m + 1)) // 2)) AS BIGINT)
+                   AS s1,
+               CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(c * m) AS BIGINT) AS x
+        FROM p
+    )
+    SELECT n AS n_users, x AS total_events, s1 AS rank_weighted_sum,
+           CAST((1000 * (2 * s1 - (n + 1) * x)) // (n * x) AS BIGINT)
+               AS gini_milli
+    FROM s
+    """,
+)
+def gini1_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event-count concentration — the
+    inequality audit run on every training corpus and marketplace
+    ('do 1% of users/sources produce 50% of the data?'): G =
+    (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the ascending-sorted
+    per-user counts, 0 = uniform, →1 = winner-take-all; the scalar
+    companion to skew1's per-key diagnostics and the mix1/ql1
+    rebalancing decisions.  Exactness: identical tied counts form
+    blocks, so the rank-weighted sum telescopes per distinct VALUE —
+    c·(m·before + m(m+1)/2) — all BIGINT, and Gini is ONE
+    cross-multiplied floor division to milli-units.
+
+    Scale shape: one user-keyed partial-aggregated count, one
+    histogram aggregation onto the distinct-COUNT-value table
+    (bounded by the max per-user activity, not by users), the ks1
+    distributed prefix sum for the block ranks, then 1-row
+    arithmetic — the order-dependent stage never sees the user table,
+    let alone the event log."""
+    from ..functions.prefix import with_prefix_sum
+
+    pu = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    h = pu.groupBy("c").agg(F.count("*").cast("long").alias("m"))
+    p = with_prefix_sum(h, ["c"], "m", out_col="pb")
+    return (
+        p.agg(
+            F.sum(F.expr("c * (m * pb + (m * (m + 1)) div 2)"))
+            .cast("long")
+            .alias("s1"),
+            F.sum("m").cast("long").alias("n"),
+            F.sum(F.expr("c * m")).cast("long").alias("x"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("x").alias("total_events"),
+            F.col("s1").alias("rank_weighted_sum"),
+            F.expr(
+                "CAST((1000 * (2 * s1 - (n + 1) * x)) div (n * x)"
+                " AS BIGINT)"
+            ).alias("gini_milli"),
+        )
+    )
+
+
+# --- SURV1: time-to-conversion survival / hazard curve (round 8) ----------------
+
+_SURV1_BIG = 200  # 'conversion' = first event with value >= this
+
+
+@query(
+    "surv1_conversion_hazard",
+    oracle=f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS fd,
+               CAST(min(epoch_us(ts) // 86400000000)
+                    FILTER (value >= {_SURV1_BIG}) AS BIGINT) AS dd,
+               CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS ld
+        FROM events GROUP BY 1
+    ),
+    lt AS (
+        SELECT CASE WHEN dd IS NOT NULL THEN dd - fd ELSE ld - fd END
+                   AS t,
+               CASE WHEN dd IS NOT NULL THEN 0 ELSE 1 END AS cens
+        FROM pu
+    ),
+    h AS (
+        SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d,
+               CAST(sum(cens) AS BIGINT) AS c
+        FROM lt GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM h),
+    r AS (
+        SELECT t, d, c,
+               nn - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM h, tot
+    ),
+    hz AS (
+        SELECT t, n_at_risk, d, c,
+               CAST((1000000 * d) // n_at_risk AS BIGINT) AS hazard_micro
+        FROM r WHERE d > 0
+    )
+    SELECT t AS days_to_convert, n_at_risk, d AS n_converted,
+           c AS n_censored, hazard_micro,
+           CAST(SUM(hazard_micro) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_hazard_micro
+    FROM hz ORDER BY t
+    """,
+)
+def surv1_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event survival analysis with right-censoring — the
+    Nelson-Aalen cumulative hazard (the estimator behind every churn /
+    conversion curve; Kaplan-Meier's S(t) = exp(−H(t)) to first
+    order) for 'days from a user's first event to their first
+    big-ticket event (value >= {big})', RIGHT-CENSORED at the user's
+    last observed day when conversion never happens — simply dropping
+    non-converters is the classic bias this estimator exists to
+    avoid, and at every gate scale a real fraction of users (5/15 at
+    sf0.001, 47/150 at sf0.01) is censored, so the correction is
+    exercised, not decorative.  At each conversion time t: hazard
+    d_t/n_t with n_t = users whose conversion-or-censor time is >= t
+    (ties: censored users count as at risk, the standard convention).
+    Exactness: per-step hazards are exact BIGINT floor divisions to
+    micro-units and the cumulative hazard is their plain integer sum
+    — the declared statistic IS the floor-quantized estimator, so no
+    float and no libm ever crosses engines (the n_t = d_t extinction
+    edge needs no guard: event rows have n_t >= d_t >= 1).
+
+    Scale shape: one user-keyed partial-aggregated min/filtered-min/
+    max, then everything runs on the DAYS histogram — calendar-bounded
+    like trend2 — with the at-risk suffix sums as ks1-style
+    distributed prefix sums over that model table."""
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    pu = ev.groupBy("user_id").agg(
+        F.min(day).cast("long").alias("fd"),
+        F.min(F.when(F.col("value") >= _SURV1_BIG, day))
+        .cast("long")
+        .alias("dd"),
+        F.max(day).cast("long").alias("ld"),
+    )
+    lt = pu.select(
+        F.when(F.col("dd").isNotNull(), F.col("dd") - F.col("fd"))
+        .otherwise(F.col("ld") - F.col("fd"))
+        .alias("t"),
+        F.when(F.col("dd").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("cens"),
+    )
+    h = lt.groupBy("t").agg(
+        F.sum(1 - F.col("cens")).cast("long").alias("d"),
+        F.sum("cens").cast("long").alias("c"),
+    )
+    from ..functions.prefix import with_prefix_sum
+
+    h2 = with_prefix_sum(
+        h.withColumn("dc", F.col("d") + F.col("c")), ["t"], "dc",
+        out_col="pb",
+    )
+    tot = h.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("nn"))
+    r = h2.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (F.col("nn") - F.col("pb")).cast("long").alias("n_at_risk"),
+    )
+    hz = r.where(F.col("d") > 0).select(
+        "t",
+        "n_at_risk",
+        "d",
+        "c",
+        F.expr("CAST((1000000 * d) div n_at_risk AS BIGINT)").alias(
+            "hazard_micro"
+        ),
+    )
+    hz2 = with_prefix_sum(hz, ["t"], "hazard_micro", out_col="hb")
+    return hz2.select(
+        F.col("t").alias("days_to_convert"),
+        "n_at_risk",
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        "hazard_micro",
+        (F.col("hb") + F.col("hazard_micro"))
+        .cast("long")
+        .alias("cum_hazard_micro"),
+    ).orderBy("days_to_convert")
+
+
+surv1_conversion_hazard.__doc__ = surv1_conversion_hazard.__doc__.format(
+    big=_SURV1_BIG
+)
+
+
+# --- CUSUM1: change-point detection (round 8) ------------------------------------
+
+
+@query(
+    "cusum1_change_point",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s
+        FROM daily GROUP BY 1
+    ),
+    cu AS (
+        SELECT daily.event_type, d,
+               CAST(SUM(n * y - s) OVER (PARTITION BY daily.event_type
+                    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cusum,
+               n, s
+        FROM daily JOIN stats ON stats.event_type = daily.event_type
+    ),
+    ranked AS (
+        SELECT event_type, d, cusum, n, s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, d) AS rn
+        FROM cu
+    )
+    SELECT event_type, d AS change_day, cusum AS cusum_scaled,
+           CAST(abs(cusum) AS BIGINT) AS cusum_abs,
+           CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1
+                ELSE 0 END AS direction,
+           n AS n_days, s AS total_events
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def cusum1_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type (Page 1954 — the
+    classic 'did the level shift, and when' monitor, the offline
+    companion to ewma1's smoothing and ts1's seasonal flags): over the
+    daily count series, the cumulative sum of deviations from the
+    series mean peaks in magnitude AT the change point; the argmax
+    day splits the series where a level shift most likely occurred.
+    Exactness: deviations are pre-scaled by the day count — n·y_t − S
+    — so the running statistic is an exact BIGINT prefix sum with no
+    mean division anywhere; the argmax is deterministic under
+    (|cusum| DESC, day ASC).
+
+    Scale shape: one partial-aggregated scan to the |types| × |days|
+    daily table, a |types|-row stats join, then windows partitioned
+    by type over calendar-bounded partitions (the trend2 contract:
+    the order-dependent stage sees days, never events)."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    from pyspark.sql import Window as W
+
+    byt = W.partitionBy("event_type")
+    cu = daily.join(stats, "event_type").select(
+        "event_type",
+        "d",
+        F.sum(F.expr("n * y - s"))
+        .over(byt.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cusum"),
+        "n",
+        "s",
+    )
+    ranked = cu.withColumn(
+        "rn",
+        F.row_number().over(byt.orderBy(F.abs(F.col("cusum")).desc(), "d")),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            F.col("cusum").alias("cusum_scaled"),
+            F.abs(F.col("cusum")).cast("long").alias("cusum_abs"),
+            F.when(F.col("cusum") > 0, 1)
+            .when(F.col("cusum") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("direction"),
+            F.col("n").alias("n_days"),
+            F.col("s").alias("total_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- ANON2: l-diversity audit (round 8) -------------------------------------------
+
+_ANON2_L = 3
+
+
+@query(
+    "anon2_l_diversity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS bal_band,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT cents) AS BIGINT) AS distinct_sensitive,
+           count(DISTINCT cents) >= {_ANON2_L} AS l_diverse
+    FROM qi GROUP BY 1, 2, 3
+    """,
+)
+def anon2_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006) over anon1's
+    quasi-identifier groups — the attack k-anonymity misses: a group
+    can be k-large yet carry ONE sensitive value, so membership alone
+    discloses it (the homogeneity attack).  Here the sensitive
+    attribute is the exact account balance (in cents) that the QI
+    band generalizes: a group is distinct-l-diverse iff it contains
+    >= 3 different exact balances (_ANON2_L).  Groups failing the audit need
+    further generalization or suppression before the table ships as
+    structured training data — run beside anon1, same groups, same
+    cents/band exactness discipline.
+
+    Scale shape: one scan, map-side band/cents derivation, ONE
+    partial-aggregated groupBy carrying count + count(DISTINCT) —
+    output bounded by QI-space size, a broadcast-sized audit table at
+    any corpus scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)"
+            " AS BIGINT)"
+        ).alias("bal_band"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    return qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.countDistinct("cents").cast("long").alias("distinct_sensitive"),
+        (F.countDistinct("cents") >= _ANON2_L).alias("l_diverse"),
+    )

@@ -1117,7 +1117,53 @@ def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _G11_ROUNDS = 4
 
 
-def _g11_oracle() -> str:
+def lpa_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the deterministic {R}-round LPA over the support-4
+    co-presence graph; returns (pairs, symmetric edges, final labels).
+    Factored out of g11 so g12's modularity evaluation scores the
+    IDENTICAL partition (the copresence_support_pairs sharing
+    pattern)."""
+    from pyspark.sql import Window as W
+
+    pairs = copresence_support_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
+        .unionByName(
+            pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
+    for _ in range(_G11_ROUNDS):
+        cnt = (
+            edges.join(
+                labels.withColumnRenamed("u", "w"), "w"
+            )  # neighbor labels arrive at u
+            .groupBy("u", "lab")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("u").orderBy(F.desc("cnt"), "lab")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("u", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return pairs, edges, labels
+
+
+lpa_labels.__doc__ = lpa_labels.__doc__.format(R=_G11_ROUNDS)
+
+
+def _lpa_cte() -> str:
+    """Shared oracle prefix: co-presence edges + {R} unrolled LPA
+    rounds, ending at relation l{R} (u, lab)."""
     parts = [
         """
     WITH b AS MATERIALIZED (
@@ -1155,8 +1201,13 @@ def _g11_oracle() -> str:
         ) WHERE rn = 1
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _g11_oracle() -> str:
+    return (
+        _lpa_cte()
+        + f"""
     SELECT lab AS community, CAST(count(*) AS BIGINT) AS size,
            CAST(min(u) AS BIGINT) AS min_member,
            CAST(max(u) AS BIGINT) AS max_member,
@@ -1164,7 +1215,6 @@ def _g11_oracle() -> str:
     FROM l{_G11_ROUNDS}
     GROUP BY lab ORDER BY size DESC, community"""
     )
-    return "".join(parts)
 
 
 @query("g11_label_propagation", oracle=_g11_oracle())
@@ -1190,36 +1240,7 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order per vertex, so both engines converge on identical labels
     round by round; the oracle unrolls all {R} rounds as MATERIALIZED
     CTEs and replays the same argmax."""
-    from pyspark.sql import Window as W
-
-    pairs = copresence_support_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
-        .unionByName(
-            pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
-    for _ in range(_G11_ROUNDS):
-        cnt = (
-            edges.join(
-                labels.withColumnRenamed("u", "w"), "w"
-            )  # neighbor labels arrive at u
-            .groupBy("u", "lab")
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
-        labels = (
-            cnt.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("u").orderBy(F.desc("cnt"), "lab")
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .select("u", "lab")
-            .localCheckpoint(eager=True)
-        )
+    _, _, labels = lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(
@@ -1235,3 +1256,98 @@ def g11_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 g11_label_propagation.__doc__ = g11_label_propagation.__doc__.format(
     R=_G11_ROUNDS
 )
+
+
+# --- G12: modularity of the LPA partition (round 8) -----------------------------
+
+
+def _g12_oracle() -> str:
+    return (
+        _lpa_cte()
+        + f""",
+    deg AS MATERIALIZED (
+        SELECT u, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY u
+    ),
+    dc AS MATERIALIZED (
+        SELECT l.lab, CAST(sum(dg) AS BIGINT) AS d_c
+        FROM deg JOIN l{_G11_ROUNDS} l ON l.u = deg.u
+        GROUP BY 1
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+    win AS (
+        SELECT CAST(count(*) AS BIGINT) AS w
+        FROM p JOIN l{_G11_ROUNDS} a ON a.u = p.s
+               JOIN l{_G11_ROUNDS} b ON b.u = p.d
+        WHERE a.lab = b.lab
+    ),
+    ds AS (SELECT CAST(sum(d_c * d_c) AS BIGINT) AS dsq,
+                  CAST(count(*) AS BIGINT) AS n_comm FROM dc)
+    SELECT mm.m, ds.n_comm AS n_communities, win.w AS within_edges,
+           ds.dsq AS deg_sq_sum,
+           CAST(4 * mm.m * win.w - ds.dsq AS BIGINT) AS q_num,
+           CAST(4 * mm.m * mm.m AS BIGINT) AS q_den,
+           CAST((1000 * (4 * mm.m * win.w - ds.dsq))
+                // (4 * mm.m * mm.m) AS BIGINT) AS q_milli
+    FROM mm, win, ds"""
+    )
+
+
+@query("g12_modularity", oracle=_g12_oracle())
+def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of g11's LPA partition — the
+    standard partition-quality score (Newman 2004): Q = Σ_c [e_c/m −
+    (d_c/2m)²], the within-community edge fraction minus what a
+    degree-preserving random rewiring would put there; the evaluation
+    half of community detection, deciding whether g11's labels carve
+    real structure (Q > 0) or noise (Q ≈ 0).  Exactness: Q telescopes
+    to the single rational (4m·Σe_c − Σd_c²) / 4m², so the score is
+    two exact BIGINT columns (q_num, q_den) plus ONE floor division to
+    milli-units — no per-community division, no floats.  The 1000·q_num
+    product stays in BIGINT for m up to ~4.8e7 edges; beyond that the
+    exact q_num/q_den columns are the contract (the kappa1/ks1
+    cross-multiplication discipline).
+
+    Scale shape: runs on lpa_labels' output — two label semijoins of
+    the pair list (within-edge count), one degree aggregation, one
+    |communities|-row Σd_c², then 1-row arithmetic; everything keyed
+    by vertex or community, nothing global."""
+    pairs, edges, labels = lpa_labels(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("dg"))
+    dc = (
+        deg.join(labels, "u")
+        .groupBy("lab")
+        .agg(F.sum("dg").cast("long").alias("d_c"))
+    )
+    mm = pairs.agg(F.count("*").cast("long").alias("m"))
+    win = (
+        pairs.join(
+            labels.select(F.col("u").alias("s"), F.col("lab").alias("la")),
+            "s",
+        )
+        .join(
+            labels.select(F.col("u").alias("d"), F.col("lab").alias("lb")),
+            "d",
+        )
+        .where(F.col("la") == F.col("lb"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    ds = dc.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("dsq"),
+        F.count("*").cast("long").alias("n_comm"),
+    )
+    return (
+        mm.crossJoin(win)
+        .crossJoin(ds)
+        .select(
+            "m",
+            F.col("n_comm").alias("n_communities"),
+            F.col("w").alias("within_edges"),
+            F.col("dsq").alias("deg_sq_sum"),
+            F.expr("CAST(4 * m * w - dsq AS BIGINT)").alias("q_num"),
+            F.expr("CAST(4 * m * m AS BIGINT)").alias("q_den"),
+            F.expr(
+                "CAST((1000 * (4 * m * w - dsq)) div (4 * m * m)"
+                " AS BIGINT)"
+            ).alias("q_milli"),
+        )
+    )

