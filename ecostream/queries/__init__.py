@@ -131,6 +131,7 @@ _ROUND_HEAD = [
     "m6_stationary_distribution",  # Markov chain long-run state shares
     "cusum1_change_point",       # CUSUM level-shift detection per type
     "anon2_l_diversity",         # homogeneity-attack audit beside anon1
+    "seg1_rfm_segments",         # value-based RFM quintile segmentation
     # ROUND 8 re-signs — changed signed queries re-enter the head:
     "shard1_rendezvous",         # RE-SIGN: the r7 driver-red row — oracle's
                                  # moved_permille now BIGINT-cast (VERDICT #1)
@@ -173,7 +174,6 @@ _ROUND_HEAD = [
     "skew1_join_key_diagnostics",  # heavy-key skew measurement
     "roll1_weekly_from_daily",   # materialized daily rollup -> weekly serve
     "st12_stream_rollup_maintenance",  # streaming rollup merge upkeep
-    "d13_span_removal_dedup",    # repeated-span removal + doc reassembly
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)

@@ -3051,3 +3051,141 @@ def anon2_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cents").cast("long").alias("distinct_sensitive"),
         (F.countDistinct("cents") >= _ANON2_L).alias("l_diverse"),
     )
+
+
+# --- SEG1: RFM segmentation (round 8) ---------------------------------------------
+
+
+@query(
+    "seg1_rfm_segments",
+    oracle="""
+    WITH mx AS (
+        SELECT CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS mxd
+        FROM events
+    ),
+    pu AS (
+        SELECT user_id,
+               CAST(mxd - max(epoch_us(ts) // 86400000000) AS BIGINT)
+                   AS rec,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS mon
+        FROM events, mx GROUP BY user_id, mxd
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+    rs AS (
+        SELECT rec, CAST(count(*) AS BIGINT) AS m,
+               CAST(SUM(count(*)) OVER (ORDER BY rec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM pu GROUP BY rec
+    ),
+    fs AS (
+        SELECT freq, CAST(SUM(count(*)) OVER (ORDER BY freq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM pu GROUP BY freq
+    ),
+    ms AS (
+        SELECT mon, CAST(SUM(count(*)) OVER (ORDER BY mon
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM pu GROUP BY mon
+    ),
+    scored AS (
+        SELECT pu.user_id,
+               CAST(6 - ((5 * rs.cum + n.n - 1) // n.n) AS BIGINT)
+                   AS r_score,
+               CAST((5 * fs.cum + n.n - 1) // n.n AS BIGINT) AS f_score,
+               CAST((5 * ms.cum + n.n - 1) // n.n AS BIGINT) AS m_score,
+               pu.mon
+        FROM pu
+        JOIN rs ON rs.rec = pu.rec
+        JOIN fs ON fs.freq = pu.freq
+        JOIN ms ON ms.mon = pu.mon
+        CROSS JOIN n
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(CAST(sum(mon) AS BIGINT) // count(*) AS BIGINT)
+               AS avg_monetary_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994 — THE production customer-
+    segmentation primitive behind every CRM and lifecycle-marketing
+    stack): each user scored 1-5 on Recency (days since last event,
+    lower = better), Frequency (event count) and Monetary (total
+    cents), then rolled up to per-(R,F,M) segment sizes and average
+    spend — '555' champions down to '111' lost.  Scores are
+    VALUE-based ceil-rank quintiles: score(v) = ceil(5·cum(v)/n) as
+    the exact integer (5·cum + n − 1) div n, so tied values always
+    land in the same bucket in both engines (a global ntile would
+    split ties by arbitrary row order — not reproducible); recency is
+    mirrored (6 − score) so 5 is best on every axis.
+
+    Scale shape: ONE user-keyed partial-aggregated scan builds the
+    (recency, frequency, monetary) profile; each axis needs only its
+    distinct-VALUE histogram's cumulative counts (the ks1/gini prefix
+    device — windows over value tables, never user tables at
+    unbounded width... recency/frequency are calendar/activity-
+    bounded, monetary joins back value-keyed); the final rollup is a
+    <=125-group aggregation."""
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    mx = ev.agg(F.max(day).alias("mxd"))
+    pu = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "mxd")
+        .agg(
+            (F.col("mxd") - F.max(day)).cast("long").alias("rec"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("mon"),
+        )
+        .select("user_id", "rec", "freq", "mon")
+    )
+    n = pu.agg(F.count("*").cast("long").alias("n"))
+    from ..functions.prefix import with_prefix_sum
+
+    def axis_cum(col: str):
+        hist = pu.groupBy(col).agg(F.count("*").cast("long").alias("m"))
+        pre = with_prefix_sum(hist, [col], "m", out_col="pb")
+        return pre.select(
+            col, (F.col("pb") + F.col("m")).cast("long").alias("cum")
+        )
+    rs = axis_cum("rec").withColumnRenamed("cum", "rcum")
+    fs = axis_cum("freq").withColumnRenamed("cum", "fcum")
+    ms = axis_cum("mon").withColumnRenamed("cum", "mcum")
+    scored = (
+        pu.join(rs, "rec")
+        .join(fs, "freq")
+        .join(ms, "mon")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST(6 - ((5 * rcum + n - 1) div n) AS BIGINT)"
+            ).alias("r_score"),
+            F.expr("CAST((5 * fcum + n - 1) div n AS BIGINT)").alias(
+                "f_score"
+            ),
+            F.expr("CAST((5 * mcum + n - 1) div n AS BIGINT)").alias(
+                "m_score"
+            ),
+            "mon",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr(
+                "CAST(CAST(sum(mon) AS BIGINT) div count(*) AS BIGINT)"
+            ).alias("avg_monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -681,3 +681,55 @@ def test_anon2_flags_match_anon1_groups(spark):
         assert r["l_diverse"] == (r["distinct_sensitive"] >= 3)
     assert any(r["l_diverse"] for r in rows)
     assert any(not r["l_diverse"] for r in rows)
+
+
+def test_seg1_matches_pure_python_rfm(spark):
+    """Full RFM replay: profiles, value-based ceil-rank quintiles,
+    segment rollup; plus the quintile contract (scores in 1..5, ties
+    share buckets, each axis's best bucket non-empty)."""
+    from ecostream.queries.analytics import seg1_rfm_segments
+
+    rows = _duck(
+        SF_001,
+        """
+        SELECT user_id,
+               CAST(max(epoch_us(ts) // 86400000000) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        FROM '$SF/events.parquet' GROUP BY 1
+        """,
+    )
+    mxd = max(r[1] for r in rows)
+    prof = [(mxd - ld, fr, mon) for _, ld, fr, mon in rows]
+    n = len(prof)
+
+    def scores(vals):
+        order = sorted(set(vals))
+        cum, out = 0, {}
+        hist = Counter(vals)
+        for v in order:
+            cum += hist[v]
+            out[v] = (5 * cum + n - 1) // n
+        return out
+
+    rs = scores([p[0] for p in prof])
+    fs = scores([p[1] for p in prof])
+    ms = scores([p[2] for p in prof])
+    seg = defaultdict(lambda: [0, 0])
+    for rec, fr, mon in prof:
+        k = (6 - rs[rec], fs[fr], ms[mon])
+        seg[k][0] += 1
+        seg[k][1] += mon
+    expect = {
+        k: (cnt, tot // cnt) for k, (cnt, tot) in seg.items()
+    }
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (
+            r["n_users"], r["avg_monetary_cents"]
+        )
+        for r in seg1_rfm_segments(spark, SF_001).collect()
+    }
+    assert got == expect
+    for (r5, f5, m5v) in got:
+        assert 1 <= r5 <= 5 and 1 <= f5 <= 5 and 1 <= m5v <= 5
+    assert any(k[1] == 5 for k in got) and any(k[2] == 5 for k in got)
