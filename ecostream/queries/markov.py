@@ -464,14 +464,23 @@ def m4c_dtmc_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     The adjacency comes from the RAW pair counts (cnt ≥ 1), not m3's
     6-decimal-rounded probabilities — a rare transition whose empirical
     probability rounds to 0.000000 is still an edge to the oracle, and
-    must be one to the engine too."""
+    must be one to the engine too.
+
+    The driver sees only the DISTINCT (cur, nxt) edge set — at most
+    |states|² ≤ 25 rows after a partial-aggregated exchange — never the
+    per-event pair stream (which is O(events))."""
     from ..markov_analysis import classify_states
 
-    pair_rows = m1_transition_pairs(spark, sf_dir).collect()
+    pair_rows = (
+        m1_transition_pairs(spark, sf_dir)
+        .where(F.col("nxt").isNotNull())
+        .select("cur", "nxt")
+        .distinct()
+        .collect()
+    )
     probs: dict[str, dict[str, float]] = {}
     for r in pair_rows:
-        if r["nxt"] is not None:
-            probs.setdefault(r["cur"], {})[r["nxt"]] = 1.0  # positive weight
+        probs.setdefault(r["cur"], {})[r["nxt"]] = 1.0  # positive weight
     result = classify_states(probs)
     out_rows = [
         (state, info["class"] == "recurrent")
