@@ -3189,3 +3189,572 @@ def seg1_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --- MW1: Mann-Whitney U rank-sum test (round 9) ---------------------------------
+
+
+@query(
+    "mw1_mann_whitney",
+    oracle="""
+    WITH ev AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS s2
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pts AS (
+        SELECT value, CAST(sum(s1) AS BIGINT) AS c1,
+               CAST(sum(s2) AS BIGINT) AS c2
+        FROM ev GROUP BY value
+    ),
+    cum AS (
+        SELECT value, c1, c2, c1 + c2 AS c,
+               CAST(COALESCE(SUM(c1 + c2) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cb
+        FROM pts
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM pts),
+    r AS (SELECT CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2
+          FROM cum)
+    SELECT n1, n2,
+           r1x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS u2_x2,
+           CAST((1000000 * (r1x2 - n1 * (n1 + 1))) // (2 * n1 * n2)
+                AS BIGINT) AS auc_micro
+    FROM tot, r
+    """,
+)
+def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between the purchase and view value
+    distributions — the rank-based two-sample test beside ks1's CDF
+    sup: U detects stochastic dominance (one sample tending larger)
+    where KS detects any shape difference.  Ties get midranks; to keep
+    everything integer the DOUBLED rank-sum is used: a distinct value
+    with c tied observations after cb earlier ones contributes
+    (2·cb + c + 1) per observation (twice its midrank), so
+    2·R1 = Σ c1·(2·cb + c + 1) and 2·U1 = 2·R1 − n1·(n1+1) are exact
+    BIGINTs.  auc_micro = U1/(n1·n2) in floor-micro units is the
+    common-language effect size P(X1 > X2) + ½·P(X1 = X2) — 500000
+    means no dominance.
+
+    Scale shape: identical to ks1 — one scan tags samples map-side,
+    ONE partial-aggregated groupBy collapses the log to the distinct-
+    VALUE table, the cumulative count rides functions/prefix.py's
+    partition-parallel prefix sum (never a single-partition window),
+    and the rank-sum is an ordinary aggregate."""
+    from ..functions.prefix import with_prefix_sum
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("c2"),
+    ).withColumn("c", (F.col("c1") + F.col("c2")).cast("long"))
+    cum = with_prefix_sum(pts, ["value"], "c", out_col="cb")
+    r = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cb") + F.col("c") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    return r.select(
+        "n1",
+        "n2",
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        (
+            2 * F.col("n1") * F.col("n2")
+            - (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        )
+        .cast("long")
+        .alias("u2_x2"),
+        F.expr(
+            "CAST((1000000 * (r1x2 - n1 * (n1 + 1))) div (2 * n1 * n2)"
+            " AS BIGINT)"
+        ).alias("auc_micro"),
+    )
+
+
+# --- WELCH1: unequal-variance t-test (round 9) -----------------------------------
+
+
+@query(
+    "welch1_ttest",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               event_type = 'purchase' AS g1
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN g1 THEN cents * cents ELSE 0 END)
+                    AS BIGINT) AS q1,
+               CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g1 THEN 0 ELSE cents END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN g1 THEN 0 ELSE cents * cents END)
+                    AS BIGINT) AS q2
+        FROM ev
+    ),
+    d AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff,
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / CAST(n1 - 1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS vn1,
+               (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / CAST(n2 - 1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS vn2
+        FROM s
+    )
+    SELECT n1, n2,
+           CAST(round(mdiff * 10.0) AS BIGINT) AS mean_diff_milli_cents,
+           CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT)
+               AS t_milli,
+           CAST(round(1000.0 * (vn1 + vn2) * (vn1 + vn2)
+                / (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)
+                   + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE))) AS BIGINT)
+               AS df_milli,
+           abs(CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT))
+               >= 1960 AS significant
+    FROM d
+    """,
+)
+def welch1_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between purchase and view value
+    (in cents) — the parametric member of the two-sample family
+    (ks1 = distribution-free CDF, mw1 = rank, welch1 = means), and the
+    default A/B-test statistic when variances differ.  t and the
+    Welch–Satterthwaite df come from the three exact BIGINT
+    aggregates per group (n, Σx, Σx²); every double op downstream is
+    the same exactly-rounded IEEE sequence in both engines (the sq1
+    determinism device), so the milli-quantized statistics are
+    bit-identical cross-engine with no epsilon.
+
+    mean_diff is reported in MILLI-CENTS (×10 of the cent difference)
+    so the driver hash sees a non-degenerate integer even when the
+    two uniform samples differ by fractions of a cent.
+
+    Scale shape: ONE scan, ONE partial-aggregated 6-sum collapse to a
+    single row — the cheapest possible distributed test; nothing
+    downstream of the scan exceeds one row."""
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+    ).selectExpr(
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "event_type = 'purchase' AS g1",
+    )
+    s = ev.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g1"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("g1"), F.col("cents") * F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("g1"), 0).otherwise(F.col("cents") * F.col("cents"))
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    d = s.selectExpr(
+        "n1",
+        "n2",
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff",
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE) AS vn1",
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE) AS vn2",
+    )
+    return d.selectExpr(
+        "n1",
+        "n2",
+        "CAST(round(mdiff * 10.0) AS BIGINT) AS mean_diff_milli_cents",
+        "CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT) AS t_milli",
+        "CAST(round(1000.0 * (vn1 + vn2) * (vn1 + vn2)"
+        " / (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)"
+        "    + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE))) AS BIGINT) AS df_milli",
+        "abs(CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT))"
+        " >= 1960 AS significant",
+    )
+
+
+# --- SRM1: sample-ratio-mismatch audit (round 9) ---------------------------------
+
+_SRM1_VARIANTS = 3
+_SRM1_CHI2_CRIT_MICRO = 5_991_465  # chi-square 0.05 critical value, df=2
+
+
+@query(
+    "srm1_sample_ratio_mismatch",
+    oracle=f"""
+    WITH units AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    asg AS (
+        SELECT user_id,
+               ('0x' || substr(md5('srm1:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::UBIGINT::BIGINT
+                   % {_SRM1_VARIANTS} AS variant
+        FROM units
+    ),
+    obs AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_units
+        FROM asg GROUP BY variant
+    ),
+    tot0 AS (SELECT CAST(sum(n_units) AS BIGINT) AS n FROM obs),
+    dev AS (
+        SELECT ({_SRM1_VARIANTS} * n_units - (SELECT n FROM tot0)) AS d
+        FROM obs
+    ),
+    tot AS (
+        SELECT (SELECT n FROM tot0) AS n,
+               CAST((1000000 * (SELECT CAST(sum(d * d) AS BIGINT) FROM dev))
+                    // ({_SRM1_VARIANTS} * (SELECT n FROM tot0)) AS BIGINT)
+                   AS chi2_micro
+    )
+    SELECT o.variant, o.n_units, t.n, t.chi2_micro,
+           t.chi2_micro >= {_SRM1_CHI2_CRIT_MICRO} AS srm_flag
+    FROM obs o CROSS JOIN tot t
+    ORDER BY o.variant
+    """,
+)
+def srm1_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the first gate every experiment
+    platform runs before reading a single metric: hash users into
+    {v} equal-expected variants (md5 assignment, the dp1/cuped
+    device) and chi-square-test the observed unit counts against the
+    equal split.  A triggered flag means randomization is broken and
+    downstream effects (cuped1, welch1) are untrustworthy.  The
+    statistic is exact: with expected n/{v} per cell,
+    chi2 = Σ({v}·obs − n)² / ({v}·n), kept integer in floor-micro
+    units; the flag compares against the df={df} 5% critical value.
+
+    Scale shape: one distinct-shuffle collapses events to units
+    (partial aggregation map-side), the assignment is a pure map, the
+    tally is a {v}-row aggregate, and the chi-square is computed on
+    that model-sized table."""
+    units = _events(spark, sf_dir).select("user_id").distinct()
+    asg = units.select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('srm1:', "
+            "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_SRM1_VARIANTS}"
+        ).alias("variant")
+    )
+    obs = asg.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_units")
+    )
+    v = _SRM1_VARIANTS
+    tot = obs.agg(F.sum("n_units").cast("long").alias("n"))
+    dev = obs.crossJoin(F.broadcast(tot)).select(
+        ((v * F.col("n_units") - F.col("n"))
+         * (v * F.col("n_units") - F.col("n"))).alias("dev2"),
+        "n",
+    )
+    chi2 = dev.groupBy("n").agg(
+        F.expr(
+            f"CAST((1000000 * sum(dev2)) div ({v} * n) AS BIGINT)"
+        ).alias("chi2_micro")
+    )
+    return (
+        obs.crossJoin(F.broadcast(chi2))
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            "n_units",
+            "n",
+            "chi2_micro",
+            (F.col("chi2_micro") >= _SRM1_CHI2_CRIT_MICRO).alias("srm_flag"),
+        )
+        .orderBy("variant")
+    )
+
+
+srm1_sample_ratio_mismatch.__doc__ = srm1_sample_ratio_mismatch.__doc__.format(
+    v=_SRM1_VARIANTS, df=_SRM1_VARIANTS - 1
+)
+
+
+# --- PERM1: randomization test for a mean difference (round 9) -------------------
+
+_P1_PERMS = 32
+
+
+@query(
+    "perm1_randomization_test",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_type = 'purchase' AS g1
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    obs AS (
+        SELECT CAST(sum(CASE WHEN g1 THEN cents ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(sum(CASE WHEN g1 THEN 0 ELSE cents END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS DOUBLE)
+                   AS obs_diff
+        FROM ev
+    ),
+    drawn AS (
+        SELECT p.p, e.cents,
+               ('0x' || substr(md5('perm1:' || CAST(e.event_id AS VARCHAR)
+                               || ':' || CAST(p.p AS VARCHAR)),
+                               1, 8))::UBIGINT::BIGINT % 2 AS side
+        FROM ev e, (SELECT unnest(range(0, {_P1_PERMS})) AS p) p
+    ),
+    reps AS (
+        SELECT p,
+               CAST(sum(CASE WHEN side = 0 THEN cents ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+               - CAST(sum(CASE WHEN side = 1 THEN cents ELSE 0 END)
+                      AS DOUBLE)
+                   / CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS diff
+        FROM drawn GROUP BY p
+    )
+    SELECT CAST({_P1_PERMS} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(r.diff) >= abs(o.obs_diff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           CAST((1000 * (sum(CASE WHEN abs(r.diff) >= abs(o.obs_diff)
+                                  THEN 1 ELSE 0 END) + 1))
+                // ({_P1_PERMS} + 1) AS BIGINT) AS p_permille,
+           CAST(round(o.obs_diff * 10000) AS BIGINT)
+               AS obs_diff_deci_milli
+    FROM reps r CROSS JOIN obs o
+    GROUP BY o.obs_diff
+    """,
+)
+def perm1_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation-style) test for the purchase-vs-view
+    mean difference: {p} pseudo-random re-splits of the pooled sample
+    (row → side by md5(event_id, p) parity — the bootstrap1/Chamandy
+    one-pass device, which preserves group sizes in expectation and is
+    exact under the H0 exchangeability it tests), each re-split's mean
+    difference compared against the observed one; the p-value is the
+    add-one-smoothed fraction of re-splits at least as extreme.  The
+    distribution-free companion to welch1: no variance model, no
+    normality assumption — the test THE DATA runs on itself.
+
+    Exactness: group sums and counts are exact BIGINTs; each diff is
+    the identical exactly-rounded IEEE sequence in both engines, and
+    the |diff| >= |obs| comparisons are on bit-identical doubles (the
+    sq1 device), so n_ge is cross-engine exact.
+
+    Scale shape: ONE scan explodes each row into {p} (perm, side)
+    tags map-side; partial aggregation collapses every partition to
+    {p} rows before the single exchange; the comparison runs on a
+    {p}-row model table.  Cost is {p} md5s per row of pure compute —
+    bootstrap1's exact profile."""
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+    ).selectExpr(
+        "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "event_type = 'purchase' AS g1",
+    )
+    obs = ev.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN g1 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " - CAST(sum(CASE WHEN g1 THEN 0 ELSE cents END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS DOUBLE)"
+        ).alias("obs_diff")
+    )
+    drawn = ev.select(
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_P1_PERMS - 1})")).alias("p"),
+        "event_id",
+    ).select(
+        "p",
+        "cents",
+        F.expr(
+            "CAST(conv(substring(md5(concat('perm1:', "
+            "CAST(event_id AS STRING), ':', CAST(p AS STRING))), 1, 8), "
+            "16, 10) AS BIGINT) % 2"
+        ).alias("side"),
+    )
+    reps = drawn.groupBy("p").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN side = 0 THEN cents ELSE 0 END) AS DOUBLE)"
+            " / CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " - CAST(sum(CASE WHEN side = 1 THEN cents ELSE 0 END)"
+            "   AS DOUBLE)"
+            " / CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("diff")
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.lit(_P1_PERMS).cast("long").alias("n_perms"),
+            F.sum(
+                (F.abs(F.col("diff")) >= F.abs(F.col("obs_diff"))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_ge"),
+        )
+        .select(
+            "n_perms",
+            "n_ge",
+            F.expr(
+                f"CAST((1000 * (n_ge + 1)) div ({_P1_PERMS} + 1) AS BIGINT)"
+            ).alias("p_permille"),
+            F.expr(
+                "CAST(round(obs_diff * 10000) AS BIGINT)"
+            ).alias("obs_diff_deci_milli"),
+        )
+    )
+
+
+perm1_randomization_test.__doc__ = perm1_randomization_test.__doc__.format(
+    p=_P1_PERMS
+)
+
+
+# --- ACF1: autocorrelation of the daily revenue series (round 9) ----------------
+
+_ACF1_MAX_LAG = 7
+
+
+@query(
+    "acf1_autocorrelation",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS s FROM daily),
+    dev AS (
+        SELECT day, CAST((SELECT n FROM tot) * x - (SELECT s FROM tot)
+                         AS HUGEINT) AS d
+        FROM daily
+    ),
+    den AS (SELECT CAST(sum(d * d) AS HUGEINT) AS den FROM dev),
+    lagged AS (
+        SELECT l.lag, a.d AS d0, b.d AS dk
+        FROM (SELECT unnest(range(1, {_ACF1_MAX_LAG + 1})) AS lag) l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.day = a.day + l.lag
+    ),
+    num AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(d0 * dk) AS HUGEINT) AS num
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(round(1000000.0 * (CAST(num AS DOUBLE)
+                / CAST((SELECT den FROM den) AS DOUBLE))) AS BIGINT)
+               AS r_micro
+    FROM num ORDER BY lag
+    """,
+)
+def acf1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..{k} — the seasonality detector that tells a forecaster (j11)
+    and an anomaly gate (ts1) WHICH period structure the series
+    carries: r_k = Σ(x_t−m)(x_t+k−m) / Σ(x_t−m)², the standard
+    full-series-denominator estimator.  Everything is anchored in
+    integers: with S = Σx and n days, the deviation is the exact
+    integer n·x_t − S (mean-centering cross-multiplied by n), products
+    are summed in DECIMAL(38,0)/HUGEINT so no float ever enters an
+    order-dependent sum, and r lands as one exactly-rounded double
+    division per lag, micro-quantized (the sq1 device).
+
+    Scale shape: ONE scan partial-aggregates the event log to the
+    daily table (time dimension — model-sized at ANY corpus scale:
+    a century is 36,525 rows); the {k} lag self-joins and the moment
+    sums all run on that table.  The heavy lifting is the first
+    groupBy; everything after is bounded by calendar length."""
+    # One scan builds the calendar-sized daily table; localCheckpoint
+    # stops the four downstream consumers (tot/dev/den/num) from each
+    # re-running the event scan (the bpe1 model-reuse discipline).
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("den")
+    )
+    lags = spark.range(1, _ACF1_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = dev.crossJoin(F.broadcast(lags))
+    b = dev.select(F.col("day").alias("bday"), F.col("d").alias("dk"))
+    lagged = a.join(
+        b, F.col("bday") == F.col("day") + F.col("lag")
+    )
+    num = lagged.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("d") * F.col("dk")).cast("decimal(38,0)").alias("num"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(
+                "CAST(round(1000000.0 * (CAST(num AS DOUBLE)"
+                " / CAST(den AS DOUBLE))) AS BIGINT)"
+            ).alias("r_micro"),
+        )
+        .orderBy("lag")
+    )
+
+
+acf1_autocorrelation.__doc__ = acf1_autocorrelation.__doc__.format(
+    k=_ACF1_MAX_LAG
+)
