@@ -1351,3 +1351,138 @@ def g12_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_milli"),
         )
     )
+
+
+# --- G13: HITS hubs & authorities (round 9) --------------------------------------
+#
+# Kleinberg's HITS on the bipartite user → event-type interaction
+# graph: authorities = event types that attract the most activity
+# from the most-active users, hubs = users whose activity concentrates
+# on authoritative types.  Like g11's LPA and m6's power iteration,
+# the declared semantics are a FIXED number of synchronous rounds with
+# every iterate floor-quantized to integer micro-units (normalized by
+# the max instead of the L2 norm — same fixpoint direction, no sqrt),
+# which is what lets the DuckDB oracle replay every round exactly.
+
+_G13_ROUNDS = 2  # a1 -> h1 -> a2: two authority waves, one hub wave
+
+
+@query(
+    "g13_hits_authorities",
+    oracle="""
+    WITH w AS MATERIALIZED (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+        FROM events GROUP BY user_id, event_type
+    ),
+    a1r AS MATERIALIZED (
+        SELECT event_type,
+               CAST(sum(CAST(w AS HUGEINT) * 1000000) AS HUGEINT) AS ar
+        FROM w GROUP BY event_type
+    ),
+    a1 AS (
+        SELECT event_type,
+               CAST((1000000 * ar) // (SELECT max(ar) FROM a1r) AS BIGINT)
+                   AS a
+        FROM a1r
+    ),
+    h1r AS MATERIALIZED (
+        SELECT w.user_id,
+               CAST(sum(CAST(w.w AS HUGEINT) * a1.a) AS HUGEINT) AS hr
+        FROM w JOIN a1 USING (event_type) GROUP BY w.user_id
+    ),
+    h1 AS MATERIALIZED (
+        SELECT user_id,
+               CAST((1000000 * hr) // (SELECT max(hr) FROM h1r) AS BIGINT)
+                   AS h
+        FROM h1r
+    ),
+    a2r AS MATERIALIZED (
+        SELECT w.event_type,
+               CAST(sum(CAST(w.w AS HUGEINT) * h1.h) AS HUGEINT) AS ar,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM w JOIN h1 USING (user_id) GROUP BY w.event_type
+    )
+    SELECT event_type,
+           CAST((1000000 * ar) // (SELECT max(ar) FROM a2r) AS BIGINT)
+               AS auth_micro,
+           n_users
+    FROM a2r ORDER BY event_type
+    """,
+)
+def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities over the user → event-type bipartite graph
+    after {k} fixed synchronous rounds (a¹ from uniform hubs → hubs h¹
+    → a²) — which event types the platform's most-engaged users
+    concentrate on, the mutual-reinforcement ranking PageRank (g5)
+    can't express on a bipartite interaction graph.  Every iterate is
+    floor-quantized to micro-units with max-normalization (the
+    m6/surv1 integer-iteration convention; HUGEINT/DECIMAL(38,0) sums
+    so no product can wrap at any corpus scale), so all rounds are
+    exact cross-engine.
+
+    Scale shape: ONE event scan collapses to the (user, type) weight
+    table by partial-aggregated groupBy; each authority wave is an
+    8-row aggregate; the hub wave joins the weight table with the
+    BROADCAST 8-row authority model and partial-aggregates per user —
+    the per-iteration shuffle carries one row per (user, type), never
+    raw events.  The weight table is localCheckpointed once and feeds
+    all rounds (the bpe1 model-reuse discipline)."""
+    w = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    a1r = w.groupBy("event_type").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("ar")
+    )
+    m1 = a1r.agg(F.max("ar").alias("mx"))
+    a1 = a1r.crossJoin(F.broadcast(m1)).select(
+        "event_type",
+        F.expr("CAST((1000000 * ar) div mx AS BIGINT)").alias("a"),
+    )
+    h1r = (
+        w.join(F.broadcast(a1), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("a"))
+            .cast("decimal(38,0)")
+            .alias("hr")
+        )
+        .localCheckpoint(eager=True)
+    )
+    m2 = h1r.agg(F.max("hr").alias("mx"))
+    h1 = h1r.crossJoin(F.broadcast(m2)).select(
+        "user_id",
+        F.expr("CAST((1000000 * hr) div mx AS BIGINT)").alias("h"),
+    )
+    a2r = (
+        w.join(h1, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("h"))
+            .cast("decimal(38,0)")
+            .alias("ar"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m3 = a2r.agg(F.max("ar").alias("mx"))
+    return (
+        a2r.crossJoin(F.broadcast(m3))
+        .select(
+            "event_type",
+            F.expr("CAST((1000000 * ar) div mx AS BIGINT)").alias(
+                "auth_micro"
+            ),
+            "n_users",
+        )
+        .orderBy("event_type")
+    )
+
+
+g13_hits_authorities.__doc__ = g13_hits_authorities.__doc__.format(
+    k=_G13_ROUNDS
+)

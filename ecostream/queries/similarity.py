@@ -2624,3 +2624,120 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("margin_micro"),
         (F.col("cos_micro") >= _DECON2_THR_MICRO).alias("is_flagged"),
     ).orderBy("doc_id")
+
+
+# --- COV1: embedding covariance / correlation matrix (round 9) ------------------
+
+
+@query(
+    "cov1_embedding_covariance",
+    oracle="""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    flat AS MATERIALIZED (
+        SELECT vec_id, UNNEST(q) AS qv, UNNEST(range(0, len(q))) AS i
+        FROM q
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.qv * b.qv) AS BIGINT) AS m,
+               CAST(sum(a.qv) AS BIGINT) AS si,
+               CAST(sum(b.qv) AS BIGINT) AS sj
+        FROM flat a JOIN flat b ON b.vec_id = a.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+    ),
+    diag AS (
+        SELECT i, CAST(n * m - si * si AS BIGINT) AS v
+        FROM pairs WHERE i = j
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.n,
+           CAST(p.n * p.m - p.si * p.sj AS BIGINT) AS cov_num,
+           CASE WHEN di.v > 0 AND dj.v > 0
+                THEN CAST(round(1000000.0
+                     * (CAST(p.n * p.m - p.si * p.sj AS DOUBLE)
+                        / sqrt(CAST(di.v AS DOUBLE)
+                               * CAST(dj.v AS DOUBLE)))) AS BIGINT)
+                ELSE 0 END AS corr_micro
+    FROM pairs p JOIN diag di ON di.i = p.i JOIN diag dj ON dj.i = p.j
+    ORDER BY i, j
+    """,
+)
+def cov1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance/correlation matrix — the one-pass moment
+    precursor to PCA, whitening, and dimension-collapse audits (an
+    embedding column whose dimensions correlate strongly wastes index
+    bytes; MRL truncation (mrl1) assumes leading-dim energy this
+    matrix measures).  Components quantize to exact milli integers;
+    per (i ≤ j) cell the moments n, Σqi, Σqj, Σqiqj are exact BIGINT
+    sums, the covariance numerator is the cross-multiplied
+    n·Σqiqj − Σqi·Σqj (no mean ever divides), and Pearson r lands as
+    ONE exactly-rounded double division per cell (the sq1 device),
+    micro-quantized with a zero-variance guard.
+
+    Scale shape: the dim² expansion happens ENTIRELY map-side — each
+    vector row flat-maps to its dim·(dim+1)/2 upper-triangle terms
+    in-row (posexplode + slice: no self-join, no shuffle of vector
+    rows) — and partial aggregation collapses every partition to the
+    2,080-cell model before the single exchange.  The output is the
+    dim² model table at any corpus scale; a 100 TB run shuffles
+    2,080 partial rows per partition, nothing else."""
+    e = _emb(spark, sf_dir).select(
+        F.expr("transform(v, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "q"
+        )
+    )
+    ii = e.select(F.posexplode("q").alias("i", "qi"), "q")
+    pairs_raw = ii.select(
+        "i",
+        "qi",
+        F.posexplode(F.expr("slice(q, i + 1, size(q) - i)")).alias(
+            "jj", "qj"
+        ),
+    ).select(
+        "i",
+        (F.col("i") + F.col("jj")).alias("j"),
+        "qi",
+        "qj",
+    )
+    pairs = pairs_raw.groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("qi") * F.col("qj")).cast("long").alias("m"),
+        F.sum("qi").cast("long").alias("si"),
+        F.sum("qj").cast("long").alias("sj"),
+    )
+    diag = pairs.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di"),
+        (F.col("n") * F.col("m") - F.col("si") * F.col("si"))
+        .cast("long")
+        .alias("v"),
+    )
+    d1 = diag.select(F.col("di").alias("d1i"), F.col("v").alias("vi"))
+    d2 = diag.select(F.col("di").alias("d2i"), F.col("v").alias("vj"))
+    return (
+        pairs.join(F.broadcast(d1), pairs["i"] == d1["d1i"])
+        .join(F.broadcast(d2), pairs["j"] == d2["d2i"])
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "n",
+            (F.col("n") * F.col("m") - F.col("si") * F.col("sj"))
+            .cast("long")
+            .alias("cov_num"),
+            F.when(
+                (F.col("vi") > 0) & (F.col("vj") > 0),
+                F.expr(
+                    "CAST(round(1000000.0"
+                    " * (CAST(n * m - si * sj AS DOUBLE)"
+                    "    / sqrt(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE))))"
+                    " AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("corr_micro"),
+        )
+        .orderBy("i", "j")
+    )

@@ -3589,3 +3589,91 @@ def eval8_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 eval8_bleu.__doc__ = eval8_bleu.__doc__.format(cap=_EVAL6_CAP)
+
+
+# --- NOV1: per-source n-gram novelty audit (round 9) ----------------------------
+
+
+@query(
+    "nov1_source_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source, g FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 7, 1) + 1),
+                i -> list_aggregate(string_split(text, ' ')[i:i+7],
+                                    'string_agg', ' ')
+            ))) AS g
+            FROM documents
+        )
+    ),
+    df AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_sources
+        FROM sh GROUP BY g
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exclusive,
+           CAST((1000 * sum(CASE WHEN df.n_sources = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_permille
+    FROM sh s JOIN df ON df.g = s.g
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def nov1_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY audit — the data-value side of the
+    contamination coin (t9 asks "does my corpus leak the benchmark?",
+    nov1 asks "what does each source contribute that nothing else
+    does?"): for every source, the fraction of its distinct 8-grams
+    found in NO other source.  A near-zero row is a redundant feed a
+    curator can drop without losing coverage; a high row is
+    irreplaceable.  The mixture tuners (mix1/mix2, ql1) consume
+    exactly this signal.
+
+    Scale shape: one scan explodes documents to (source, gram)
+    map-side with the in-row array_distinct (t9's shape), ONE
+    distinct-shuffle on the pair, one gram-keyed partial-aggregated
+    count for the cross-source document frequency, and a gram-keyed
+    join back — all linear in distinct grams; the final per-source
+    rollup is a 20-row aggregate.  (t9's broadcast trick doesn't
+    apply: BOTH sides here are the full corpus, so the join shuffles
+    on the gram key — at 100 TB this is the same co-partitioned
+    equi-join every dedup stage runs.)"""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 7, 1)),"
+                    " i -> concat_ws(' ', slice(toks, i, 8)))"
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    df = grams.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_sources")
+    )
+    return (
+        grams.join(df, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("long"))
+            .cast("long")
+            .alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_exclusive",
+            F.expr("CAST((1000 * n_exclusive) div n_grams AS BIGINT)").alias(
+                "novelty_permille"
+            ),
+        )
+        .orderBy("source")
+    )

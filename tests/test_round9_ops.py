@@ -78,3 +78,143 @@ def test_decon2_planted_paraphrase_recall(spark, tmp_path):
     # negative margins (the audit evidence)
     clean = [r for r in rows if not r["is_flagged"]]
     assert clean and all(r["margin_micro"] < 0 for r in clean)
+
+
+def test_mw1_detects_planted_shift(spark, tmp_path):
+    """A planted location shift (view values ~ purchase + 50) must push
+    the common-language effect size far below 500000 (purchase tends
+    SMALLER), and U1 + U2 must always equal 2*n1*n2 (doubled units)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.analytics import mw1_mann_whitney
+
+    n = 400
+    rows = []
+    for i in range(n):
+        rows.append((i, "purchase", float(10 + i % 40)))
+        rows.append((n + i, "view", float(60 + i % 40)))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000 + i for i in range(2 * n)], pa.timestamp("us")),
+                "user_id": pa.array([r[0] % 7 for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    r = mw1_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert r["u1_x2"] + r["u2_x2"] == 2 * r["n1"] * r["n2"]
+    assert r["auc_micro"] < 100_000  # purchases are stochastically smaller
+
+
+def test_g13_dominant_type_gets_full_authority(spark, tmp_path):
+    """The max-normalized top authority is exactly 1e6, and a type
+    touched only by low-activity users ranks below one favored by the
+    heavy hitters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.graph import g13_hits_authorities
+
+    rows = []
+    eid = 0
+    # heavy users 0..4: 20 events each on type 'hot'
+    for u in range(5):
+        for _ in range(20):
+            rows.append((eid, u, "hot")); eid += 1
+    # the same heavy users also touch 'warm' a little
+    for u in range(5):
+        rows.append((eid, u, "warm")); eid += 1
+    # light users 10..29: one 'cold' event each
+    for u in range(10, 30):
+        rows.append((eid, u, "cold")); eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000 + r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {r["event_type"]: r["auth_micro"]
+           for r in g13_hits_authorities(spark, str(tmp_path)).collect()}
+    assert out["hot"] == 1_000_000
+    assert out["warm"] > out["cold"]
+
+
+def test_cov1_diagonal_and_symmetric_signs(spark, tmp_path):
+    """Diagonal correlation is exactly 1e6; a planted perfectly
+    anti-correlated dimension pair lands at -1e6."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecostream.queries.similarity import cov1_embedding_covariance
+
+    rng = np.random.default_rng(3)
+    n, dim = 50, 4
+    v = rng.standard_normal((n, dim))
+    v[:, 1] = -v[:, 0]  # dim 1 = -dim 0: corr exactly -1
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, row)) for row in v],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = {(r["i"], r["j"]): r["corr_micro"]
+           for r in cov1_embedding_covariance(spark, str(tmp_path)).collect()}
+    assert len(out) == dim * (dim + 1) // 2
+    for i in range(dim):
+        assert out[(i, i)] == 1_000_000
+    assert out[(0, 1)] == -1_000_000
+
+
+def test_s13_compaction_rewrites_only_flagged_files(spark):
+    """Physical MOR property: after the declared query runs, the
+    compacted commit contains ONLY the flagged file's partitions, its
+    rows carry no deleted ids, and the base files are untouched."""
+    import os
+
+    from ecostream.queries.storage_queries import (
+        _workdir,
+        s13_deletion_vector_read,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["file_id"]: r for r in
+            s13_deletion_vector_read(spark, sf_dir).collect()}
+    flagged = [fid for fid, r in rows.items() if r["compacted"]]
+    assert flagged == [2]
+    root = _workdir("s13_dv")
+    comp_parts = [
+        d for d in os.listdir(os.path.join(root, "compacted"))
+        if d.startswith("file_id=")
+    ]
+    assert comp_parts == ["file_id=2"]
+    base_parts = sorted(
+        d for d in os.listdir(os.path.join(root, "base"))
+        if d.startswith("file_id=")
+    )
+    assert base_parts == [f"file_id={i}" for i in range(4)]
+    comp = spark.read.parquet(os.path.join(root, "compacted"))
+    dv = spark.read.parquet(os.path.join(root, "dv"))
+    leaked = comp.join(dv, ["file_id", "event_id"]).count()
+    assert leaked == 0
+    # n_live + n_deleted == n_base per file (no row lost or duplicated)
+    for r in rows.values():
+        assert r["n_live"] + r["n_deleted"] == r["n_base"]
