@@ -1014,7 +1014,9 @@ g9_kcore_peel.__doc__ = g9_kcore_peel.__doc__.format(
 )
 
 
-# --- G10: common-neighbor link prediction (round 8) ----------------------------
+# --- G10: common-neighbor link prediction (round 8; hub cap round 9) ------------
+
+_G10_HUB_CAP = 128  # wedge-formation adjacency cap per center vertex
 
 
 @query(
@@ -1036,9 +1038,18 @@ g9_kcore_peel.__doc__ = g9_kcore_peel.__doc__.format(
     e AS MATERIALIZED (
         SELECT s AS u, d AS w FROM p UNION ALL SELECT d, s FROM p
     ),
+    ec AS MATERIALIZED (
+        SELECT u, w FROM (
+            SELECT u, w, row_number() OVER (
+                PARTITION BY w
+                ORDER BY md5(CAST(w AS VARCHAR) || ':'
+                             || CAST(u AS VARCHAR)), u
+            ) AS rk FROM e
+        ) WHERE rk <= {_G10_HUB_CAP}
+    ),
     cn AS (
-        SELECT e1.u AS u, e2.w AS v, CAST(count(*) AS BIGINT) AS n_common
-        FROM e e1 JOIN e e2 ON e1.w = e2.u AND e1.u < e2.w
+        SELECT e1.u AS u, e2.u AS v, CAST(count(*) AS BIGINT) AS n_common
+        FROM ec e1 JOIN ec e2 ON e1.w = e2.w AND e1.u < e2.u
         GROUP BY 1, 2
     ),
     nonedge AS (
@@ -1062,22 +1073,50 @@ def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly g9's edge set (shared builder, so the two queries describe
     one graph).
 
-    Scale shape: the wedge join shuffles edges twice on user keys and
-    partial-aggregates wedge counts; degree skew is the g6-triangles
-    caveat (a hub's wedges are quadratic in its degree — production
-    caps or samples hub neighborhoods; this graph's community
-    structure bounds degrees); the anti-join is edge-keyed; the final
-    top-20 is TakeOrderedAndProject, never a global sort."""
+    HUB CAP (round 9, VERDICT r8 #6): each wedge CENTER contributes
+    wedges only from its {cap} md5-lowest neighbors — the documented
+    production mitigation for degree skew, now part of the declared
+    (and oracle-replayed) semantics.  The stress harness's planted
+    scale-proportional hub measured the caveat before the cap landed:
+    at ×10 one hub of degree 292 (58× the median of 5) contributed
+    85,264 of 163,476 wedge rows — 52% of the join's volume from one
+    vertex, growing ∝ mult² while everything else grows linearly.
+    The cap bounds any vertex's wedge contribution at {cap}²,
+    restoring linear volume; where every degree is below the cap
+    (e.g. the sf0.01 gate corpus, max degree 17) the result is
+    IDENTICAL to the uncapped count, and above it the score is the
+    standard deterministic-truncation lower bound.
+
+    Scale shape: the cap is one rank-filter window on the edge list
+    (edge-keyed shuffle, linear); the wedge join shuffles capped
+    edges once on the center key and partial-aggregates wedge counts;
+    the anti-join is edge-keyed; the final top-20 is
+    TakeOrderedAndProject, never a global sort."""
     pairs = copresence_support_pairs(spark, sf_dir).localCheckpoint(
         eager=True
     )
     edges = pairs.select(F.col("s").alias("u"), F.col("d").alias("w")).unionByName(
         pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
     )
-    e1 = edges.select(F.col("u"), F.col("w"))
-    e2 = edges.select(F.col("u").alias("w2u"), F.col("w").alias("v"))
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("w").orderBy(
+        F.md5(
+            F.concat(
+                F.col("w").cast("string"), F.lit(":"), F.col("u").cast("string")
+            )
+        ),
+        "u",
+    )
+    ec = (
+        edges.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _G10_HUB_CAP)
+        .drop("rk")
+    )
+    e1 = ec.select(F.col("u"), F.col("w"))
+    e2 = ec.select(F.col("u").alias("v"), F.col("w").alias("w2"))
     cn = (
-        e1.join(e2, F.col("w") == F.col("w2u"))
+        e1.join(e2, F.col("w") == F.col("w2"))
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("n_common"))
@@ -1088,7 +1127,6 @@ def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     top = nonedge.orderBy(F.desc("n_common"), "u", "v").limit(20)
-    from pyspark.sql import Window as W
 
     return top.withColumn(
         "rnk",
@@ -1096,6 +1134,11 @@ def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("n_common"), "u", "v"))
         .cast("long"),
     )
+
+
+g10_link_prediction.__doc__ = g10_link_prediction.__doc__.format(
+    cap=_G10_HUB_CAP
+)
 
 
 # --- G11: community detection by label propagation (round 8) --------------------

@@ -185,6 +185,67 @@ def gen_slice(outdir: str, mult: int, seed: int = 42) -> tuple[int, int]:
         pa.table({"c_custkey": pa.array(range(n_cust), pa.int64())}),
         os.path.join(outdir, "customer.parquet"),
     )
+
+    # HUB TWIN (VERDICT r8 #6): a sibling events table with ONE planted
+    # hub user whose reach scales with the graph — it visits 10% of all
+    # communities with enough events (25, vs the ~280 distinct buckets a
+    # member occupies) to clear g9's support-4 edge threshold against
+    # most members.  Hub degree therefore grows ~6·(n_comms/10) ∝ mult
+    # while every other degree stays constant, so the wedge join's
+    # hub contribution grows ∝ mult² — exactly the skew the g10/g6
+    # docstrings warn about.  Written as a separate dir so the planted
+    # giant component can't perturb the other event-driven stress rows.
+    hub_dir = outdir + "_hub"
+    os.makedirs(hub_dir, exist_ok=True)
+    n_comms = n_users // COMMUNITY
+    hub_comms = list(range(0, n_comms, 10))
+    n_hub_ev = 25 * len(hub_comms)
+    hub_users = np.full(n_hub_ev, n_users, dtype=np.int64)
+    hub_hours = np.concatenate(
+        [
+            cid * COMMUNITY_HOURS
+            + rng.integers(0, COMMUNITY_HOURS, 25)
+            for cid in hub_comms
+        ]
+    )
+    hub_epoch_us = (
+        hub_hours * 3600 + rng.integers(0, 3600, n_hub_ev)
+    ) * 1_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(
+                    list(range(n_events + n_hub_ev)), pa.int64()
+                ),
+                "ts": pa.array(
+                    np.concatenate([epoch_us, hub_epoch_us]),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    np.concatenate([users, hub_users]), pa.int64()
+                ),
+                "event_type": pa.array(
+                    [
+                        EVENT_TYPES[int(x)]
+                        for x in np.concatenate(
+                            [
+                                rng.integers(
+                                    0, len(EVENT_TYPES), n_events
+                                ),
+                                rng.integers(0, len(EVENT_TYPES), n_hub_ev),
+                            ]
+                        )
+                    ]
+                ),
+                "value": pa.array(
+                    np.round(
+                        rng.uniform(0.01, 490.0, n_events + n_hub_ev), 2
+                    )
+                ),
+            }
+        ),
+        os.path.join(hub_dir, "events.parquet"),
+    )
     return n_docs, n_vecs, n_users, n_cust, n_events
 
 
@@ -349,6 +410,48 @@ def stages():
             )
         )
 
+    # Round-9 stages: g10's wedge join measured WITH and WITHOUT the
+    # planted scale-proportional hub (VERDICT r8 #6 — the quadratic-in-
+    # degree caveat gets a number), decon2's bucketed semantic-decon
+    # candidate join, and sim11 re-measured in its persisted-index form.
+    from ecostream.queries.graph import g10_link_prediction
+    from ecostream.queries.similarity import decon2_semantic_overlap
+
+    def linkpred_full(spark, d):
+        return (
+            g10_link_prediction(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("n_common").alias("sc"),
+                FF.sum("u").alias("su"),
+                FF.sum("v").alias("sv"),
+            )
+        )
+
+    def linkpred_hub_full(spark, d):
+        return (
+            g10_link_prediction(spark, d + "_hub")
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("n_common").alias("sc"),
+                FF.sum("u").alias("su"),
+                FF.sum("v").alias("sv"),
+            )
+        )
+
+    def decon_full(spark, d):
+        return (
+            decon2_semantic_overlap(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("cos_micro").alias("sc"),
+                FF.sum("doc_id").alias("sd"),
+            )
+        )
+
     return [
         ("lsh_candidates (d3)", d3_minhash_lsh_candidates, "docs"),
         ("sparse_verify (d10 mech)", verify_full, "docs"),
@@ -369,6 +472,9 @@ def stages():
         ("ivf_incremental (sim11)", sim11_ivf_incremental, "vecs"),
         ("quantile_sketch (roll2)", roll2_quantile_sketch_serve, "events"),
         ("label_propagation (g11)", lpa_full, "users"),
+        ("link_prediction (g10)", linkpred_full, "users"),
+        ("link_prediction_hub (g10)", linkpred_hub_full, "users"),
+        ("semantic_decon (decon2)", decon_full, "vecs"),
     ]
 
 
