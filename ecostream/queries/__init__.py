@@ -108,16 +108,33 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # ROUND 8 additions (each oracle-bearing, entering the head the
+    # ROUND 9 additions (each oracle-bearing, entering the head the
     # round they land, per the rotation convention):
+    "decon2_semantic_overlap",   # embedding-level benchmark decontamination
+    "s13_deletion_vector_read",  # merge-on-read deletion-vector serving
+    "mw1_mann_whitney",          # rank-sum two-sample location test
+    "welch1_ttest",              # unequal-variance t statistic per segment
+    "srm1_sample_ratio_mismatch",  # chi-square assignment-ratio guardrail
+    "perm1_randomization_test",  # hash-seeded permutation null distribution
+    "acf1_autocorrelation",      # lag-k autocorrelation of daily series
+    "nov1_source_novelty",       # cross-source n-gram novelty audit
+    "cov1_embedding_covariance", # embedding covariance/PCA-readiness matrix
+    "g13_hits_authorities",      # HITS hub/authority fixed-iteration scores
+    # ROUND 9 re-signs — changed signed queries re-enter the head:
+    "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
+                                 # DISTINCT (cur,nxt) edges (VERDICT r8 #1)
+    "sim11_ivf_incremental",     # RE-SIGN: base index persisted to parquet;
+                                 # declared query reads it and pays only
+                                 # delta-assign + serve (VERDICT r8 #5)
+    "g10_link_prediction",       # RE-SIGN: wedge-formation adjacency capped
+                                 # per hub-skew stress twin (VERDICT r8 #6)
+    # ROUND 8 additions re-confirmed while head space allows:
     "roll2_quantile_sketch_serve",  # mergeable DDSketch-style p50/p95 serve
     "st15_stream_quantile_maintenance",  # streaming sketch upkeep twin
-    "sim11_ivf_incremental",     # delta-assign IVF maintenance + recall eval
     "m5_transition_heldout",     # Markov next-event heldout accuracy
     "d16_containment_pairs",     # asymmetric shingle-containment near-dup
     "s12_zonemap_skipping",      # zone-map file pruning from a stats manifest
     "zipf1_rank_frequency",      # ln-ln rank-frequency power-law fit
-    "g10_link_prediction",       # common-neighbor link prediction
     "eval8_bleu",                # BLEU-2 clipped precision + brevity penalty
     "bootstrap1_mean_ci",        # one-pass Poisson bootstrap error bars
     "trend2_theil_sen",          # median-of-pairwise-slopes robust trend
@@ -132,48 +149,6 @@ _ROUND_HEAD = [
     "cusum1_change_point",       # CUSUM level-shift detection per type
     "anon2_l_diversity",         # homogeneity-attack audit beside anon1
     "seg1_rfm_segments",         # value-based RFM quintile segmentation
-    # ROUND 8 re-signs — changed signed queries re-enter the head:
-    "shard1_rendezvous",         # RE-SIGN: the r7 driver-red row — oracle's
-                                 # moved_permille now BIGINT-cast (VERDICT #1)
-    "t14_pmi_collocations",      # RE-SIGN: count-adaptive frequency floor
-                                 # makes the sf0.01 signature non-vacuous
-                                 # (900-ish eligible bigrams at sf0.1, 20 at
-                                 # every gate scale now) (VERDICT #4)
-    "ece1_calibration",          # RE-SIGN: degenerate-span guard (greatest)
-                                 # — identical rows on testdata, code changed
-    "funnel1_conversion",        # RE-SIGN: zero-start guard — identical rows
-    "g9_kcore_peel",             # RE-SIGN: engine peels to true fixpoint —
-                                 # identical rows (converges < 12 here)
-    "st14_stream_dedup",         # RE-SIGN: single-batch precondition assert
-    # ROUND 7 additions re-confirmed while head space allows (all
-    # signed in CORRECTNESS_r07):
-    "tok3_unigram_train",        # unigram-LM (SentencePiece prune) trainer
-    "pack3_bfd_packing",         # best-fit-decreasing vs next-fit packing
-    "sq1_int8_recall",           # int8 scalar-quantization recall eval
-    "d14_winnowing_pairs",       # MOSS winnowing fingerprint near-dup pairs
-    "lm4_kneser_ney",            # exact-rational interpolated Kneser-Ney LM
-    "t15_heaps_curve",           # vocabulary-growth curve, no sequential scan
-    "dq4_referential_integrity", # FK orphan audit across the star schema
-    "cohort1_retention",         # weekly cohort-retention triangle
-    "ks1_two_sample",            # exact integer Kolmogorov-Smirnov
-    "ts1_seasonal_outliers",     # seasonal MAD anomaly flags, all-integer
-    "s11_time_travel",           # manifest snapshots: append + CoW delete
-    "er1_entity_resolution",     # r8 blocking/verify factored out for the
-                                 # per-pair stress probe — rows unchanged
-    # ROUND 6 additions, re-confirmed while head space allows (the
-    # trailing third of the round-6 block rotated out this round as
-    # round-8 keys entered; everything rotated out stays covered by
-    # tools/parity_sweep.py + tests/test_oracle_parity.py):
-    "pair1_preference_pairs",    # DPO-style preference-pair assembly
-    "eval4_lsh_precision",       # LSH candidate precision vs exact Jaccard
-    "eval5_lsh_recall",          # LSH candidate recall vs exact truth
-    "mm8_audio_frame_features",  # WAV frame energy / zero-crossing features
-    "fim1_span_corruption",      # T5-style span-corruption manifest
-    "pack2_boundary_masks",      # packed-sequence attention-mask fields
-    "s10_encoding_stats",        # dictionary/RLE/plain layout advisor
-    "skew1_join_key_diagnostics",  # heavy-key skew measurement
-    "roll1_weekly_from_daily",   # materialized daily rollup -> weekly serve
-    "st12_stream_rollup_maintenance",  # streaming rollup merge upkeep
 ]
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
