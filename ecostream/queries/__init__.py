@@ -120,6 +120,10 @@ _ROUND_HEAD = [
     "nov1_source_novelty",       # cross-source n-gram novelty audit
     "cov1_embedding_covariance", # embedding covariance/PCA-readiness matrix
     "g13_hits_authorities",      # HITS hub/authority fixed-iteration scores
+    "d17_ppjoin_prefix_filter",  # exact prefix-filtered similarity join
+    "pca1_power_iteration",      # top principal component, integer waves
+    "m7_top_trigram_paths",      # order-2 sequence mining over journeys
+    "dq6_column_profile_drift",  # per-column data-contract drift audit
     # ROUND 9 re-signs — changed signed queries re-enter the head:
     "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
                                  # DISTINCT (cur,nxt) edges (VERDICT r8 #1)

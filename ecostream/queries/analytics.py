@@ -3758,3 +3758,139 @@ def acf1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 acf1_autocorrelation.__doc__ = acf1_autocorrelation.__doc__.format(
     k=_ACF1_MAX_LAG
 )
+
+
+# --- DQ6: snapshot column-profile drift (round 9) -----------------------------
+#
+# drift1 measures DISTRIBUTION drift of one numeric column (TVD over
+# value buckets); this is the data-contract audit run before any
+# retrain: per-COLUMN profile (row count, null rate, distinct count)
+# of the early vs late half of the event log, with the drift of each
+# quantity as an exact integer permille.  A column whose null rate or
+# cardinality jumps between snapshots is a broken upstream producer —
+# the thing schema checks can't see because the TYPES still match.
+
+
+@query(
+    "dq6_column_profile_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    q AS (
+        SELECT col, val,
+               CASE WHEN us <= mid THEN 1 ELSE 0 END AS early
+        FROM (
+            SELECT 'event_type' AS col, event_type AS val,
+                   epoch_us(ts) AS us FROM events
+            UNION ALL
+            SELECT 'props', props, epoch_us(ts) FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS VARCHAR), epoch_us(ts)
+            FROM events
+            UNION ALL
+            SELECT 'value_c',
+                   CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                   epoch_us(ts)
+            FROM events
+        ) CROSS JOIN bounds
+    ),
+    prof AS (
+        SELECT col,
+               CAST(sum(early) AS BIGINT) AS n_early,
+               CAST(sum(1 - early) AS BIGINT) AS n_late,
+               CAST(sum(CASE WHEN early = 1 AND val IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS null_early,
+               CAST(sum(CASE WHEN early = 0 AND val IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS null_late,
+               CAST(count(DISTINCT CASE WHEN early = 1 THEN val END)
+                    AS BIGINT) AS d_early,
+               CAST(count(DISTINCT CASE WHEN early = 0 THEN val END)
+                    AS BIGINT) AS d_late
+        FROM q GROUP BY col
+    )
+    SELECT col, n_early, n_late,
+           CAST((1000 * null_early) // greatest(n_early, 1) AS BIGINT)
+               AS null_pm_early,
+           CAST((1000 * null_late) // greatest(n_late, 1) AS BIGINT)
+               AS null_pm_late,
+           d_early, d_late,
+           CAST((1000 * abs(d_late - d_early)) // greatest(d_early, 1)
+                AS BIGINT) AS distinct_drift_permille
+    FROM prof ORDER BY col
+    """,
+)
+def dq6_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile drift between the early and late half of the
+    event log — the data-contract audit beside drift1's distribution
+    TVD: row count, null permille, and distinct cardinality per column,
+    with cardinality drift as an exact integer permille.  The split is
+    drift1's exact event-time midpoint; `value` is profiled through the
+    centi-quantized BIGINT cast so distinctness is engine-portable
+    (float-to-string formatting never crosses engines).
+
+    Scale shape: ONE scan; the 4-way column unpivot is a map-side
+    stack (4 rows out per event row, no join); the profile is a
+    partial-aggregated groupBy on the 4-value column key.  The two
+    count(DISTINCT) per group rewrite to a two-phase expand+agg under
+    AQE — at 100 TB this is the standard profile job, one shuffle on
+    (col, val) then one on col.
+
+    Reference analog: none — extends the dq* data-quality family
+    (SURVEY §2.13)."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("mid")
+    )
+    q = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            F.expr(
+                "stack(4,"
+                " 'event_type', event_type,"
+                " 'props', props,"
+                " 'user_id', CAST(user_id AS STRING),"
+                " 'value_c',"
+                " CAST(CAST(round(value * 100) AS BIGINT) AS STRING))"
+            ).alias("col", "val"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) <= mid THEN 1 ELSE 0 END"
+            ).alias("early"),
+        )
+    )
+    prof = q.groupBy("col").agg(
+        F.sum("early").cast("long").alias("n_early"),
+        F.sum(F.expr("1 - early")).cast("long").alias("n_late"),
+        F.sum(F.expr("CASE WHEN early = 1 AND val IS NULL THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("null_early"),
+        F.sum(F.expr("CASE WHEN early = 0 AND val IS NULL THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("null_late"),
+        F.countDistinct(F.expr("CASE WHEN early = 1 THEN val END"))
+        .cast("long")
+        .alias("d_early"),
+        F.countDistinct(F.expr("CASE WHEN early = 0 THEN val END"))
+        .cast("long")
+        .alias("d_late"),
+    )
+    return prof.select(
+        "col",
+        "n_early",
+        "n_late",
+        F.expr(
+            "CAST((1000 * null_early) div greatest(n_early, 1L) AS BIGINT)"
+        ).alias("null_pm_early"),
+        F.expr(
+            "CAST((1000 * null_late) div greatest(n_late, 1L) AS BIGINT)"
+        ).alias("null_pm_late"),
+        "d_early",
+        "d_late",
+        F.expr(
+            "CAST((1000 * abs(d_late - d_early)) div greatest(d_early, 1L)"
+            " AS BIGINT)"
+        ).alias("distinct_drift_permille"),
+    ).orderBy("col")

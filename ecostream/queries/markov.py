@@ -765,3 +765,73 @@ def m6_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 m6_stationary_distribution.__doc__ = m6_stationary_distribution.__doc__.format(
     K=_M6_ITERS
 )
+
+
+# --- M7: top event-sequence paths (round 9) ----------------------------------
+
+
+@query(
+    "m7_top_trigram_paths",
+    oracle="""
+    WITH tri AS (
+        SELECT event_type AS e1,
+               lead(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events
+    ),
+    counted AS (
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counted)
+    SELECT e1, e2, e3, n,
+           CAST((1000 * n) // t AS BIGINT) AS share_permille
+    FROM counted, tot
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def m7_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step behavioural paths — the sequence-mining view
+    of the reference's Markov machinery (MarkovChainAnalysis.py models
+    ORDER-1 transitions; real journeys are longer, and the first
+    question any funnel owner asks is "what are the common 3-step
+    paths?").  Two stacked lead() windows over the SAME user-keyed
+    sort form (e1, e2, e3) per consecutive event triple; counts and
+    corpus share (exact integer permille) rank them; ties break
+    lexicographically so the top-20 cut is deterministic.
+
+    Scale shape: ONE user-keyed window exchange (both leads ride the
+    same sort — the m1/m5 spine), a partial-aggregated groupBy on the
+    |states|^3-bounded path key, and a TakeOrderedAndProject top-k —
+    no global sort, no driver collect.  Cites reference
+    MarkovChainAnalysis.py:1-40 (order-1 pairing) for the semantics
+    this extends to order 2."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = tri.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = counted.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n",
+            F.expr("CAST((1000 * n) div t AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )

@@ -2741,3 +2741,231 @@ def cov1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --- PCA1: top principal component by integer power iteration (round 9) ---------
+#
+# cov1 measures the moment matrix; this extracts the dominant
+# eigenvector of the COVARIANCE (cov1's exact cov_num numerators, all
+# sharing the same n^2 denominator, so they ARE the covariance up to
+# one positive scalar — eigenvectors unchanged) by m6's device: a
+# fixed number of synchronous power-iteration waves whose iterates are
+# floor-quantized integers, so no float ever crosses engines and the
+# oracle replays every wave as an unrolled CTE.  The matrix is first
+# divide-scaled into micro range by its own max (divide-first: no
+# BIGINT product can overflow whatever the corpus variance is);
+# iterations run at MILLI scale (|v| <= 1000: the matvec product
+# 64 * 2e6 * 1e3 = 1.3e11 stays far inside BIGINT); the final wave
+# re-normalizes to MICRO loadings.  Truncating integer division is
+# portable: Spark `div` and DuckDB `//` both round toward zero.
+
+_PCA1_ITERS = 8
+
+
+def _pca1_oracle() -> str:
+    from .registry import ORACLES
+
+    cov = ORACLES["cov1_embedding_covariance"]
+    parts = [
+        f"""
+    WITH cov AS MATERIALIZED ({cov}),
+    full_m AS MATERIALIZED (
+        SELECT i, j, cov_num FROM cov
+        UNION ALL
+        SELECT j AS i, i AS j, cov_num FROM cov WHERE i < j
+    ),
+    m AS MATERIALIZED (
+        SELECT i, j,
+               CAST(cov_num // greatest(
+                   (SELECT max(abs(cov_num)) FROM full_m) // 1000000, 1)
+                   AS BIGINT) AS c
+        FROM full_m
+    ),
+    tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace FROM m WHERE i = j),
+    v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM m)"""
+    ]
+    for k in range(1, _PCA1_ITERS + 1):
+        parts.append(
+            f""",
+    r{k} AS MATERIALIZED (
+        SELECT m.i, CAST(sum(m.c * v.v) AS BIGINT) AS raw
+        FROM m JOIN v{k - 1} v ON v.i = m.j GROUP BY 1
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT i, CAST((raw * 1000)
+               // greatest((SELECT max(abs(raw)) FROM r{k}), 1) AS BIGINT)
+            AS v
+        FROM r{k}
+    )"""
+        )
+    k = _PCA1_ITERS
+    parts.append(
+        f""",
+    rf AS MATERIALIZED (
+        SELECT m.i, CAST(sum(m.c * v.v) AS BIGINT) AS raw
+        FROM m JOIN v{k} v ON v.i = m.j GROUP BY 1
+    ),
+    vf AS MATERIALIZED (
+        SELECT i, CAST((raw * 1000000)
+               // greatest((SELECT max(abs(raw)) FROM rf), 1) AS BIGINT)
+            AS v
+        FROM rf
+    ),
+    sgn AS (
+        SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS s FROM vf
+        WHERE v != 0 ORDER BY i LIMIT 1
+    ),
+    loading AS MATERIALIZED (
+        SELECT i, CAST(v * s AS BIGINT) AS loading_micro FROM vf, sgn
+    ),
+    lm AS MATERIALIZED (
+        SELECT i, CAST(loading_micro // 1000 AS BIGINT) AS l FROM loading
+    ),
+    rray AS MATERIALIZED (
+        SELECT m.i, CAST(sum(m.c * lm.l) AS BIGINT) AS raw
+        FROM m JOIN lm ON lm.i = m.j GROUP BY 1
+    ),
+    ray AS (
+        SELECT CAST(CAST(sum(lm.l * rray.raw) AS BIGINT)
+               // greatest(CAST(sum(lm.l * lm.l) AS BIGINT), 1) AS BIGINT)
+            AS lambda_micro
+        FROM lm JOIN rray ON rray.i = lm.i
+    )
+    SELECT loading.i AS dim, loading.loading_micro, ray.lambda_micro,
+           CAST((1000 * ray.lambda_micro) // tr.trace AS BIGINT)
+               AS var_explained_permille
+    FROM loading, ray, tr
+    ORDER BY dim"""
+    )
+    return "".join(parts)
+
+
+@query("pca1_power_iteration", oracle=_pca1_oracle())
+def pca1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance matrix by
+    {K} synchronous power-iteration waves — the dominant direction of
+    variation, the quantity MRL truncation (mrl1) and dimension-
+    collapse audits assume and cov1 only tabulates.  Exactness: the
+    matrix is cov1's exact integer cov_num grid (covariance times the
+    positive scalar n^2 — same eigenvectors), divide-scaled into micro
+    range by its own max; every iterate is floor-quantized (milli
+    during iteration, micro at the final wave), the sign is
+    canonicalized by the first nonzero loading, and the Rayleigh
+    quotient lambda = (v·Mv) div (v·v) with variance-explained =
+    1000*lambda div trace(M) are single integer divisions — the
+    declared statistic is the quantized iterate (the m6 convention),
+    so both engines replay bit-identical waves.
+
+    Scale shape: the corpus is touched ONCE (cov1's map-side
+    upper-triangle moment pass); everything after is a dim^2 = 4,096-
+    cell model table — localCheckpointed, then {K} model-sized join +
+    aggregate waves (the m6 shape).  At 100 TB the added cost over
+    cov1 is {K} joins over a 4k-row table.
+
+    Reference analog: none — extends the embedding-analytics family
+    (SURVEY §2.13) beside cov1/mrl1/sim-family."""
+    cells = (
+        cov1_embedding_covariance(spark, sf_dir)
+        .select("i", "j", F.col("cov_num").alias("c"))
+    )
+    full_m = cells.unionByName(
+        cells.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    # Pre-scale the covariance numerators into micro range by the
+    # matrix's own max: divide-first (never multiply) so no BIGINT
+    # product can overflow whatever the corpus variance is.
+    mxc = full_m.agg(
+        F.expr(
+            "CAST(greatest(max(abs(c)) div 1000000, 1L) AS BIGINT)"
+        ).alias("mxc")
+    )
+    m = (
+        full_m.crossJoin(F.broadcast(mxc))
+        .select("i", "j", F.expr("CAST(c div mxc AS BIGINT)").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    trace = m.where(F.col("i") == F.col("j")).agg(
+        F.sum("c").cast("long").alias("trace")
+    )
+    v = m.select("i").distinct().select(
+        "i", F.lit(1000).cast("long").alias("v")
+    )
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        vv = vec.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+        return (
+            m.join(F.broadcast(vv), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).cast("long").alias("raw"))
+        )
+
+    def normalize(raw: DataFrame, scale: int) -> DataFrame:
+        mx = raw.agg(F.max(F.abs(F.col("raw"))).cast("long").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.expr(f"CAST((raw * {scale}) div greatest(mx, 1L) AS BIGINT)")
+            .alias("v"),
+        )
+
+    for _ in range(_PCA1_ITERS):
+        # Each wave is a 64-row table; eagerly checkpointing it keeps
+        # the cumulative plan linear (9 shallow plans instead of one
+        # 9-wave nest whose optimization time explodes).
+        v = normalize(matvec(v), 1000).localCheckpoint(eager=True)
+    vf = normalize(matvec(v), 1_000_000)
+    sgn = (
+        vf.where(F.col("v") != 0)
+        .orderBy("i")
+        .limit(1)
+        .select(
+            F.when(F.col("v") >= 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    loading = vf.crossJoin(F.broadcast(sgn)).select(
+        "i", (F.col("v") * F.col("s")).cast("long").alias("loading_micro")
+    )
+    lm = loading.select(
+        "i", F.expr("CAST(loading_micro div 1000 AS BIGINT)").alias("l")
+    )
+    r2 = (
+        m.join(
+            F.broadcast(
+                lm.select(F.col("i").alias("j"), F.col("l").alias("lj"))
+            ),
+            "j",
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("lj")).cast("long").alias("raw"))
+    )
+    ray = (
+        lm.join(r2, "i")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(l * raw) AS BIGINT)"
+                " div greatest(CAST(sum(l * l) AS BIGINT), 1L) AS BIGINT)"
+            ).alias("lambda_micro")
+        )
+    )
+    return (
+        loading.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("i").alias("dim"),
+            "loading_micro",
+            "lambda_micro",
+            F.expr(
+                "CAST((1000 * lambda_micro) div trace AS BIGINT)"
+            ).alias("var_explained_permille"),
+        )
+        .orderBy("dim")
+    )
+
+
+pca1_power_iteration.__doc__ = pca1_power_iteration.__doc__.format(
+    K=_PCA1_ITERS
+)

@@ -3677,3 +3677,199 @@ def nov1_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- D17: PPJoin-style prefix-filtered similarity join (round 9) ----------------
+#
+# d3 finds near-dups APPROXIMATELY (MinHash LSH can miss pairs); d2's
+# inverted-index join finds them exactly but generates a candidate for
+# EVERY shared shingle (1.1M candidate pairs at sf0.1 before
+# verification).  Prefix filtering (Chaudhuri et al. 2006; Xiao et al.
+# 2008 "PPJoin") is the exact no-false-negative middle path: order the
+# shingle universe globally by (document frequency asc, shingle asc) —
+# rarest first — and join documents only on their PREFIX shingles.
+# For Jaccard >= theta, if J(A,B) >= theta then
+# |A ∩ B| >= ceil(theta * max(|A|,|B|)), so the first
+# |X| - ceil(theta*|X|) + 1 shingles of EACH side (in the shared global
+# order) must overlap — any pair the prefix join misses provably has
+# J < theta.  The length filter (theta * |larger| <= |smaller|) prunes
+# further before the exact verify.
+
+_D17_THETA_PERMILLE = 700  # Jaccard >= 0.7 (the d3/d5 near-dup regime)
+
+
+@query(
+    "d17_ppjoin_prefix_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh
+        FROM toks, UNNEST(range(1, greatest(len(a) - 1, 2))) AS t(i)
+        WHERE len(a) >= 3
+    ),
+    sz AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_inter, sa.n AS sz_a, sb.n AS sz_b,
+           CAST((1000 * n_inter) // (sa.n + sb.n - n_inter) AS BIGINT)
+               AS jacc_permille
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE 1000 * n_inter
+          >= {_D17_THETA_PERMILLE} * (sa.n + sb.n - n_inter)
+    ORDER BY a_id, b_id
+    """,
+)
+def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join via prefix filtering
+    (PPJoin's candidate rule) — every pair with 3-shingle-set Jaccard
+    >= {theta}‰ over the FULL corpus, with no LSH miss probability.
+    Mechanism: distinct 3-gram shingles per doc; a global rarest-first
+    shingle order (document frequency asc, shingle asc); each doc
+    contributes only its first |d| - ceil(theta*|d|) + 1 shingles in
+    that order to the candidate join (prefix-filter lemma: a qualifying
+    pair MUST share a prefix shingle); candidates passing the length
+    filter 1000*min(|a|,|b|) >= {theta}*max(|a|,|b|) are verified by an
+    exact intersection count restricted to candidate pairs.  All
+    arithmetic integer (ceil as (p*n + 999) div 1000), so the declared
+    jacc_permille is exact.
+
+    The oracle is NOT a mechanism replay: it computes ground truth by
+    the unfiltered inverted-index join (d2's shape), so a hash match
+    proves the prefix filter loses no qualifying pair end-to-end — the
+    no-false-negative property is the thing being signed.
+
+    Scale shape: shingle df is one partial-aggregated groupBy; the
+    per-doc prefix selection is an in-row array sort + slice after a
+    broadcast-free equi-join on the shingle key (each doc holds <= 99
+    shingles, so the collect_list is row-bounded); the candidate join
+    runs only on prefix shingles (rarest-first ordering makes prefix
+    postings short); verification joins candidates back to the two
+    posting lists co-partitioned on doc key.  At 100 TB this is the
+    standard exact-similarity-join plan: df table, prefix postings,
+    verify — each stage a partial-aggregated shuffle on one key.
+
+    Reference analog: none (extends the dedup family, SURVEY §2.13);
+    the reference's only similarity surface is the MinHash estimate
+    (minhash_lsh.py) which d3/k4 already cover approximately."""
+    theta = _D17_THETA_PERMILLE
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    shingles = (
+        docs.where(F.size("a") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(a) - 2, 1)),"
+                        " i -> concat(element_at(a, i), ' ',"
+                        " element_at(a, i + 1), ' ',"
+                        " element_at(a, i + 2)))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    sizes = shingles.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    df_tab = shingles.groupBy("sh").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    # Per-doc prefix in the global (df asc, sh asc) order: sort the
+    # doc's (df, sh) structs in-row, keep the first n - ceil(theta*n)
+    # + 1.  The struct sort is total (df ties break on the shingle
+    # text), so both engines and every run agree on the prefix.
+    prefix = (
+        shingles.join(df_tab, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "sh"))
+            ).alias("ordered"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(
+                    f"slice(ordered, 1,"
+                    f" CAST(n - ((({theta} * n) + 999) div 1000) + 1"
+                    f" AS INT))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "n", F.col("p.sh").alias("sh"))
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.sh") == F.col("pb.sh"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .where(
+            F.expr(
+                f"1000 * least(pa.n, pb.n)"
+                f" >= {theta} * greatest(pa.n, pb.n)"
+            )
+        )
+        .select(
+            F.col("pa.doc_id").alias("a_id"),
+            F.col("pb.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sha = shingles.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh")
+    )
+    shb = shingles.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh")
+    )
+    inter = (
+        cand.join(sha, "a_id")
+        .join(shb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("sz_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(
+            F.expr(
+                f"1000 * n_inter >= {theta} * (sz_a + sz_b - n_inter)"
+            )
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            F.expr(
+                "CAST((1000 * n_inter) div (sz_a + sz_b - n_inter)"
+                " AS BIGINT)"
+            ).alias("jacc_permille"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+d17_ppjoin_prefix_filter.__doc__ = d17_ppjoin_prefix_filter.__doc__.format(
+    theta=_D17_THETA_PERMILLE
+)

@@ -218,3 +218,110 @@ def test_s13_compaction_rewrites_only_flagged_files(spark):
     # n_live + n_deleted == n_base per file (no row lost or duplicated)
     for r in rows.values():
         assert r["n_live"] + r["n_deleted"] == r["n_base"]
+
+
+def _write_events(tmp_path, rows, props=None):
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    }
+    if props is not None:
+        cols["props"] = pa.array(props)
+    pq.write_table(pa.table(cols), str(tmp_path / "events.parquet"))
+
+
+def test_d17_finds_exactly_planted_near_dups(spark, tmp_path):
+    """30 random-soup docs + 2 planted near-copy pairs (one token of
+    ~50 rewritten -> shingle Jaccard ~0.94).  The prefix-filtered join
+    must return exactly the planted pairs — no false negative (the
+    prefix lemma) and no sub-threshold survivor (the exact verify)."""
+    from ecostream.queries.text import d17_ppjoin_prefix_filter
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=50))
+        for _ in range(30)
+    ]
+    # planted near-copies: docs 30/31 copy 3/7 with ONE token changed
+    for src in (3, 7):
+        toks = texts[src].split()
+        toks[25] = "zz"
+        texts.append(" ".join(toks))
+    _write_corpus(
+        tmp_path, texts, ["s"] * len(texts),
+        rng.standard_normal((len(texts), 8)),
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jacc_permille"]
+        for r in d17_ppjoin_prefix_filter(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(3, 30), (7, 31)}
+    assert all(v >= 850 for v in got.values())
+
+
+def test_pca1_recovers_planted_dominant_direction(spark, tmp_path):
+    """Embeddings stretched 20x along dim 0: the top component must
+    load maximally on dim 0 (|loading| = 1e6 by max-normalization,
+    positive by sign canonicalization) and explain most variance."""
+    from ecostream.queries.similarity import pca1_power_iteration
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 8
+    vecs = 0.05 * rng.standard_normal((n, dim))
+    vecs[:, 0] += 2.0 * rng.standard_normal(n)
+    _write_corpus(
+        tmp_path, ["x y z"] * n, ["s"] * n, vecs,
+    )
+    rows = {r["dim"]: r for r in
+            pca1_power_iteration(spark, str(tmp_path)).collect()}
+    assert rows[0]["loading_micro"] == 1_000_000
+    assert all(
+        abs(rows[d]["loading_micro"]) < 200_000 for d in range(1, dim)
+    )
+    assert rows[0]["var_explained_permille"] > 700
+
+
+def test_m7_top_path_is_the_planted_loop(spark, tmp_path):
+    """One user loops a->b->c 50 times; another emits noise.  The top
+    trigram must be (a,b,c) and counts must reflect every window."""
+    from ecostream.queries.markov import m7_top_trigram_paths
+
+    rows = []
+    t = 1_700_000_000_000_000
+    for i in range(150):  # a b c a b c ... -> 148 trigrams, (a,b,c) x50
+        rows.append((i, t + i, 1, "abc"[i % 3], 0.0))
+    rows.append((1000, t + 10_000, 2, "x", 0.0))
+    _write_events(tmp_path, rows)
+    top = m7_top_trigram_paths(spark, str(tmp_path)).collect()[0]
+    assert (top["e1"], top["e2"], top["e3"]) == ("a", "b", "c")
+    assert top["n"] == 50
+
+
+def test_dq6_flags_late_half_null_regression(spark, tmp_path):
+    """props goes all-null in the late half: null_pm_late = 1000 while
+    null_pm_early = 0 — the broken-producer signature dq6 exists to
+    catch; event_type cardinality stays flat (drift 0)."""
+    from ecostream.queries.analytics import dq6_column_profile_drift
+
+    n = 200
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1_000_000, i % 5, "et" + str(i % 3),
+         float(i))
+        for i in range(n)
+    ]
+    props = ["{}" if i < n // 2 else None for i in range(n)]
+    _write_events(tmp_path, rows, props=props)
+    prof = {r["col"]: r for r in
+            dq6_column_profile_drift(spark, str(tmp_path)).collect()}
+    assert prof["props"]["null_pm_early"] == 0
+    assert prof["props"]["null_pm_late"] == 1000
+    assert prof["event_type"]["distinct_drift_permille"] == 0
+    assert prof["event_type"]["d_early"] == 3
