@@ -124,6 +124,11 @@ _ROUND_HEAD = [
     "pca1_power_iteration",      # top principal component, integer waves
     "m7_top_trigram_paths",      # order-2 sequence mining over journeys
     "dq6_column_profile_drift",  # per-column data-contract drift audit
+    "st16_stream_welch_maintenance",  # streaming A/B moment-store upkeep
+    "seq1_sprt_monitor",         # anytime-valid SPRT conversion monitor
+    "s14_snapshot_diff",         # added/removed/changed table diff
+    "s15_integrity_checksum",    # order-free replica checksum manifest
+    "t16_keyword_extraction",    # per-doc top-3 tf-idf keywords
     # ROUND 9 re-signs — changed signed queries re-enter the head:
     "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
                                  # DISTINCT (cur,nxt) edges (VERDICT r8 #1)

@@ -3291,9 +3291,7 @@ def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- WELCH1: unequal-variance t-test (round 9) -----------------------------------
 
 
-@query(
-    "welch1_ttest",
-    oracle="""
+_WELCH1_ORACLE = """
     WITH ev AS (
         SELECT CAST(round(value * 100) AS BIGINT) AS cents,
                event_type = 'purchase' AS g1
@@ -3333,8 +3331,40 @@ def mw1_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT))
                >= 1960 AS significant
     FROM d
-    """,
-)
+    """
+
+
+def welch_from_moments(s: DataFrame) -> DataFrame:
+    """Welch t / Satterthwaite df / significance from the one-row
+    moments frame (n1, s1, q1, n2, s2, q2) — shared by welch1 (direct
+    aggregation) and st16 (streaming-maintained moment store), so the
+    stored-statistics serve provably computes the same statistic."""
+    d = s.selectExpr(
+        "n1",
+        "n2",
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff",
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)"
+        " / CAST(n1 AS DOUBLE) AS vn1",
+        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)"
+        " / CAST(n2 AS DOUBLE) AS vn2",
+    )
+    return d.selectExpr(
+        "n1",
+        "n2",
+        "CAST(round(mdiff * 10.0) AS BIGINT) AS mean_diff_milli_cents",
+        "CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT) AS t_milli",
+        "CAST(round(1000.0 * (vn1 + vn2) * (vn1 + vn2)"
+        " / (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)"
+        "    + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE))) AS BIGINT) AS df_milli",
+        "abs(CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT))"
+        " >= 1960 AS significant",
+    )
+
+
+@query("welch1_ttest", oracle=_WELCH1_ORACLE)
 def welch1_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between purchase and view value
     (in cents) — the parametric member of the two-sample family
@@ -3379,29 +3409,7 @@ def welch1_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q2"),
     )
-    d = s.selectExpr(
-        "n1",
-        "n2",
-        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
-        " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mdiff",
-        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
-        " / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)"
-        " / CAST(n1 AS DOUBLE) AS vn1",
-        "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
-        " / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)"
-        " / CAST(n2 AS DOUBLE) AS vn2",
-    )
-    return d.selectExpr(
-        "n1",
-        "n2",
-        "CAST(round(mdiff * 10.0) AS BIGINT) AS mean_diff_milli_cents",
-        "CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT) AS t_milli",
-        "CAST(round(1000.0 * (vn1 + vn2) * (vn1 + vn2)"
-        " / (vn1 * vn1 / CAST(n1 - 1 AS DOUBLE)"
-        "    + vn2 * vn2 / CAST(n2 - 1 AS DOUBLE))) AS BIGINT) AS df_milli",
-        "abs(CAST(round(1000.0 * mdiff / sqrt(vn1 + vn2)) AS BIGINT))"
-        " >= 1960 AS significant",
-    )
+    return welch_from_moments(s)
 
 
 # --- SRM1: sample-ratio-mismatch audit (round 9) ---------------------------------
@@ -3894,3 +3902,138 @@ def dq6_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("distinct_drift_permille"),
     ).orderBy("col")
+
+
+# --- SEQ1: anytime-valid SPRT conversion monitor (round 9) ----------------------
+#
+# Fixed-horizon tests (welch1/mw1/dq3) are invalid under continuous
+# monitoring — peeking inflates false positives.  Wald's SPRT is the
+# classic anytime-valid answer: the cumulative log-likelihood ratio of
+# H1 (p = P1) vs H0 (p = P0) over the Bernoulli conversion stream may
+# be inspected after EVERY event, and the first crossing of
+# ln(1/alpha) rejects H0 with the type-I guarantee intact.  Per-event
+# LLR increments are module-literal integers in MICRO-NATS (computed
+# once here in Python and embedded in BOTH engines' plans — the lm2
+# convention), so the cumulative path and its first crossing are
+# exact BIGINT arithmetic.
+
+_SEQ1_P0_PERMILLE = 250  # H0 conversion rate
+_SEQ1_P1_PERMILLE = 350  # H1 (minimum detectable) conversion rate
+_SEQ1_LLR_HIT = 336_472  # round(1e6 * ln(350/250))
+_SEQ1_LLR_MISS = -143_101  # round(1e6 * ln(650/750))
+_SEQ1_THRESH = 2_995_732  # round(1e6 * ln(1/0.05))
+
+
+@query(
+    "seq1_sprt_monitor",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+               epoch_us(ts) AS us, event_id
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    walk AS (
+        SELECT x,
+               sum(CASE WHEN x = 1 THEN {_SEQ1_LLR_HIT}
+                        ELSE {_SEQ1_LLR_MISS} END)
+                   OVER (ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS llr,
+               row_number() OVER (ORDER BY us, event_id) AS n
+        FROM obs
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(sum(x) AS BIGINT) AS n_conversions,
+           CAST(max(CASE WHEN n = (SELECT max(n) FROM walk)
+                         THEN llr END) AS BIGINT) AS final_llr_micro,
+           CAST(max(llr) AS BIGINT) AS max_llr_micro,
+           coalesce(CAST(min(CASE WHEN llr >= {_SEQ1_THRESH}
+                                  THEN n END) AS BIGINT), -1)
+               AS first_cross_n,
+           max(llr) >= {_SEQ1_THRESH} AS rejected_h0
+    FROM walk
+    """,
+)
+def seq1_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the purchase/view conversion stream — the
+    anytime-valid experiment monitor: cumulative log-likelihood ratio
+    of H1 (p = {p1}‰) vs H0 (p = {p0}‰) in exact micro-nats, inspected
+    at every event, reporting the final and maximum LLR and the FIRST
+    observation index where the ln(1/alpha) boundary was crossed (−1
+    if never) — the sample size an always-on monitor would actually
+    have stopped at, versus the fixed-horizon n the classical tests
+    assume.
+
+    Exactness: the two per-event increments and the threshold are
+    module-literal integers shared by both engines; the cumulative
+    path is a prefix sum of BIGINTs over the total (ts, event_id)
+    order, so crossing indices cannot drift.
+
+    Scale shape: the engine's running sum is the two-phase
+    partition-parallel ``with_prefix_sum`` (functions/prefix.py — a
+    range repartition, per-partition sums, and a broadcast of the
+    32-row partition-total table; NO single-partition window), then
+    one partial-aggregated collapse to the 1-row report.  At 100 TB
+    the monitor is one range exchange + one reduce.
+
+    Reference analog: none — extends the experimentation family
+    (SURVEY §2.13) beside welch1/mw1/srm1/perm1."""
+    from ..functions.prefix import with_prefix_sum
+
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("x"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .withColumn(
+            "inc",
+            F.expr(
+                f"CASE WHEN x = 1 THEN {_SEQ1_LLR_HIT}L"
+                f" ELSE {_SEQ1_LLR_MISS}L END"
+            ),
+        )
+    )
+    walk = with_prefix_sum(
+        obs, ["us", "event_id"], "inc", out_col="cum_before"
+    ).withColumn("llr", F.col("cum_before") + F.col("inc"))
+    # n (1-based position) = count of rows at-or-before = prefix count.
+    walk = with_prefix_sum(
+        walk.withColumn("one", F.lit(1).cast("long")),
+        ["us", "event_id"],
+        "one",
+        out_col="n_before",
+    ).withColumn("n", F.col("n_before") + 1)
+    total = walk.agg(F.max("n").cast("long").alias("n_obs"))
+    return (
+        walk.crossJoin(F.broadcast(total))
+        .agg(
+            F.max("n_obs").cast("long").alias("n_obs"),
+            F.sum("x").cast("long").alias("n_conversions"),
+            F.max(
+                F.expr("CASE WHEN n = n_obs THEN llr END")
+            )
+            .cast("long")
+            .alias("final_llr_micro"),
+            F.max("llr").cast("long").alias("max_llr_micro"),
+            F.coalesce(
+                F.min(
+                    F.expr(
+                        f"CASE WHEN llr >= {_SEQ1_THRESH} THEN n END"
+                    )
+                ),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("first_cross_n"),
+            (F.max("llr") >= F.lit(_SEQ1_THRESH)).alias("rejected_h0"),
+        )
+    )
+
+
+seq1_sprt_monitor.__doc__ = seq1_sprt_monitor.__doc__.format(
+    p0=_SEQ1_P0_PERMILLE, p1=_SEQ1_P1_PERMILLE
+)

@@ -1197,3 +1197,242 @@ def s13_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 s13_deletion_vector_read.__doc__ = s13_deletion_vector_read.__doc__.format(
     f=_S13_FILES, p=_S13_COMPACT_PERMILLE
 )
+
+
+# --- S14: snapshot diff (round 9) ----------------------------------------------
+#
+# s11 proves old versions stay READABLE; the operational question a
+# lakehouse owner actually asks between two versions is "what
+# changed?" — the table-diff that feeds incremental consumers, audit
+# logs, and CDC backfills.  Two physical snapshots are written (v1 =
+# the corpus; v2 = v1 with planted DELETEs, INSERTs, and UPDATEs by
+# deterministic id rules), then the diff is ONE full outer join on the
+# primary key classifying every row as added / removed / changed /
+# unchanged, rolled up with exact integer shares.
+
+
+@query(
+    "s14_snapshot_diff",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_type
+        FROM events
+    ),
+    v1 AS (SELECT * FROM base),
+    v2 AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 3 THEN cents + 100
+                    ELSE cents END AS cents,
+               event_type
+        FROM base WHERE event_id % 11 != 5
+        UNION ALL
+        SELECT event_id + 1000000000, CAST(1 AS BIGINT), 'inserted'
+        FROM base WHERE event_id % 13 = 1
+    ),
+    d AS (
+        SELECT CASE
+                 WHEN v1.event_id IS NULL THEN 'added'
+                 WHEN v2.event_id IS NULL THEN 'removed'
+                 WHEN v1.cents != v2.cents
+                      OR v1.event_type != v2.event_type THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change,
+               coalesce(v2.cents, 0) - coalesce(v1.cents, 0) AS delta
+        FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM d)
+    SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(delta) AS BIGINT) AS cents_delta,
+           CAST((1000 * count(*)) // t AS BIGINT) AS share_permille
+    FROM d, tot
+    GROUP BY change, t
+    ORDER BY change
+    """,
+)
+def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two physically-written snapshots — the
+    incremental-consumer view of the s11 commit model: v2 is v1 with
+    deterministic planted deletes (id % 11 = 5), updates (+100 cents
+    on id % 7 = 3), and inserts (new ids for id % 13 = 1); the diff
+    classifies every key as added / removed / changed / unchanged via
+    ONE full outer join on the primary key and rolls up counts, net
+    cents delta, and exact integer shares.  Both snapshots are real
+    parquet directories (written, then diffed by reading back), so the
+    declared result exercises the actual storage round-trip; the
+    oracle replays the mutation rules from the raw table.
+
+    Scale shape: the diff is a single co-partitioned full outer join
+    on the key (both sides shuffle once on event_id — at 100 TB this
+    is the bucketed-join case: two bucketed-by-key snapshots diff with
+    NO shuffle at all) followed by a partial-aggregated 4-group
+    rollup.  No driver-side state beyond the 4-row report.
+
+    Reference analog: none — extends the S6 lakehouse write-side
+    family (SURVEY §2.10) beside s8/s11/s13."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_type",
+    )
+    root = _workdir("s14_diff")
+    p1 = os.path.join(root, "v1")
+    p2 = os.path.join(root, "v2")
+    base.write.mode("overwrite").parquet(p1)
+    v2 = (
+        base.where(F.expr("event_id % 11 != 5"))
+        .select(
+            "event_id",
+            F.expr(
+                "CASE WHEN event_id % 7 = 3 THEN cents + 100"
+                " ELSE cents END"
+            ).alias("cents"),
+            "event_type",
+        )
+        .unionByName(
+            base.where(F.expr("event_id % 13 = 1")).select(
+                F.expr("event_id + 1000000000").alias("event_id"),
+                F.lit(1).cast("long").alias("cents"),
+                F.lit("inserted").alias("event_type"),
+            )
+        )
+    )
+    v2.write.mode("overwrite").parquet(p2)
+
+    s1 = spark.read.parquet(p1).select(
+        F.col("event_id").alias("k1"),
+        F.col("cents").alias("c1"),
+        F.col("event_type").alias("t1"),
+    )
+    s2 = spark.read.parquet(p2).select(
+        F.col("event_id").alias("k2"),
+        F.col("cents").alias("c2"),
+        F.col("event_type").alias("t2"),
+    )
+    d = s1.join(s2, s1["k1"] == s2["k2"], "full_outer").select(
+        F.expr(
+            "CASE WHEN k1 IS NULL THEN 'added'"
+            " WHEN k2 IS NULL THEN 'removed'"
+            " WHEN c1 != c2 OR t1 != t2 THEN 'changed'"
+            " ELSE 'unchanged' END"
+        ).alias("change"),
+        F.expr("coalesce(c2, 0L) - coalesce(c1, 0L)").alias("delta"),
+    )
+    tot = d.agg(F.count("*").cast("long").alias("t"))
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("delta").cast("long").alias("cents_delta"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "change",
+            "n_rows",
+            "cents_delta",
+            F.expr("CAST((1000 * n_rows) div t AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy("change")
+    )
+
+
+# --- S15: order-free integrity checksum manifest (round 9) ----------------------
+#
+# The data-integrity half of the lakehouse story: a per-bucket content
+# checksum that is invariant to physical row order (XOR of per-row
+# content hashes — commutative, associative, overflow-free), so two
+# replicas, a pre/post-migration pair, or a suspect re-export can be
+# compared bucket-by-bucket without sorting 100 TB.  The engine
+# PHYSICALLY exercises the property: the checksum is computed from a
+# written-and-read-back REPARTITIONED copy (a totally different row
+# order than the source scan), and a planted single-row corruption in
+# a second copy must flip exactly its own bucket's checksum and no
+# other.
+
+_S15_BUCKETS = 16
+_S15_CORRUPT_ID = 7  # the planted flipped row
+
+
+@query(
+    "s15_integrity_checksum",
+    oracle=f"""
+    WITH rows_h AS (
+        SELECT event_id % {_S15_BUCKETS} AS bucket,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                    || ':' || event_type), 1, 15))::UBIGINT::BIGINT AS h,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(CASE WHEN event_id = {_S15_CORRUPT_ID}
+                                 THEN CAST(round(value * 100) AS BIGINT) + 1
+                                 ELSE CAST(round(value * 100) AS BIGINT)
+                            END AS VARCHAR)
+                    || ':' || event_type), 1, 15))::UBIGINT::BIGINT AS hc
+        FROM events
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS checksum,
+           bit_xor(h) != bit_xor(hc) AS corrupt_detected
+    FROM rows_h GROUP BY bucket ORDER BY bucket
+    """,
+)
+def s15_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free per-bucket content checksums (XOR of md5-prefix row
+    hashes) — the replica-verification manifest: the declared checksum
+    is computed from a REPARTITIONED written-and-read-back copy of the
+    corpus, so the oracle hash match (computed straight off the source
+    in a different physical order) IS the proof that the checksum
+    ignores row order; and a second copy with ONE planted flipped cent
+    (event_id {cid}) must differ in exactly its own bucket
+    (corrupt_detected true there, false everywhere else).
+
+    Scale shape: one map-side hash per row, one partial-aggregated XOR
+    per bucket — XOR partials combine on the map side, so the shuffle
+    carries {b} rows per partition regardless of corpus size; no sort,
+    no driver state.  This is how 100 TB replicas are actually
+    compared (content-defined manifests, not row-order diffs).
+
+    Reference analog: none — extends the S6 storage family (SURVEY
+    §2.10) beside s14's logical diff with the physical-integrity
+    check."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_type",
+    )
+    root = _workdir("s15_chk")
+    copy = os.path.join(root, "copy")
+    # a physically different layout: shuffled into 8 files by hash
+    base.repartition(8, "event_type").write.mode("overwrite").parquet(copy)
+    rows = spark.read.parquet(copy).select(
+        F.expr(f"event_id % {_S15_BUCKETS}").alias("bucket"),
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
+            " CAST(cents AS STRING), ':', event_type)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
+            f" CAST(CASE WHEN event_id = {_S15_CORRUPT_ID} THEN cents + 1"
+            f" ELSE cents END AS STRING), ':', event_type)), 1, 15), 16, 10)"
+            f" AS BIGINT)"
+        ).alias("hc"),
+    )
+    return (
+        rows.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+            (F.expr("bit_xor(h)") != F.expr("bit_xor(hc)")).alias(
+                "corrupt_detected"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+s15_integrity_checksum.__doc__ = s15_integrity_checksum.__doc__.format(
+    cid=_S15_CORRUPT_ID, b=_S15_BUCKETS
+)

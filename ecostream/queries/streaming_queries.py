@@ -1110,3 +1110,107 @@ def st15_stream_quantile_maintenance(
     finally:
         q.stop()
     return roll2_serve_weekly(spark.read.parquet(state["cur"]))
+
+
+# --- ST16: streaming sufficient-statistics maintenance (round 9) ---------------
+
+from .analytics import _WELCH1_ORACLE, welch_from_moments  # noqa: E402
+
+
+@query("st16_stream_welch_maintenance", oracle=_WELCH1_ORACLE)
+def st16_stream_welch_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of welch1's experiment monitor — the
+    always-on A/B dashboard: the events table replays as a 4-file feed
+    (maxFilesPerTrigger=1 → 4 micro-batches); each batch collapses to
+    its per-group sufficient statistics (n, Σcents, Σcents²) and MERGES
+    into a versioned one-row moment store via ``foreachBatch`` (plain
+    BIGINT adds — the moments are associative/commutative, which is
+    exactly what makes the t-statistic streamable); the final Welch
+    t / Satterthwaite df are computed FROM THE STORE by the SAME
+    ``welch_from_moments`` code path welch1 uses, and the oracle is
+    welch1's direct raw-events SQL — so the hash match signs
+    micro-batch-slicing invariance of the whole monitor end-to-end.
+
+    Scale shape: each micro-batch shuffles only its own 6 partial sums;
+    the merge touches a one-row store; raw events are never rescanned —
+    the st15 pattern applied to the experimentation family."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st16_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(4).write.parquet(str(work / "feed"))
+
+    def _moments(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("event_type").isin("purchase", "view"))
+            .selectExpr(
+                "CAST(round(value * 100) AS BIGINT) AS cents",
+                "event_type = 'purchase' AS g1",
+            )
+            .selectExpr(
+                "CASE WHEN g1 THEN 1 ELSE 0 END AS w1",
+                "CASE WHEN g1 THEN cents ELSE 0 END AS c1",
+                "CASE WHEN g1 THEN cents * cents ELSE 0 END AS cc1",
+                "CASE WHEN g1 THEN 0 ELSE 1 END AS w2",
+                "CASE WHEN g1 THEN 0 ELSE cents END AS c2",
+                "CASE WHEN g1 THEN 0 ELSE cents * cents END AS cc2",
+            )
+            .agg(
+                F.sum("w1").cast("long").alias("n1"),
+                F.sum("c1").cast("long").alias("s1"),
+                F.sum("cc1").cast("long").alias("q1"),
+                F.sum("w2").cast("long").alias("n2"),
+                F.sum("c2").cast("long").alias("s2"),
+                F.sum("cc2").cast("long").alias("q2"),
+            )
+        )
+
+    base = work / "moments_v0"
+    _moments(ev.limit(0)).na.fill(0).write.parquet(str(base))
+
+    schema = spark.read.parquet(str(work / "feed")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(work / "feed"))
+    )
+    state = {"cur": str(base), "v": 0}
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(state["cur"])
+        merged = (
+            cur.unionByName(_moments(batch).na.fill(0))
+            .agg(
+                F.sum("n1").cast("long").alias("n1"),
+                F.sum("s1").cast("long").alias("s1"),
+                F.sum("q1").cast("long").alias("q1"),
+                F.sum("n2").cast("long").alias("n2"),
+                F.sum("s2").cast("long").alias("s2"),
+                F.sum("q2").cast("long").alias("q2"),
+            )
+        )
+        state["v"] += 1
+        nxt = str(work / f"moments_v{state['v']}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return welch_from_moments(spark.read.parquet(state["cur"]))

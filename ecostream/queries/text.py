@@ -3873,3 +3873,87 @@ def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 d17_ppjoin_prefix_filter.__doc__ = d17_ppjoin_prefix_filter.__doc__.format(
     theta=_D17_THETA_PERMILLE
 )
+
+
+# --- T16: per-document keyword extraction (round 9) ----------------------------
+
+
+@query(
+    "t16_keyword_extraction",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * CAST((1000 * n.n) // df.df AS BIGINT) AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ((1000 * n.n) // df.df) DESC, tf.tok
+               ) AS rk
+        FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok AS keyword, CAST(rk AS BIGINT) AS rank, score
+    FROM scored WHERE rk <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank
+    """,
+)
+def t16_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by integer tf·idf — the metadata-
+    enrichment op every curation pipeline runs (search facets, topic
+    tagging, dedup explainers).  t11 scores QUERY-document pairs; this
+    inverts it to a per-document extraction: idf is t11's exact
+    integer device ((1000·N) div df), score = tf · idf_milli, and the
+    per-doc top-3 cut breaks ties lexicographically so the declared
+    rows are deterministic.  Declared on the doc_id < 100 slice (the
+    d2 exact-twin convention) to keep the driver signature small; the
+    mechanism runs the full corpus.
+
+    Scale shape: one explode feeding two partial-aggregated groupBys
+    (per-doc tf and corpus df — the SAME gram relation, lazily
+    reused); the df table joins back on the token key; the top-3 is a
+    per-doc window over the doc-keyed exchange, never a global sort.
+
+    Reference analog: none — extends the text-analysis family
+    (SURVEY §2.13) beside t7/t11/t13."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_tab = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = _docs(spark, sf_dir).agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        tf.join(df_tab, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr("tf * CAST((1000 * n) div df AS BIGINT)").alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select(
+            "doc_id",
+            F.col("tok").alias("keyword"),
+            F.col("rk").cast("long").alias("rank"),
+            "score",
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -325,3 +325,95 @@ def test_dq6_flags_late_half_null_regression(spark, tmp_path):
     assert prof["props"]["null_pm_late"] == 1000
     assert prof["event_type"]["distinct_drift_permille"] == 0
     assert prof["event_type"]["d_early"] == 3
+
+
+def test_st16_equals_batch_welch(spark, tmp_path):
+    """Micro-batch slicing invariance: the streamed moment store must
+    serve bit-identical Welch statistics to the direct batch query."""
+    from ecostream.queries.analytics import welch1_ttest
+    from ecostream.queries.streaming_queries import (
+        st16_stream_welch_maintenance,
+    )
+
+    n = 300
+    rows = []
+    for i in range(n):
+        et = "purchase" if i % 3 == 0 else "view"
+        rows.append((i, 1_700_000_000_000_000 + i, i % 11, et,
+                     float(5 + (i * 7) % 90) / 3.0))
+    _write_events(tmp_path, rows)
+    got = st16_stream_welch_maintenance(spark, str(tmp_path)).collect()
+    want = welch1_ttest(spark, str(tmp_path)).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_seq1_crosses_at_ninth_straight_conversion(spark, tmp_path):
+    """20 straight purchases: the LLR gains 336472 micro-nats per
+    observation, so the 2995732 boundary is crossed exactly at n=9."""
+    from ecostream.queries.analytics import seq1_sprt_monitor
+
+    rows = [
+        (i, 1_700_000_000_000_000 + i * 1000, 1, "purchase", 1.0)
+        for i in range(20)
+    ]
+    _write_events(tmp_path, rows)
+    r = seq1_sprt_monitor(spark, str(tmp_path)).collect()[0]
+    assert r["rejected_h0"] is True
+    assert r["first_cross_n"] == 9
+    assert r["final_llr_micro"] == 20 * 336_472
+
+
+def test_s14_diff_counts_match_mutation_rules(spark, tmp_path):
+    """On ids 0..99: removed = #(id%11==5), added = #(id%13==1),
+    changed = #(id%7==3 minus overlap with removed)."""
+    from ecostream.queries.storage_queries import s14_snapshot_diff
+
+    n = 100
+    rows = [
+        (i, 1_700_000_000_000_000 + i, i % 5, "et", float(i))
+        for i in range(n)
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["change"]: r["n_rows"]
+           for r in s14_snapshot_diff(spark, str(tmp_path)).collect()}
+    removed = sum(1 for i in range(n) if i % 11 == 5)
+    added = sum(1 for i in range(n) if i % 13 == 1)
+    changed = sum(1 for i in range(n) if i % 7 == 3 and i % 11 != 5)
+    assert got["removed"] == removed
+    assert got["added"] == added
+    assert got["changed"] == changed
+    assert got["unchanged"] == n - removed - changed
+
+
+def test_s15_flags_only_the_corrupt_bucket(spark, tmp_path):
+    """The planted flip on event_id 7 must mark bucket 7 (and only
+    bucket 7) corrupt, whatever the physical row order."""
+    from ecostream.queries.storage_queries import s15_integrity_checksum
+
+    rows = [
+        (i, 1_700_000_000_000_000 + i, i % 3, "et" + str(i % 2), float(i))
+        for i in range(64)
+    ]
+    _write_events(tmp_path, rows)
+    flagged = {
+        r["bucket"]
+        for r in s15_integrity_checksum(spark, str(tmp_path)).collect()
+        if r["corrupt_detected"]
+    }
+    assert flagged == {7}
+
+
+def test_t16_rare_heavy_token_wins(spark, tmp_path):
+    """A token unique to doc 0 and repeated there 5x must be doc 0's
+    rank-1 keyword (max tf times max idf)."""
+    from ecostream.queries.text import t16_keyword_extraction
+
+    texts = ["rare rare rare rare rare common common"] + [
+        "common common common filler" for _ in range(20)
+    ]
+    rng = np.random.default_rng(3)
+    _write_corpus(tmp_path, texts, ["s"] * len(texts),
+                  rng.standard_normal((len(texts), 4)))
+    rows = t16_keyword_extraction(spark, str(tmp_path)).collect()
+    doc0 = [r for r in rows if r["doc_id"] == 0]
+    assert doc0[0]["keyword"] == "rare" and doc0[0]["rank"] == 1
