@@ -65,6 +65,9 @@ HEADLINE = [
     "roll2_quantile_sketch_serve",  # mergeable quantile-sketch serve (round 8)
     "sim11_ivf_incremental",      # incremental IVF maintenance (round 8)
     "d16_containment_pairs",      # asymmetric containment dedup (round 8)
+    "decon2_semantic_overlap",    # embedding-level decontamination (round 9)
+    "s13_deletion_vector_read",   # merge-on-read DV serving (round 9)
+    "d17_ppjoin_prefix_filter",   # exact prefix-filtered sim join (round 9)
 ]
 
 

@@ -452,6 +452,36 @@ def stages():
             )
         )
 
+    # d17's prefix-filtered exact similarity join is an UNCAPPED
+    # production path (the whole point is that the prefix postings
+    # bound the candidate space); pca1 is cov1's one-pass moment
+    # matrix + model-sized waves, so its exponent should be ~1 (the
+    # scan) regardless of corpus size.
+    from ecostream.queries.similarity import pca1_power_iteration
+    from ecostream.queries.text import d17_ppjoin_prefix_filter
+
+    def ppjoin_full(spark, d):
+        return (
+            d17_ppjoin_prefix_filter(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("n_inter").alias("si"),
+                FF.sum("jacc_permille").alias("sj"),
+            )
+        )
+
+    def pca_full(spark, d):
+        return (
+            pca1_power_iteration(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("loading_micro").alias("sl"),
+                FF.max("var_explained_permille").alias("ve"),
+            )
+        )
+
     return [
         ("lsh_candidates (d3)", d3_minhash_lsh_candidates, "docs"),
         ("sparse_verify (d10 mech)", verify_full, "docs"),
@@ -475,6 +505,8 @@ def stages():
         ("link_prediction (g10)", linkpred_full, "users"),
         ("link_prediction_hub (g10)", linkpred_hub_full, "users"),
         ("semantic_decon (decon2)", decon_full, "vecs"),
+        ("ppjoin_exact (d17)", ppjoin_full, "docs"),
+        ("pca_power_iteration (pca1)", pca_full, "vecs"),
     ]
 
 
