@@ -3688,6 +3688,17 @@ def nov1_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2008 "PPJoin") is the exact no-false-negative middle path: order the
 # shingle universe globally by (document frequency asc, shingle asc) —
 # rarest first — and join documents only on their PREFIX shingles.
+#
+# Shingle order is a SCALE parameter, not a tuning knob: prefix
+# postings stay O(1) only while the shingle universe outruns the
+# corpus (real text obeys Heaps' law; every production MinHash/PPJoin
+# pipeline picks 4-5-word shingles for exactly this reason).  The
+# round-9 stress run measured the 3-gram form at exponent 1.66 under
+# this corpus's 31-word vocabulary saturation (29,791 possible
+# 3-grams vs 50k docs -> linearly growing postings -> quadratic
+# candidates); 4-grams lift the universe to 923k (measured df: avg
+# 1.2, max 6 at sf0.1), restoring the linear candidate regime with
+# the SAME 25/256 qualifying pairs at theta = 0.7.
 # For Jaccard >= theta, if J(A,B) >= theta then
 # |A ∩ B| >= ceil(theta * max(|A|,|B|)), so the first
 # |X| - ceil(theta*|X|) + 1 shingles of EACH side (in the shared global
@@ -3706,9 +3717,10 @@ _D17_THETA_PERMILLE = 700  # Jaccard >= 0.7 (the d3/d5 near-dup regime)
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS sh
-        FROM toks, UNNEST(range(1, greatest(len(a) - 1, 2))) AS t(i)
-        WHERE len(a) >= 3
+               a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] || ' '
+                    || a[i + 3] AS sh
+        FROM toks, UNNEST(range(1, greatest(len(a) - 2, 2))) AS t(i)
+        WHERE len(a) >= 4
     ),
     sz AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
@@ -3732,9 +3744,9 @@ _D17_THETA_PERMILLE = 700  # Jaccard >= 0.7 (the d3/d5 near-dup regime)
 )
 def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard-threshold similarity join via prefix filtering
-    (PPJoin's candidate rule) — every pair with 3-shingle-set Jaccard
+    (PPJoin's candidate rule) — every pair with 4-shingle-set Jaccard
     >= {theta}‰ over the FULL corpus, with no LSH miss probability.
-    Mechanism: distinct 3-gram shingles per doc; a global rarest-first
+    Mechanism: distinct 4-gram shingles per doc; a global rarest-first
     shingle order (document frequency asc, shingle asc); each doc
     contributes only its first |d| - ceil(theta*|d|) + 1 shingles in
     that order to the candidate join (prefix-filter lemma: a qualifying
@@ -3767,16 +3779,17 @@ def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("a")
     )
     shingles = (
-        docs.where(F.size("a") >= 3)
+        docs.where(F.size("a") >= 4)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, greatest(size(a) - 2, 1)),"
+                        "transform(sequence(1, greatest(size(a) - 3, 1)),"
                         " i -> concat(element_at(a, i), ' ',"
                         " element_at(a, i + 1), ' ',"
-                        " element_at(a, i + 2)))"
+                        " element_at(a, i + 2), ' ',"
+                        " element_at(a, i + 3)))"
                     )
                 )
             ).alias("sh"),

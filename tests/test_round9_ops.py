@@ -239,7 +239,7 @@ def _write_events(tmp_path, rows, props=None):
 
 def test_d17_finds_exactly_planted_near_dups(spark, tmp_path):
     """30 random-soup docs + 2 planted near-copy pairs (one token of
-    ~50 rewritten -> shingle Jaccard ~0.94).  The prefix-filtered join
+    ~50 rewritten -> shingle Jaccard ~0.84).  The prefix-filtered join
     must return exactly the planted pairs — no false negative (the
     prefix lemma) and no sub-threshold survivor (the exact verify)."""
     from ecostream.queries.text import d17_ppjoin_prefix_filter
@@ -264,7 +264,7 @@ def test_d17_finds_exactly_planted_near_dups(spark, tmp_path):
         for r in d17_ppjoin_prefix_filter(spark, str(tmp_path)).collect()
     }
     assert set(got) == {(3, 30), (7, 31)}
-    assert all(v >= 850 for v in got.values())
+    assert all(v >= 800 for v in got.values())
 
 
 def test_pca1_recovers_planted_dominant_direction(spark, tmp_path):
