@@ -2476,6 +2476,11 @@ def _decon2_oracle() -> str:
     ),
     d AS (SELECT doc_id, source FROM documents),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    params AS (
+        SELECT greatest(4, n // 128) AS k,
+               CAST(CEIL(SQRT(greatest(4, n // 128))) AS BIGINT) AS b
+        FROM nn
+    ),
     cents AS MATERIALIZED (
         SELECT row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
@@ -2483,18 +2488,49 @@ def _decon2_oracle() -> str:
                v AS cv
         FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT greatest(4, (SELECT n FROM nn) // 128)
+        LIMIT (SELECT k FROM params)
+    ),
+    supers AS MATERIALIZED (
+        SELECT cent_id AS sup_id, cv AS sv FROM cents
+        WHERE cent_id < (SELECT b FROM params)
+    ),
+    cbr AS MATERIALIZED (
+        SELECT cent_id, cv,
+               CASE WHEN cent_id < (SELECT b FROM params)
+                    THEN cent_id ELSE pick END AS branch
+        FROM (
+            SELECT c.cent_id, c.cv, s.sup_id AS pick,
+                   row_number() OVER (
+                       PARTITION BY c.cent_id
+                       ORDER BY list_dot_product(c.cv, s.sv)
+                                / sqrt(list_dot_product(s.sv, s.sv)) DESC,
+                                s.sup_id
+                   ) AS rn
+            FROM cents c CROSS JOIN supers s
+        ) WHERE rn = 1
+    ),
+    vbr AS MATERIALIZED (
+        SELECT vec_id, v, pick AS branch FROM (
+            SELECT e.vec_id, e.v, s.sup_id AS pick,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, s.sv)
+                                / sqrt(list_dot_product(s.sv, s.sv)) DESC,
+                                s.sup_id
+                   ) AS rn
+            FROM e CROSS JOIN supers s
+        ) WHERE rn = 1
     ),
     asg AS MATERIALIZED (
         SELECT vec_id, v, cell FROM (
-            SELECT e.vec_id, e.v, c.cent_id AS cell,
+            SELECT vb.vec_id, vb.v, c.cent_id AS cell,
                    row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.v, c.cv)
+                       PARTITION BY vb.vec_id
+                       ORDER BY list_dot_product(vb.v, c.cv)
                                 / sqrt(list_dot_product(c.cv, c.cv)) DESC,
                                 c.cent_id
                    ) AS rn
-            FROM e CROSS JOIN cents c
+            FROM vbr vb JOIN cbr c ON c.branch = vb.branch
         ) WHERE rn = 1
     ),
     lab AS (
@@ -2551,8 +2587,11 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are BUCKETED, never all-pairs (the sim4/semdedup
     discipline): all vectors are assigned to their nearest of
     max(4, n/128) deterministic coarse centroids (the k md5-lowest
-    vectors — portable order, no training) via the broadcast-centroid
-    map-side argmax, and only same-cell (train, bench) pairs are
+    vectors — portable order, no training) via the TWO-LEVEL
+    broadcast-centroid argmax (route through ceil(sqrt(k)) supers,
+    then in-branch argmax — the semdedup3 device; the round-9 stress
+    run measured the flat n·k assignment at quadratic onset under the
+    count-adaptive k), and only same-cell (train, bench) pairs are
     scored.  The cell count GROWS with the corpus (the er1/d14
     count-adaptive-key rule), so candidate volume stays ~linear; the
     bench side of the cell join is broadcast (benchmark suites are
@@ -2564,10 +2603,13 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sim4/rag1 twin device), micro units are its exact integer
     image, and ranking ties fall to doc_id — the oracle replays
     centroid choice, assignment, cell join, argmax, and the top-K."""
+    import math
+
     emb = _emb(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     n = emb.count()
     k_cells = max(4, n // 128)
+    b = math.ceil(math.sqrt(k_cells))
     init = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k_cells)
@@ -2578,7 +2620,36 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, list(r["v"])) for i, r in enumerate(init)],
         "cent_id long, cv_cent array<double>",
     )
-    asg = ivf_assign(emb, cents)
+    supers = spark.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(init[:b])],
+        "cent_id long, cv_cent array<double>",
+    )
+    # Two-level assignment (the semdedup3 device): centroid -> branch
+    # (k x b flyspeck, with each super PINNED to its own branch so no
+    # routed branch can be leaf-empty), vector -> branch (n x b dots),
+    # then the in-branch argmax (n x k/b expected) -- ~2n*sqrt(k)
+    # instead of the flat n*k, which the round-9 stress run measured
+    # quadratic-onset under the count-adaptive k = n/128.
+    cbr = (
+        ivf_assign(
+            cents.select(
+                F.col("cent_id").alias("vec_id"),
+                F.col("cv_cent").alias("v"),
+            ),
+            supers,
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.expr(f"CASE WHEN vec_id < {b} THEN vec_id ELSE cell END")
+            .alias("branch"),
+        )
+        .join(cents, "cent_id")
+        .select("branch", "cent_id", "cv_cent")
+    )
+    vbr = ivf_assign(emb, supers).select(
+        "vec_id", "v", F.col("cell").alias("branch")
+    )
+    asg = ivf_assign_within(vbr, cbr)
     lab = asg.join(docs, asg["vec_id"] == docs["doc_id"]).select(
         "vec_id", "v", "cell", "source"
     )
