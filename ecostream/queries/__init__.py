@@ -129,6 +129,9 @@ _ROUND_HEAD = [
     "s14_snapshot_diff",         # added/removed/changed table diff
     "s15_integrity_checksum",    # order-free replica checksum manifest
     "t16_keyword_extraction",    # per-doc top-3 tf-idf keywords
+    "ess1_weight_diagnostics",   # Kish ESS sampling-weight audit
+    "trim1_robust_means",        # trimmed/winsorized robust location
+    "ent2_user_diversity",       # per-user behaviour entropy buckets
     # ROUND 9 re-signs — changed signed queries re-enter the head:
     "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
                                  # DISTINCT (cur,nxt) edges (VERDICT r8 #1)

@@ -4037,3 +4037,110 @@ def seq1_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 seq1_sprt_monitor.__doc__ = seq1_sprt_monitor.__doc__.format(
     p0=_SEQ1_P0_PERMILLE, p1=_SEQ1_P1_PERMILLE
 )
+
+
+# --- TRIM1: trimmed/winsorized robust means (round 9) ---------------------------
+
+
+@query(
+    "trim1_robust_means",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+               ) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    cuts AS (
+        SELECT event_type, cents, rk, n,
+               (n // 10) AS lo, n - (n // 10) AS hi
+        FROM v
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(cents) // max(n) AS BIGINT) AS mean_cents,
+           CAST(sum(CASE WHEN rk > lo AND rk <= hi THEN cents END)
+                // greatest(sum(CASE WHEN rk > lo AND rk <= hi
+                                     THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS trimmed_mean_cents,
+           CAST(sum(CASE WHEN rk <= lo
+                         THEN min_keep
+                         WHEN rk > hi THEN max_keep
+                         ELSE cents END) // max(n) AS BIGINT)
+               AS winsorized_mean_cents
+    FROM (
+        SELECT *,
+               min(CASE WHEN rk > lo THEN cents END)
+                   OVER (PARTITION BY event_type) AS min_keep,
+               max(CASE WHEN rk <= hi THEN cents END)
+                   OVER (PARTITION BY event_type) AS max_keep
+        FROM cuts
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def trim1_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized means per event type beside the raw
+    mean — the robust-location family (dq2 flags outliers; this
+    reports what the metric looks like WITH and WITHOUT their
+    influence, the estimator A/B dashboards switch to when heavy
+    tails make raw means jumpy).  Cut points are exact integer RANKS
+    (lo = n div 10, hi = n − n div 10; ties broken by event_id, the
+    established total order), the trimmed mean averages ranks
+    (lo, hi], and winsorizing clamps the tails to the boundary values
+    — every statistic an exact BIGINT floor division.
+
+    Scale shape: one event-type-keyed rank window (the a9/ks1
+    exchange), two frame-free window extrema over the same partition,
+    and a partial-aggregated rollup — no global sort, no driver
+    state.
+
+    Reference analog: none — extends the stats family (SURVEY §2.13)
+    beside a9/dq2/mw1."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    wr = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = W.partitionBy("event_type")
+    v = (
+        ev.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wp))
+        .withColumn("lo", F.expr("n div 10"))
+        .withColumn("hi", F.expr("n - (n div 10)"))
+    )
+    v = v.withColumn(
+        "min_keep",
+        F.min(F.expr("CASE WHEN rk > lo THEN cents END")).over(wp),
+    ).withColumn(
+        "max_keep",
+        F.max(F.expr("CASE WHEN rk <= hi THEN cents END")).over(wp),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr("CAST(sum(cents) div max(n) AS BIGINT)").alias(
+                "mean_cents"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN rk > lo AND rk <= hi THEN cents END)"
+                " div greatest(sum(CASE WHEN rk > lo AND rk <= hi"
+                " THEN 1 ELSE 0 END), 1L) AS BIGINT)"
+            ).alias("trimmed_mean_cents"),
+            F.expr(
+                "CAST(sum(CASE WHEN rk <= lo THEN min_keep"
+                " WHEN rk > hi THEN max_keep ELSE cents END) div max(n)"
+                " AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1201,3 +1201,100 @@ def lm4_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "cur", "nxt")
         .limit(200)
     )
+
+
+# --- ENT2: per-user behavioural diversity entropy (round 9) ---------------------
+
+
+@query(
+    "ent2_user_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM c GROUP BY 1
+    ),
+    ent AS (
+        SELECT c.user_id,
+               CAST(sum(c.c * (CAST(round(1000000 * ln(t.n)) AS BIGINT)
+                               - CAST(round(1000000 * ln(c.c)) AS BIGINT)))
+                    // t.n AS BIGINT) AS h_micro,
+               max(t.n) AS n, max(t.k) AS k
+        FROM c JOIN tot t USING (user_id)
+        GROUP BY c.user_id, t.n
+    ),
+    b AS (
+        SELECT CAST(h_micro // 200000 AS BIGINT) AS h_bucket,
+               n, k
+        FROM ent
+    )
+    SELECT h_bucket, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_types,
+           CAST(max(k) AS BIGINT) AS max_types
+    FROM b GROUP BY h_bucket ORDER BY h_bucket
+    """,
+)
+def ent2_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioural diversity — Shannon entropy of each user's
+    event-type distribution in integer MICRO-NATS (ent1's device
+    pointed at the BEHAVIOUR axis: ent1 scores token repetition inside
+    documents, this scores action repetition inside user timelines —
+    the bot/power-user/monoculture segmentation signal), rolled up
+    into 0.2-nat entropy buckets with user counts, event mass, and
+    type-count extremes per bucket.  H = (Σ c·(q(ln n) − q(ln c)))/n
+    with each ln quantized to micro-nats BEFORE the sum (lm2's
+    portability rule), so per-user entropy is an exact BIGINT and no
+    boundary user can flip buckets between engines.
+
+    Scale shape: one partial-aggregated (user, type) count shuffle, a
+    user-keyed rollup, then map-side integer arithmetic and a
+    bucket-sized final aggregate — the libm ln rides the two-scale
+    sweep's regression net like every micro-nat op.
+
+    Reference analog: none — extends the corpus/stats families
+    (SURVEY §2.13) beside ent1/seg1/anon1."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    ent = (
+        c.join(tot, "user_id")
+        .select(
+            "user_id",
+            "n",
+            "k",
+            F.expr(
+                "c * (CAST(round(1000000 * ln(n)) AS BIGINT)"
+                " - CAST(round(1000000 * ln(c)) AS BIGINT))"
+            ).alias("term"),
+        )
+        .groupBy("user_id", "n")
+        .agg(
+            F.expr("CAST(sum(term) div max(n) AS BIGINT)").alias("h_micro"),
+            F.max("k").cast("long").alias("k"),
+        )
+    )
+    return (
+        ent.select(
+            F.expr("CAST(h_micro div 200000 AS BIGINT)").alias("h_bucket"),
+            "n",
+            "k",
+        )
+        .groupBy("h_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_types"),
+            F.max("k").cast("long").alias("max_types"),
+        )
+        .orderBy("h_bucket")
+    )

@@ -1594,3 +1594,69 @@ def pack3_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nf_waste_permille"),
     ).orderBy("source")
+
+
+# --- ESS1: sampling-weight effective-sample-size diagnostics (round 9) ----------
+
+
+@query(
+    "ess1_weight_diagnostics",
+    oracle="""
+    WITH w AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS sum_w,
+               CAST(sum(w * w) AS BIGINT) AS sum_w2,
+               CAST(max(w) AS BIGINT) AS max_w
+        FROM w GROUP BY source
+    )
+    SELECT source, n_docs, sum_w,
+           CAST((1000 * sum_w * sum_w) // (n_docs * sum_w2) AS BIGINT)
+               AS ess_permille,
+           CAST((1000 * max_w) // sum_w AS BIGINT) AS top_share_permille
+    FROM agg ORDER BY source
+    """,
+)
+def ess1_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size diagnostics for length-proportional
+    sampling, per source — the audit run BEFORE any weighted sampler
+    (samp2's A-ES, dsir1's importance resample) ships: Kish's
+    ESS = (Σw)²/Σw² says how many EFFECTIVE documents a weighted draw
+    really carries; ESS/n far below 1000‰ means a few long documents
+    dominate the sample and the weighting needs tempering.  Weights
+    are the exact integer token counts, so ESS/n and the largest
+    single-document share are exact BIGINT floor divisions — no float
+    crosses engines.
+
+    Scale shape: ONE scan, a map-side token count per row (in-row
+    split, no explode), and a partial-aggregated 4-moment collapse per
+    source — the cheapest possible per-group diagnostic.
+
+    Reference analog: none — extends the LLM-pipeline sampling family
+    (SURVEY §2.13) beside samp1/samp2/dsir1/mix1."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sum_w2"),
+        F.max("w").cast("long").alias("max_w"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_w",
+        F.expr(
+            "CAST((1000 * sum_w * sum_w) div (n_docs * sum_w2) AS BIGINT)"
+        ).alias("ess_permille"),
+        F.expr("CAST((1000 * max_w) div sum_w AS BIGINT)").alias(
+            "top_share_permille"
+        ),
+    ).orderBy("source")

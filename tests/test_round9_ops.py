@@ -417,3 +417,61 @@ def test_t16_rare_heavy_token_wins(spark, tmp_path):
     rows = t16_keyword_extraction(spark, str(tmp_path)).collect()
     doc0 = [r for r in rows if r["doc_id"] == 0]
     assert doc0[0]["keyword"] == "rare" and doc0[0]["rank"] == 1
+
+
+def test_ess1_uniform_vs_skewed_weights(spark, tmp_path):
+    """Equal-length docs give ESS/n = 1000 exactly; one source with a
+    single dominating giant doc must sit far lower with a high top
+    share."""
+    from ecostream.queries.llm_pipeline import ess1_weight_diagnostics
+
+    texts, sources = [], []
+    for i in range(20):
+        texts.append("a b c d e")          # 5 tokens each
+        sources.append("uniform")
+    texts.append(" ".join(["w"] * 500))     # the giant
+    sources.append("skewed")
+    for i in range(9):
+        texts.append("a b")
+        sources.append("skewed")
+    rng = np.random.default_rng(2)
+    _write_corpus(tmp_path, texts, sources,
+                  rng.standard_normal((len(texts), 4)))
+    rows = {r["source"]: r for r in
+            ess1_weight_diagnostics(spark, str(tmp_path)).collect()}
+    assert rows["uniform"]["ess_permille"] == 1000
+    assert rows["skewed"]["ess_permille"] < 200
+    assert rows["skewed"]["top_share_permille"] > 900
+
+
+def test_trim1_outlier_moves_mean_not_trimmed(spark, tmp_path):
+    """99 values of 100 cents + one 1e6-cent outlier: the raw mean
+    jumps, the 10%-trimmed mean stays exactly 100, and winsorizing
+    clamps the outlier to the boundary value."""
+    from ecostream.queries.analytics import trim1_robust_means
+
+    rows = [(i, 1_700_000_000_000_000 + i, 1, "et", 1.0) for i in range(99)]
+    rows.append((99, 1_700_000_000_000_099, 1, "et", 10_000.0))
+    _write_events(tmp_path, rows)
+    r = trim1_robust_means(spark, str(tmp_path)).collect()[0]
+    assert r["trimmed_mean_cents"] == 100
+    assert r["mean_cents"] > 10_000
+    assert r["winsorized_mean_cents"] == 100  # boundary value is 100
+
+
+def test_ent2_monoculture_user_lands_in_bucket_zero(spark, tmp_path):
+    """A user with one event type has H = 0 (bucket 0); a user evenly
+    split over 4 types has H = ln 4 ~ 1.386 nats (bucket 6)."""
+    from ecostream.queries.corpus import ent2_user_diversity
+
+    rows = []
+    for i in range(40):  # user 1: all the same type
+        rows.append((i, 1_700_000_000_000_000 + i, 1, "a", 0.0))
+    for i in range(40):  # user 2: 4 types evenly
+        rows.append((100 + i, 1_700_000_000_000_000 + i, 2,
+                     "abcd"[i % 4], 0.0))
+    _write_events(tmp_path, rows)
+    got = {r["h_bucket"]: r["n_users"]
+           for r in ent2_user_diversity(spark, str(tmp_path)).collect()}
+    assert got.get(0) == 1
+    assert got.get(6) == 1  # ln(4)=1.386294 -> 1386294 // 200000 = 6
