@@ -517,13 +517,19 @@ def pair_probes():
     the attribution into a measured per-pair cost.  Probes run
     UNTIMED, once per scale."""
     from ecostream.queries.seriesops import er1_candidate_pairs
-    from ecostream.queries.text import d14_winnowing_pairs
+    from ecostream.queries.text import (
+        d14_winnowing_pairs,
+        d17_ppjoin_prefix_filter,
+    )
 
     return {
         "winnowing_pairs (d14)": lambda s, d: d14_winnowing_pairs(
             s, d
         ).count(),
         "entity_resolution (er1)": lambda s, d: er1_candidate_pairs(
+            s, d
+        ).count(),
+        "ppjoin_exact (d17)": lambda s, d: d17_ppjoin_prefix_filter(
             s, d
         ).count(),
     }
