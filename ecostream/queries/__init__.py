@@ -132,6 +132,9 @@ _ROUND_HEAD = [
     "ess1_weight_diagnostics",   # Kish ESS sampling-weight audit
     "trim1_robust_means",        # trimmed/winsorized robust location
     "ent2_user_diversity",       # per-user behaviour entropy buckets
+    "eval9_brier_score",         # proper scoring rule + Murphy decomposition
+    "imp1_median_impute",        # group-median missing-value imputation
+    "streak1_daily_streaks",     # calendar gaps-and-islands streaks
     # ROUND 9 re-signs — changed signed queries re-enter the head:
     "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
                                  # DISTINCT (cur,nxt) edges (VERDICT r8 #1)

@@ -4144,3 +4144,224 @@ def trim1_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- EVAL9: Brier score + Murphy decomposition (round 9) ------------------------
+
+
+@query(
+    "eval9_brier_score",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               (1000 * length(text))
+                   // (len(string_split(text, ' ')) + 1) AS score
+        FROM documents
+    ),
+    st AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+    pm AS (
+        SELECT pos,
+               (1000 * (score - mn)) // greatest(mx - mn, 1) AS p_milli
+        FROM scored, st
+    ),
+    bk AS (
+        SELECT least(9, p_milli // 100) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(p_milli) AS BIGINT) AS sum_p_milli,
+               CAST(sum((p_milli - 1000 * pos) * (p_milli - 1000 * pos))
+                    AS BIGINT) AS sq_sum,
+               CAST((sum(p_milli) - 1000 * sum(pos))
+                    * (sum(p_milli) - 1000 * sum(pos))
+                    // count(*) AS BIGINT) AS rel_q
+        FROM pm GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t,
+               CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(sq_sum) // sum(n) AS BIGINT) AS brier_micro,
+               CAST(sum(rel_q) // sum(n) AS BIGINT) AS rel_micro
+        FROM bk
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, sq_sum, rel_q,
+           tot.brier_micro, tot.rel_micro,
+           CAST(((1000000 * tot.p) // tot.t) * (tot.t - tot.p) // tot.t
+                AS BIGINT) AS unc_micro,
+           CAST(tot.rel_micro
+                + ((1000000 * tot.p) // tot.t) * (tot.t - tot.p) // tot.t
+                - tot.brier_micro AS BIGINT) AS res_micro
+    FROM bk, tot
+    ORDER BY bucket
+    """,
+)
+def eval9_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy reliability/resolution/uncertainty
+    decomposition over ece1's forecast/label pair — the PROPER scoring
+    rule beside ece1's calibration gap (ECE can be gamed by a
+    constant-base-rate forecaster; the Brier resolution term is what
+    it gives up).  All integer: per-document squared error
+    (p_milli − 1000y)² sums exactly; per-bin reliability is the
+    floor-quantized (Σp − 1000·Σy)²/n; uncertainty is ȳ(1−ȳ) via two
+    bounded floor divisions; and resolution is DEFINED through the
+    Murphy identity REL − BRIER + UNC on the quantized terms (stated
+    in-source, so the declared statistic is reproducible rather than
+    a float decomposition that never exactly telescopes).
+
+    Scale shape: ece1's exact plan — one scan, a broadcast 1-row
+    min/max, a 10-bucket partial-aggregated rollup — plus two more
+    integer sums in the same aggregate.
+
+    Reference analog: none — extends the eval family (SURVEY §2.13)
+    beside auc1/ece1/kappa1/ks1."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("pos"),
+        F.expr(
+            "(1000 * length(text)) div (size(split(text, ' ')) + 1)"
+        ).alias("score"),
+    )
+    st = docs.agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    pm = docs.crossJoin(F.broadcast(st)).select(
+        "pos",
+        F.expr(
+            "(1000 * (score - mn)) div greatest(mx - mn, 1L)"
+        ).alias("p_milli"),
+    )
+    bk = pm.groupBy(
+        F.expr("least(9, p_milli div 100)").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("p_milli").cast("long").alias("sum_p_milli"),
+        F.sum(
+            F.expr("(p_milli - 1000 * pos) * (p_milli - 1000 * pos)")
+        )
+        .cast("long")
+        .alias("sq_sum"),
+        F.expr(
+            "CAST((sum(p_milli) - 1000 * sum(pos))"
+            " * (sum(p_milli) - 1000 * sum(pos)) div count(*) AS BIGINT)"
+        ).alias("rel_q"),
+    )
+    tot = bk.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.sum("n_pos").cast("long").alias("p"),
+        F.expr("CAST(sum(sq_sum) div sum(n) AS BIGINT)").alias(
+            "brier_micro"
+        ),
+        F.expr("CAST(sum(rel_q) div sum(n) AS BIGINT)").alias("rel_micro"),
+    )
+    return (
+        bk.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n",
+            "n_pos",
+            "sq_sum",
+            "rel_q",
+            "brier_micro",
+            "rel_micro",
+            F.expr(
+                "CAST(((1000000 * p) div t) * (t - p) div t AS BIGINT)"
+            ).alias("unc_micro"),
+            F.expr(
+                "CAST(rel_micro + ((1000000 * p) div t) * (t - p) div t"
+                " - brier_micro AS BIGINT)"
+            ).alias("res_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- IMP1: group-median missing-value imputation (round 9) ----------------------
+
+
+@query(
+    "imp1_median_impute",
+    oracle="""
+    WITH masked AS (
+        SELECT event_type,
+               CASE WHEN event_id % 13 = 7 THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents
+               ) AS rk,
+               count(cents) OVER (PARTITION BY event_type) AS nn
+        FROM masked WHERE cents IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, CAST(cents AS BIGINT) AS median_cents
+        FROM ranked WHERE rk = (nn + 1) // 2
+    )
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN m.cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing,
+           med.median_cents,
+           CAST(sum(coalesce(m.cents, med.median_cents)) // count(*)
+                AS BIGINT) AS imputed_mean_cents
+    FROM masked m JOIN med USING (event_type)
+    GROUP BY m.event_type, med.median_cents
+    ORDER BY m.event_type
+    """,
+)
+def imp1_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median missing-value imputation — the feature-pipeline
+    primitive: values masked NULL by a deterministic rule (event_id %
+    13 = 7, the s14 planted-mutation device, so both engines see the
+    SAME missingness) are filled with their event type's exact lower
+    median (rank (n+1) div 2 over non-null cents — integer, no
+    interpolation), and the per-type report carries missing counts and
+    the post-imputation mean as exact BIGINT divisions.
+
+    Scale shape: one event-type-keyed rank window over the non-null
+    subset (the a9 exchange), the |types|-row median table broadcast
+    back onto the scan, one partial-aggregated rollup.
+
+    Reference analog: none — extends the data-quality family (SURVEY
+    §2.13) beside dq1/dq6."""
+    from pyspark.sql import Window as W
+
+    masked = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN event_id % 13 = 7 THEN NULL"
+            " ELSE CAST(round(value * 100) AS BIGINT) END"
+        ).alias("cents"),
+    )
+    nn = masked.where(F.col("cents").isNotNull())
+    wr = W.partitionBy("event_type").orderBy("cents")
+    wp = W.partitionBy("event_type")
+    med = (
+        nn.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_nonnull", F.count("cents").over(wp))
+        .where(F.expr("rk = (n_nonnull + 1) div 2"))
+        .select("event_type", F.col("cents").alias("median_cents"))
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_cents")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr("CASE WHEN cents IS NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_missing"),
+            F.expr(
+                "CAST(sum(coalesce(cents, median_cents)) div count(*)"
+                " AS BIGINT)"
+            ).alias("imputed_mean_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_missing",
+            "median_cents",
+            "imputed_mean_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -698,3 +698,78 @@ def ewma1_decay_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+# --- STREAK1: longest consecutive-day activity streaks (round 9) ----------------
+
+
+@query(
+    "streak1_daily_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island,
+               CAST(count(*) AS BIGINT) AS len,
+               CAST(min(day) AS BIGINT) AS start_day,
+               CAST(max(day) AS BIGINT) AS end_day
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, len, start_day, end_day
+    FROM streaks
+    ORDER BY len DESC, user_id, start_day
+    LIMIT 20
+    """,
+)
+def streak1_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest consecutive-day activity streaks — the
+    gaps-and-islands device (w10 runs it over event SEQUENCE; this
+    runs it over CALENDAR continuity, the retention/habit metric):
+    distinct active days per user, island key = day − row_number
+    (consecutive days share it), one group-by for streak length and
+    bounds, deterministic top-20.
+
+    Scale shape: one distinct (user, day) shuffle, a user-keyed rank
+    window over the day-deduped relation (tiny vs the event log), a
+    partial-aggregated island rollup, and a TakeOrderedAndProject
+    top-k — the event scan is touched once.
+
+    Reference analog: none — extends the sessionization/series family
+    (SURVEY §2.13) beside t4/w10/cohort1."""
+    from pyspark.sql import Window as W
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.count("*").cast("long").alias("len"),
+            F.min("day").cast("long").alias("start_day"),
+            F.max("day").cast("long").alias("end_day"),
+        )
+        .select("user_id", "len", "start_day", "end_day")
+        .orderBy(F.desc("len"), "user_id", "start_day")
+        .limit(20)
+    )

@@ -475,3 +475,81 @@ def test_ent2_monoculture_user_lands_in_bucket_zero(spark, tmp_path):
            for r in ent2_user_diversity(spark, str(tmp_path)).collect()}
     assert got.get(0) == 1
     assert got.get(6) == 1  # ln(4)=1.386294 -> 1386294 // 200000 = 6
+
+
+def test_eval9_murphy_identity_and_perfect_forecaster(spark, tmp_path):
+    """res_micro must satisfy the declared identity REL - BRIER + UNC
+    exactly, and a perfectly separable corpus (en docs long, others
+    short) must score a tiny Brier."""
+    from ecostream.queries.analytics import eval9_brier_score
+
+    texts, langs = [], []
+    for i in range(50):
+        texts.append("word " * 200)    # long -> high score
+        langs.append("en")
+        texts.append("w " * 3)          # short -> low score
+        langs.append("de")
+    rng = np.random.default_rng(4)
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v))
+                     for v in rng.standard_normal((n, 4))],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = eval9_brier_score(spark, str(tmp_path)).collect()
+    r = rows[0]
+    assert r["res_micro"] == r["rel_micro"] + r["unc_micro"] - r["brier_micro"]
+    assert r["brier_micro"] < 30_000  # near-perfect separation
+    assert r["unc_micro"] == 250_000  # base rate exactly 1/2
+
+
+def test_imp1_median_fills_planted_nulls(spark, tmp_path):
+    """Values are 100 cents everywhere; the planted mask (id%13==7)
+    nulls some — imputation must restore a 100-cent mean exactly."""
+    from ecostream.queries.analytics import imp1_median_impute
+
+    rows = [(i, 1_700_000_000_000_000 + i, 1, "et", 1.0) for i in range(130)]
+    _write_events(tmp_path, rows)
+    r = imp1_median_impute(spark, str(tmp_path)).collect()[0]
+    assert r["n_missing"] == 10
+    assert r["median_cents"] == 100
+    assert r["imputed_mean_cents"] == 100
+
+
+def test_streak1_finds_planted_streak(spark, tmp_path):
+    """User 1 is active 7 consecutive days then gaps; user 2 has
+    alternating days.  The top streak must be user 1's 7-day run."""
+    from ecostream.queries.seriesops import streak1_daily_streaks
+
+    rows = []
+    us = 86_400_000_000
+    for d in range(7):
+        rows.append((d, d * us + 5, 1, "a", 0.0))
+    rows.append((100, 20 * us + 5, 1, "a", 0.0))
+    for d in range(10):
+        rows.append((200 + d, (2 * d) * us + 5, 2, "a", 0.0))
+    _write_events(tmp_path, rows)
+    top = streak1_daily_streaks(spark, str(tmp_path)).collect()[0]
+    assert top["user_id"] == 1 and top["len"] == 7
+    assert top["start_day"] == 0 and top["end_day"] == 6
