@@ -135,6 +135,8 @@ _ROUND_HEAD = [
     "eval9_brier_score",         # proper scoring rule + Murphy decomposition
     "imp1_median_impute",        # group-median missing-value imputation
     "streak1_daily_streaks",     # calendar gaps-and-islands streaks
+    "roll3_distinct_sketch_serve",  # mergeable KMV distinct rollup
+    "st17_stream_distinct_maintenance",  # streaming KMV sketch upkeep
     # ROUND 9 re-signs — changed signed queries re-enter the head:
     "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
                                  # DISTINCT (cur,nxt) edges (VERDICT r8 #1)

@@ -1436,3 +1436,181 @@ def s15_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 s15_integrity_checksum.__doc__ = s15_integrity_checksum.__doc__.format(
     cid=_S15_CORRUPT_ID, b=_S15_BUCKETS
 )
+
+
+# --- ROLL3: mergeable distinct-count sketch rollup (round 9) --------------------
+#
+# The rollup trilogy's third member: roll1 proves ADDITIVE rollups
+# (sums re-aggregate), roll2 proves QUANTILE rollups (log-bucket
+# histograms merge), and this proves DISTINCT-COUNT rollups — the one
+# aggregate that is NEITHER additive nor histogram-able, and the
+# reason theta/KMV/HLL sketches exist in every lakehouse.  Daily KMV
+# sketches (k smallest md5-derived user hashes per (day, type)) are
+# physically written once; weekly distinct-user estimates are served
+# by MERGING stored sketches (union -> re-take k smallest).  Because
+# the hash of a user is deterministic, the k smallest of the union of
+# per-day k-minima ARE the k smallest of the raw weekly set — so the
+# served estimate is BIT-IDENTICAL to the direct weekly KMV, and the
+# oracle signs exactly that (it computes the weekly sketch straight
+# from raw events; a hash match proves lossless mergeability, the
+# roll2 merge-vs-direct property for the distinct aggregate).
+
+_ROLL3_K = 64
+_ROLL3_SCALE = 1 << 40
+
+
+_ROLL3_WEEKLY_ORACLE = f"""
+    WITH hashed AS (
+        SELECT DISTINCT
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) // 7 AS week,
+               event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                   ::UBIGINT::BIGINT + 1 AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT week, event_type, h,
+               row_number() OVER (
+                   PARTITION BY week, event_type ORDER BY h
+               ) AS rn,
+               count(*) OVER (PARTITION BY week, event_type) AS nd
+        FROM hashed
+    )
+    SELECT week, event_type,
+           CAST(max(nd) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN max(nd) < {_ROLL3_K} THEN max(nd)
+                ELSE ({_ROLL3_K - 1} * {_ROLL3_SCALE})
+                     // max(CASE WHEN rn = {_ROLL3_K} THEN h END)
+           END AS BIGINT) AS kmv_est,
+           CAST((1000 * abs(CAST(CASE WHEN max(nd) < {_ROLL3_K}
+                    THEN max(nd)
+                    ELSE ({_ROLL3_K - 1} * {_ROLL3_SCALE})
+                         // max(CASE WHEN rn = {_ROLL3_K} THEN h END)
+                END AS BIGINT) - max(nd))) // greatest(max(nd), 1)
+                AS BIGINT) AS err_permille
+    FROM ranked WHERE rn <= {_ROLL3_K}
+    GROUP BY week, event_type ORDER BY week, event_type
+    """
+
+
+def roll3_daily_sketch(ev_hashed: DataFrame) -> DataFrame:
+    """(day, event_type, h) -> the k smallest hashes per (day, type):
+    the stored daily KMV rows.  Shared by roll3 (batch build) and
+    st17 (streaming maintenance) so both paths provably write the
+    same sketch."""
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("day", "event_type").orderBy("h")
+    return (
+        ev_hashed.distinct()
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _ROLL3_K)
+        .select("day", "event_type", "h")
+    )
+
+
+def roll3_serve_weekly(spark: SparkSession, store: str, sf_dir: str) -> DataFrame:
+    """Weekly KMV merge + estimate + exact audit from a daily-sketch
+    parquet store — roll3's serve path, reused by st17."""
+    from pyspark.sql import Window as W
+
+    sk = spark.read.parquet(store).select(
+        F.expr("day div 7").alias("week"), "event_type", "h"
+    )
+    ww = W.partitionBy("week", "event_type").orderBy("h")
+    merged = (
+        sk.distinct()
+        .withColumn("rn", F.row_number().over(ww))
+        .where(F.col("rn") <= _ROLL3_K)
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "CAST(unix_micros(ts) div 86400000000 AS BIGINT) div 7"
+            ).alias("week"),
+            "event_type",
+            "user_id",
+        )
+        .distinct()
+        .groupBy("week", "event_type")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    est = merged.groupBy("week", "event_type").agg(
+        F.count("*").cast("long").alias("n_in_sketch"),
+        F.max(
+            F.expr(f"CASE WHEN rn = {_ROLL3_K} THEN h END")
+        ).alias("hk"),
+    )
+    return (
+        est.join(exact, ["week", "event_type"])
+        .select(
+            "week",
+            "event_type",
+            "n_exact",
+            F.expr(
+                f"CAST(CASE WHEN n_in_sketch < {_ROLL3_K} THEN n_in_sketch"
+                f" ELSE ({_ROLL3_K - 1} * {_ROLL3_SCALE}) div hk"
+                f" END AS BIGINT)"
+            ).alias("kmv_est"),
+            F.expr(
+                f"CAST((1000 * abs(CAST(CASE WHEN n_in_sketch < {_ROLL3_K}"
+                f" THEN n_in_sketch"
+                f" ELSE ({_ROLL3_K - 1} * {_ROLL3_SCALE}) div hk END"
+                f" AS BIGINT) - n_exact)) div greatest(n_exact, 1L)"
+                f" AS BIGINT)"
+            ).alias("err_permille"),
+        )
+        .orderBy("week", "event_type")
+    )
+
+
+def roll3_hash_exprs(df: DataFrame) -> DataFrame:
+    """events -> (day, event_type, h) with the portable md5-derived
+    40-bit user hash (kmv1's family)."""
+    return df.select(
+        F.expr(
+            "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+        ).alias("day"),
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10),"
+            " 16, 10) AS BIGINT) + 1"
+        ).alias("h"),
+    )
+
+
+@query("roll3_distinct_sketch_serve", oracle=_ROLL3_WEEKLY_ORACLE)
+def roll3_distinct_sketch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct-user estimates served ENTIRELY from stored
+    daily KMV sketches — the distinct-count member of the rollup
+    trilogy (roll1 additive / roll2 quantile / roll3 distinct): per
+    (day, type) the k = {k} smallest md5-derived user hashes are
+    written to parquet once; the weekly serve unions stored daily
+    rows, re-takes the k smallest per (week, type), and estimates
+    (k−1)·2^40 div h_(k) with the exact-count fallback for small
+    sets.  Deterministic hashing makes the merge LOSSLESS (the k
+    smallest of unioned per-day k-minima are the weekly k smallest),
+    so the oracle — which computes the weekly sketch straight from
+    raw events — signs bit-identical merge-vs-direct, roll2's
+    property for the aggregate that is neither additive nor
+    histogram-able.  n_exact and err_permille audit the estimator
+    against the true weekly distinct (k = {k} ⇒ ~12% relative error
+    bound; testdata reads single digits).
+
+    Scale shape: sketch build is one distinct (day, type, hash)
+    shuffle + the per-group top-k; the store holds ≤ |days|·|types|·k
+    rows; serving never rescans events — at 100 TB the distinct
+    dashboard reads kilobytes.  Reference analog: the K5/K2 sketch
+    family (SURVEY §2.7) lifted to the S6 serving story."""
+    ev = roll3_hash_exprs(load_table(spark, sf_dir, "events"))
+    daily = roll3_daily_sketch(ev)
+    root = _workdir("roll3_kmv")
+    store = os.path.join(root, "daily_sketches")
+    daily.write.mode("overwrite").parquet(store)
+    return roll3_serve_weekly(spark, store, sf_dir)
+
+
+roll3_distinct_sketch_serve.__doc__ = roll3_distinct_sketch_serve.__doc__.format(
+    k=_ROLL3_K
+)

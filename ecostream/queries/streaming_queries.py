@@ -1214,3 +1214,83 @@ def st16_stream_welch_maintenance(
     finally:
         q.stop()
     return welch_from_moments(spark.read.parquet(state["cur"]))
+
+
+# --- ST17: streaming distinct-sketch maintenance (round 9) ----------------------
+
+from .storage_queries import (  # noqa: E402
+    _ROLL3_WEEKLY_ORACLE,
+    roll3_daily_sketch,
+    roll3_hash_exprs,
+    roll3_serve_weekly,
+)
+
+
+@query("st17_stream_distinct_maintenance", oracle=_ROLL3_WEEKLY_ORACLE)
+def st17_stream_distinct_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of roll3's daily KMV sketches — st15's
+    slicing-invariance story for the DISTINCT aggregate: the events
+    table replays as a 4-file feed (maxFilesPerTrigger=1 → 4
+    micro-batches); each batch's (day, type, hash) rows union into the
+    versioned sketch store and the per-(day, type) k smallest are
+    re-taken (KMV's merge IS union + top-k, so maintenance is
+    micro-batch-slicing-invariant BY CONSTRUCTION — deterministic
+    hashing makes the merged sketch bit-identical to the batch-built
+    one).  The final weekly serve runs roll3's exact code path against
+    roll3's direct-from-raw oracle, so the driver hash signs the whole
+    streamed store.
+
+    Scale shape: each micro-batch shuffles only its own distinct
+    (day, type, hash) rows; the store stays ≤ |days|·|types|·k rows;
+    raw events are never rescanned."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st17_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id"
+    )
+    ev.repartition(4).write.parquet(str(work / "feed"))
+
+    base = work / "sketch_v0"
+    roll3_daily_sketch(roll3_hash_exprs(ev.limit(0))).write.parquet(
+        str(base)
+    )
+
+    schema = spark.read.parquet(str(work / "feed")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(work / "feed"))
+    )
+    state = {"cur": str(base), "v": 0}
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(state["cur"])
+        merged = roll3_daily_sketch(
+            cur.unionByName(roll3_daily_sketch(roll3_hash_exprs(batch)))
+        )
+        state["v"] += 1
+        nxt = str(work / f"sketch_v{state['v']}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return roll3_serve_weekly(spark, state["cur"], sf_dir)

@@ -553,3 +553,35 @@ def test_streak1_finds_planted_streak(spark, tmp_path):
     top = streak1_daily_streaks(spark, str(tmp_path)).collect()[0]
     assert top["user_id"] == 1 and top["len"] == 7
     assert top["start_day"] == 0 and top["end_day"] == 6
+
+
+def test_roll3_st17_merge_equals_direct_and_small_set_fallback(
+    spark, tmp_path
+):
+    """The streamed store must serve the SAME rows as the batch-built
+    one (KMV merge is lossless under deterministic hashing), and a
+    group with < k distinct users must fall back to the exact count
+    (err_permille 0)."""
+    from ecostream.queries.storage_queries import (
+        roll3_distinct_sketch_serve,
+    )
+    from ecostream.queries.streaming_queries import (
+        st17_stream_distinct_maintenance,
+    )
+
+    rows = []
+    us = 86_400_000_000
+    for i in range(400):  # 2+ weeks, 2 types, ~40 users
+        rows.append(
+            (i, (i % 16) * us + i, i % 40, "ab"[i % 2], 0.0)
+        )
+    _write_events(tmp_path, rows)
+    batch = [r.asDict() for r in
+             roll3_distinct_sketch_serve(spark, str(tmp_path)).collect()]
+    streamed = [r.asDict() for r in
+                st17_stream_distinct_maintenance(
+                    spark, str(tmp_path)).collect()]
+    assert batch == streamed
+    # 40 distinct users < k=64 -> exact fallback everywhere here
+    assert all(r["err_permille"] == 0 for r in batch)
+    assert all(r["kmv_est"] == r["n_exact"] for r in batch)
