@@ -471,6 +471,21 @@ def stages():
             )
         )
 
+    from ecostream.queries.storage_queries import (
+        roll3_distinct_sketch_serve,
+    )
+
+    def roll3_full(spark, d):
+        return (
+            roll3_distinct_sketch_serve(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("kmv_est").alias("se"),
+                FF.sum("n_exact").alias("sx"),
+            )
+        )
+
     def pca_full(spark, d):
         return (
             pca1_power_iteration(spark, d)
@@ -507,6 +522,7 @@ def stages():
         ("semantic_decon (decon2)", decon_full, "vecs"),
         ("ppjoin_exact (d17)", ppjoin_full, "docs"),
         ("pca_power_iteration (pca1)", pca_full, "vecs"),
+        ("distinct_sketch_rollup (roll3)", roll3_full, "events"),
     ]
 
 
