@@ -3743,18 +3743,28 @@ _D17_THETA_PERMILLE = 700  # Jaccard >= 0.7 (the d3/d5 near-dup regime)
     """,
 )
 def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard-threshold similarity join via prefix filtering
-    (PPJoin's candidate rule) — every pair with 4-shingle-set Jaccard
-    >= {theta}‰ over the FULL corpus, with no LSH miss probability.
-    Mechanism: distinct 4-gram shingles per doc; a global rarest-first
-    shingle order (document frequency asc, shingle asc); each doc
-    contributes only its first |d| - ceil(theta*|d|) + 1 shingles in
-    that order to the candidate join (prefix-filter lemma: a qualifying
-    pair MUST share a prefix shingle); candidates passing the length
-    filter 1000*min(|a|,|b|) >= {theta}*max(|a|,|b|) are verified by an
-    exact intersection count restricted to candidate pairs.  All
-    arithmetic integer (ceil as (p*n + 999) div 1000), so the declared
-    jacc_permille is exact.
+    """EXACT Jaccard-threshold similarity join via prefix + positional
+    filtering (full PPJoin, Xiao et al. 2008 §3.2) — every pair with
+    4-shingle-set Jaccard >= {theta}‰ over the FULL corpus, with no LSH
+    miss probability.  Mechanism: distinct 4-gram shingles per doc; a
+    global rarest-first shingle order (document frequency asc, shingle
+    asc); each doc contributes only its first |d| - ceil(theta*|d|) + 1
+    shingles in that order to the candidate join (prefix-filter lemma:
+    a qualifying pair MUST share a prefix shingle).  Candidates pass
+    the length filter 1000*min(|a|,|b|) >= {theta}*max(|a|,|b|) AND the
+    positional filter: with s = |shared prefix shingles| and (i*, j*)
+    the two positions of the LAST shared prefix shingle in the global
+    order, overlap <= s + min(|a| - i*, |b| - j*) (every intersection
+    shingle up to the last shared prefix shingle is itself a shared
+    prefix shingle, because the order is total and shared), so pairs
+    with (1000 + {theta}) * (s + min(|a|-i*, |b|-j*)) <
+    {theta} * (|a| + |b|) provably have J < theta and are pruned
+    before verification.  The same lemma makes verification
+    suffix-only: n_inter = s + |intersection at positions > (i*, j*)|,
+    so the verify join fans out over suffix postings instead of whole
+    documents.  All arithmetic integer (ceil as (p*n + 999) div 1000;
+    o >= ceil(t*(na+nb)/(1000+t)) tested as (1000+t)*o >= t*(na+nb)),
+    so the declared jacc_permille is exact.
 
     The oracle is NOT a mechanism replay: it computes ground truth by
     the unfiltered inverted-index join (d2's shape), so a hash match
@@ -3795,39 +3805,33 @@ def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    sizes = shingles.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n")
+    # Every doc's shingles with their 1-based POSITION in the global
+    # (df asc, sh asc) order, in TWO exchanges: a window count by sh
+    # attaches df without a separate agg+join pass, then one exchange
+    # by doc_id computes the rank and the doc size together.  The
+    # (df, sh) order is total (df ties break on the shingle text), so
+    # both engines and every run agree on positions.
+    w_sh = W.partitionBy("sh")
+    w_doc = W.partitionBy("doc_id").orderBy("df", "sh")
+    w_doc_all = W.partitionBy("doc_id")
+    positioned = (
+        shingles.withColumn("df", F.count("*").over(w_sh).cast("long"))
+        .withColumn("pos", F.row_number().over(w_doc).cast("long"))
+        .withColumn("n", F.count("*").over(w_doc_all).cast("long"))
+        .select("doc_id", "n", "pos", "sh")
+        # Four consumers (both candidate sides + both verify sides):
+        # cut lineage so the two window exchanges run once, not 4x.
+        .localCheckpoint(eager=False)
     )
-    df_tab = shingles.groupBy("sh").agg(
-        F.count("*").cast("long").alias("df")
-    )
-    # Per-doc prefix in the global (df asc, sh asc) order: sort the
-    # doc's (df, sh) structs in-row, keep the first n - ceil(theta*n)
-    # + 1.  The struct sort is total (df ties break on the shingle
-    # text), so both engines and every run agree on the prefix.
-    prefix = (
-        shingles.join(df_tab, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "sh"))
-            ).alias("ordered"),
-            F.count("*").cast("long").alias("n"),
-        )
-        .select(
-            "doc_id",
-            "n",
-            F.explode(
-                F.expr(
-                    f"slice(ordered, 1,"
-                    f" CAST(n - ((({theta} * n) + 999) div 1000) + 1"
-                    f" AS INT))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "n", F.col("p.sh").alias("sh"))
+    prefix = positioned.where(
+        F.expr(f"pos <= n - ((({theta} * n) + 999) div 1000) + 1")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # Candidate pairs with the length filter pre-agg, then PER PAIR:
+    # s = shared prefix shingles, (ia, jb) = positions of the LAST
+    # shared prefix shingle on each side (the global order is shared,
+    # so max(pos) on both sides names the same shingle).  The
+    # positional filter bounds overlap by s + min(na - ia, nb - jb).
     cand = (
         pa.join(
             pb,
@@ -3840,29 +3844,59 @@ def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" >= {theta} * greatest(pa.n, pb.n)"
             )
         )
-        .select(
+        .groupBy(
             F.col("pa.doc_id").alias("a_id"),
             F.col("pb.doc_id").alias("b_id"),
         )
-        .distinct()
+        .agg(
+            F.count("*").cast("long").alias("s"),
+            F.max("pa.pos").alias("ia"),
+            F.max("pb.pos").alias("jb"),
+            F.max("pa.n").alias("sz_a"),
+            F.max("pb.n").alias("sz_b"),
+        )
+        .where(
+            F.expr(
+                f"(1000 + {theta})"
+                f" * (s + least(sz_a - ia, sz_b - jb))"
+                f" >= {theta} * (sz_a + sz_b)"
+            )
+        )
     )
-    sha = shingles.select(
-        F.col("doc_id").alias("a_id"), F.col("sh").alias("sh")
+    # Suffix-only verification: intersection shingles at positions
+    # <= (ia, jb) are exactly the s shared prefix shingles (lemma in
+    # the docstring), so only suffix postings need the equi-join.  A
+    # left join keeps candidates whose suffixes share nothing.
+    sfa = positioned.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("pos").alias("pos_a"),
+        "sh",
     )
-    shb = shingles.select(
-        F.col("doc_id").alias("b_id"), F.col("sh").alias("sh")
+    sfb = positioned.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("pos").alias("pos_b"),
+        "sh",
     )
-    inter = (
-        cand.join(sha, "a_id")
-        .join(shb, ["b_id", "sh"])
+    suff = (
+        cand.select("a_id", "b_id", "ia", "jb")
+        .join(sfa, "a_id")
+        .where(F.col("pos_a") > F.col("ia"))
+        .join(sfb, ["b_id", "sh"])
+        .where(F.col("pos_b") > F.col("jb"))
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+        .agg(F.count("*").cast("long").alias("n_suffix"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("sz_b"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(suff, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("s") + F.coalesce(F.col("n_suffix"), F.lit(0)))
+            .cast("long")
+            .alias("n_inter"),
+            "sz_a",
+            "sz_b",
+        )
         .where(
             F.expr(
                 f"1000 * n_inter >= {theta} * (sz_a + sz_b - n_inter)"
