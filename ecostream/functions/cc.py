@@ -46,6 +46,7 @@ def _local_union_find(
     The label schema is taken from ``vertices`` so non-long vertex ids
     work the same as on the distributed path.
     """
+    import pandas as pd
     from pyspark.sql import types as T
 
     parent: dict = {}
@@ -57,16 +58,28 @@ def _local_union_find(
             x = parent[x]
         return x
 
-    for r in sym.collect():
-        ra, rb = find(r["src"]), find(r["dst"])
+    # Arrow-batched round-trip both ways: row-at-a-time collect() and
+    # createDataFrame(list-of-tuples) pickle every edge/label through
+    # Py4J (measured ~10 s at 864k edges on er1's x10 slice); toPandas
+    # + a pandas-backed createDataFrame move the same rows as columnar
+    # Arrow batches.  .tolist() normalizes numpy scalars to Python so
+    # min/max/dict keys behave identically to the collect() form.
+    pdf = sym.select("src", "dst").toPandas()
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [(v, find(v)) for v in parent]
     vtype = vertices.schema["v"].dataType
     schema = T.StructType(
         [T.StructField("v", vtype), T.StructField("component", vtype)]
     )
-    labels = spark.createDataFrame(rows, schema)
+    touched = list(parent)
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {"v": touched, "component": [find(v) for v in touched]}
+        ),
+        schema,
+    )
     return vertices.join(labels, "v", "left").select(
         "v", F.coalesce("component", "v").alias("component")
     )
@@ -103,27 +116,33 @@ def connected_components(
     pass instead of diameter-many distributed rounds.  Set
     ``local_threshold=0`` to force the distributed path.
     """
-    # Materialize the symmetrized edge list ONCE: every round joins it,
-    # and without this the full upstream lineage (for dedup: the whole
-    # LSH candidate pipeline) would re-execute per round.
+    # Materialize the edge list ONCE, BEFORE symmetrizing: every round
+    # joins it, and without this the full upstream lineage (for dedup:
+    # the whole LSH candidate pipeline) would re-execute per round —
+    # and checkpointing only AFTER the union would still execute that
+    # lineage twice, once per union branch (measured: half of er1's
+    # CC wall at x10 was the blocking join running a second time).
     # Null endpoints carry no connectivity; drop them BEFORE the size
     # branch so both paths agree on dirty input (the distributed join
     # silently drops nulls, while the local union-find would raise on
     # ordering None against a vertex id).
-    clean = edges.select("src", "dst").where(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    sym = _ckpt(
-        clean.union(
-            clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    clean = _ckpt(
+        edges.select("src", "dst").where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
         )
     )
+    sym = clean.union(
+        clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     if vertices is None:
-        # Derived AFTER the checkpoint: reads the materialized edge
-        # list, not the upstream lineage.
+        # Derived from the materialized edge list, not the upstream
+        # lineage.
         vertices = sym.select(F.col("src").alias("v")).distinct()
-    if local_threshold and sym.count() < local_threshold:
-        return _local_union_find(vertices.sparkSession, vertices, sym)
+    if local_threshold and 2 * clean.count() < local_threshold:
+        # The union-find is orientation-agnostic, so ship the driver
+        # the un-symmetrized half: same components, half the Arrow
+        # transfer.
+        return _local_union_find(vertices.sparkSession, vertices, clean)
     # Two-phase star contraction runs over the edge set alone; the
     # final projection restores isolated input vertices, and endpoints
     # missing from `vertices` still conduct (matching the union-find

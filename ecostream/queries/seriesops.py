@@ -508,22 +508,22 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("raw").alias("raw_name"),
         F.coalesce("component", F.col("rec_id")).alias("entity_id"),
     )
-    sized = every.withColumn(
-        "n_records",
-        F.count("*").over(Window.partitionBy("entity_id")).cast("long"),
-    )
-    canon = recs.select(
-        F.col("rec_id").alias("entity_id"), F.col("raw").alias("canon_name")
-    )
+    # One exchange by entity_id serves size AND survivorship: the
+    # canonical record is the entity's minimum rec_id and entity_id IS
+    # that minimum (CC labels with the component min), so canon_name =
+    # min_by(raw_name, rec_id) within the partition — no second recs
+    # scan, no canon join.
+    w_ent = Window.partitionBy("entity_id")
     return (
-        sized.join(canon, "entity_id")
-        .select(
+        every.select(
             "rec_id",
             "raw_name",
             "entity_id",
-            "n_records",
+            F.count("*").over(w_ent).cast("long").alias("n_records"),
             (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
-            "canon_name",
+            F.expr("min_by(raw_name, rec_id)")
+            .over(w_ent)
+            .alias("canon_name"),
         )
         .orderBy("rec_id")
     )
@@ -578,35 +578,50 @@ def er1_blocking_and_verify(
             ).alias("v", "raw"),
         )
         .select((F.col("k") * 4 + F.col("v")).alias("rec_id"), "raw")
+        # Two consumers (the block-key explode and er1's label join):
+        # cut lineage so the scan + md5 + variant explode run once.
+        .localCheckpoint(eager=False)
     )
+    # Block key as a LONG, not a string: the kb hex chars convert to a
+    # 28-bit integer and the pass tag (prefix vs suffix) sits at bit
+    # 32 — a bijective recoding of the oracle's 'P'/'S'-tagged string
+    # blocks, so the candidate set is identical while the self-join
+    # and the pair distinct hash/shuffle 8-byte keys instead of 6-8
+    # char strings.  bk feeds both join sides; the lineage cut keeps
+    # the scan + md5 + double explode from running once per side.
     bk = recs.select(
         "rec_id",
         "raw",
         F.explode(
             F.array(
-                F.concat(F.lit("P"), F.substring("raw", 1, kb)),
-                F.concat(
-                    F.lit("S"),
+                F.conv(F.substring("raw", 1, kb), 16, 10).cast("long"),
+                F.conv(
                     F.substring(F.col("raw"), F.length("raw") - (kb - 1), kb),
-                ),
+                    16,
+                    10,
+                ).cast("long")
+                + F.lit(1 << 32).cast("long"),
             )
         ).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     x = bk.select(
         F.col("rec_id").alias("src"), F.col("raw").alias("ra"), "b"
     )
     y = bk.select(
         F.col("rec_id").alias("dst"), F.col("raw").alias("rb"), "b"
     )
-    pairs = (
-        x.join(y, ["b"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", "ra", "rb")
-        .distinct()
-    )
+    # Verify BEFORE the distinct: levenshtein is whole-stage-codegen
+    # JVM work and each pair surfaces at most twice (P block + S
+    # block), so filtering first trades <=2 cheap edit-distance calls
+    # per pair for a distinct that shuffles only the two long ids —
+    # not the two 15-16 char raw strings (ra is a function of src, so
+    # DISTINCT(src, dst) equals DISTINCT(src, dst, ra, rb), and a
+    # deterministic per-row filter commutes with DISTINCT, which is
+    # the oracle's order).
+    joined = x.join(y, ["b"]).where(F.col("src") < F.col("dst"))
     if verified:
-        pairs = pairs.where(F.levenshtein("ra", "rb") <= 2)
-    return recs, pairs.select("src", "dst")
+        joined = joined.where(F.levenshtein("ra", "rb") <= 2)
+    return recs, joined.select("src", "dst").distinct()
 
 
 # --- EWMA1: exponential half-life smoothing (round 8) ---------------------------
