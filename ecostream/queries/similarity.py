@@ -863,6 +863,314 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SIM12: composed IVF-PQ (coarse cells + PQ-coded residuals) ---------------
+#
+# The production FAISS index (IndexIVFPQ): a coarse quantizer routes
+# each vector to a cell, the RESIDUAL vector-minus-centroid is PQ-coded
+# against that cell's own codebooks, and a query probes its nprobe
+# nearest cells with an ADC table built from the QUERY residual per
+# probed cell.  sim4 (flat IVF) and sim6 (flat PQ) are the two halves;
+# this composes them.  Residual coding is what makes the composition
+# worth it: residuals concentrate near zero, so a fixed bit budget
+# quantizes them with far less error than raw vectors (Jegou et al.
+# 2011 §IV.B).  Everything runs in the integer-quantized space
+# (round(x*1e6) -> BIGINT), so assignments, codes, LUTs, and ADC sums
+# are exact and the DuckDB oracle replays the ENTIRE index build +
+# probe bit-for-bit.
+
+_IVFPQ_CELLS = 8
+_IVFPQ_NPROBE = 2
+_IVFPQ_M = 16
+_IVFPQ_SD = 4
+_IVFPQ_K = 16
+
+
+def _ivfpq_oracle(
+    cells: int = _IVFPQ_CELLS,
+    nprobe: int = _IVFPQ_NPROBE,
+    m: int = _IVFPQ_M,
+    sd: int = _IVFPQ_SD,
+    k: int = _IVFPQ_K,
+) -> str:
+    dim = m * sd
+    l2_64 = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> (a.qv[i] - c.qc[i]) * (a.qv[i] - c.qc[i]))) AS BIGINT)"
+    )
+    l2_sub = (
+        f"CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        f" i -> (e.eq[i] - c.cq[i]) * (e.eq[i] - c.cq[i]))) AS BIGINT)"
+    )
+    return f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * {_PQ_QSCALE}) AS BIGINT))
+                   AS qv
+        FROM emb
+    ),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cell, qv AS qc FROM q WHERE vec_id < {cells}
+    ),
+    asg AS MATERIALIZED (
+        SELECT vec_id, qv, cell, qc FROM (
+            SELECT a.vec_id, a.qv, c.cell, c.qc,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {l2_64}, c.cell
+                   ) AS rn
+            FROM q a CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    res AS MATERIALIZED (
+        SELECT vec_id, cell,
+               list_transform(generate_series(1, {dim}),
+                              i -> qv[i] - qc[i]) AS rv
+        FROM asg
+    ),
+    subs AS (SELECT UNNEST(generate_series(0, {m - 1})) AS sub_id),
+    cb AS (
+        SELECT cell, rk - 1 AS cent_id, rv FROM (
+            SELECT cell, rv,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS rk
+            FROM res
+        ) WHERE rk <= {k}
+    ),
+    cw AS MATERIALIZED (
+        SELECT cell, cent_id, sub_id,
+               list_slice(rv, sub_id * {sd} + 1, sub_id * {sd} + {sd}) AS cq
+        FROM cb CROSS JOIN subs
+    ),
+    esub AS MATERIALIZED (
+        SELECT vec_id, cell, sub_id,
+               list_slice(rv, sub_id * {sd} + 1, sub_id * {sd} + {sd}) AS eq
+        FROM res CROSS JOIN subs
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, cell, sub_id, cent_id AS code FROM (
+            SELECT e.vec_id, e.cell, e.sub_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, e.sub_id
+                       ORDER BY {l2_sub}, c.cent_id
+                   ) AS rn
+            FROM esub e JOIN cw c ON c.cell = e.cell AND c.sub_id = e.sub_id
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell,
+               list_transform(generate_series(1, {dim}),
+                              i -> pqv[i] - qc[i]) AS qr
+        FROM (
+            SELECT a.vec_id AS query_id, a.qv AS pqv, c.cell, c.qc,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {l2_64}, c.cell
+                   ) AS rn
+            FROM q a CROSS JOIN cents c WHERE a.vec_id < 5
+        ) WHERE rn <= {nprobe}
+    ),
+    lut AS (
+        SELECT e.query_id, c.cell, c.sub_id, c.cent_id, {l2_sub} AS d
+        FROM (
+            SELECT query_id, cell, sub_id,
+                   list_slice(qr, sub_id * {sd} + 1, sub_id * {sd} + {sd})
+                       AS eq
+            FROM probes CROSS JOIN subs
+        ) e
+        JOIN cw c ON c.cell = e.cell AND c.sub_id = e.sub_id
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS match_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+        FROM codes cd
+        JOIN lut l ON l.cell = cd.cell AND l.sub_id = cd.sub_id
+                  AND l.cent_id = cd.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, match_id, adc_dist, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, match_id
+        ) AS rn
+        FROM adc WHERE match_id <> query_id
+    ) WHERE rn <= 10
+    """
+
+
+@query("sim12_ivfpq_ann", oracle=_ivfpq_oracle())
+def sim12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (FAISS IndexIVFPQ; Jegou et al. 2011 §V):
+    a deterministic coarse quantizer (the {cells} lowest vec_ids,
+    integer-quantized — sim4's device) routes every vector to its
+    exact-L2-nearest cell; the cell RESIDUAL is product-quantized
+    against PER-CELL codebooks ({m} x {sd}-dim subspaces, {k}
+    codewords each, sampled as the cell's md5-lowest members — sim5b's
+    portable-init device); a query probes its {nprobe} L2-nearest
+    cells and scores by asymmetric distance with a LUT built from the
+    QUERY residual per probed cell, so full-precision vectors are
+    never read at probe time.
+
+    All arithmetic is exact BIGINT in the round(x*1e6) space (the
+    sim6 device): cell argmins, residuals, code argmins, LUTs, and
+    ADC sums are bit-identical across engines, which is what lets the
+    oracle replay the whole index — the driver hash pins coarse
+    routing, per-cell codebooks, codes, and the probe end to end.
+
+    Plan shape at 100 TB: the coarse table is a {cells}-row broadcast;
+    assignment partial-aggregates the per-cell scores map-side (one
+    exchange carrying one row per vector); the per-cell codebook is a
+    window top-{k} per cell (model-sized result, <= {cells}*{k}*{m}
+    rows) that BROADCASTS back; encoding is one broadcast join +
+    map-side argmin collapse; the probe touches only codes — a
+    model-sized LUT broadcast, one (query, vec) partial-aggregated
+    sum, and a per-query top-10.  Cells become the storage
+    partitioning at scale (cluster-by cell), exactly as sim4 documents.
+
+    Reference analog: none (extends the similarity family, SURVEY
+    §2.13); closes the composed-index gap VERDICT r9 #3 names."""
+    emb = _emb(spark, sf_dir)
+    qv = F.transform("v", lambda x: F.round(x * _PQ_QSCALE).cast("long"))
+    q = emb.select("vec_id", qv.alias("qv"))
+    cents = q.where(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("qc")
+    )
+
+    def l2sq(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Coarse assignment: broadcast cells, narrow min(struct) argmin
+    # (exchange carries one (vec, cell) row per vector), then one
+    # broadcast rejoin attaches the winning centroid for the residual.
+    scored = q.join(F.broadcast(cents)).select(
+        "vec_id", "qv", "cell", l2sq("qv", "qc").alias("d")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.first("qv").alias("qv"), F.min(F.struct("d", "cell")).alias("m"))
+        .select("vec_id", "qv", F.col("m.cell").alias("cell"))
+    )
+    res = (
+        best.join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("qv", "qc", lambda a, b: a - b).alias("rv"),
+        )
+        # Two consumers (codebook window + encoding explode): cut
+        # lineage so assignment runs once.
+        .localCheckpoint(eager=False)
+    )
+
+    # Per-cell codebooks: the cell's K md5-lowest member residuals,
+    # split into M subspace codewords.  Model-sized (<= cells*K*M
+    # rows) -> broadcast into the encode and LUT joins.
+    w_cell = W.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    sub_split = (
+        f"transform(sequence(0, {_IVFPQ_M - 1}), s -> struct(s AS sub_id,"
+        f" slice(rv, s * {_IVFPQ_SD} + 1, {_IVFPQ_SD}) AS piece))"
+    )
+    cw = (
+        res.withColumn("rk", F.row_number().over(w_cell))
+        .where(F.col("rk") <= _IVFPQ_K)
+        .select(
+            "cell",
+            (F.col("rk") - 1).cast("long").alias("cent_id"),
+            F.explode(F.expr(sub_split)).alias("p"),
+        )
+        .select(
+            "cell",
+            "cent_id",
+            F.col("p.sub_id").alias("sub_id"),
+            F.col("p.piece").alias("cq"),
+        )
+    )
+    esub = res.select(
+        "vec_id",
+        "cell",
+        F.explode(F.expr(sub_split)).alias("p"),
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("p.sub_id").alias("sub_id"),
+        F.col("p.piece").alias("eq"),
+    )
+    codes = (
+        esub.join(F.broadcast(cw), ["cell", "sub_id"])
+        .select("vec_id", "cell", "sub_id", "cent_id", l2sq("eq", "cq").alias("d"))
+        .groupBy("vec_id", "cell", "sub_id")
+        .agg(F.min(F.struct("d", "cent_id")).alias("m"))
+        .select("vec_id", "cell", "sub_id", F.col("m.cent_id").alias("code"))
+    )
+
+    # Probe: nprobe L2-nearest cells per query; LUT from the QUERY
+    # residual against each probed cell's codebooks (model-sized).
+    qs = q.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pqv")
+    )
+    pscored = qs.join(F.broadcast(cents)).select(
+        "query_id", "pqv", "cell", "qc", l2sq("pqv", "qc").alias("d")
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        pscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("pqv", "qc", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    lut = (
+        probes.select(
+            "query_id", "cell", F.explode(F.expr(sub_split)).alias("p")
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.col("p.sub_id").alias("sub_id"),
+            F.col("p.piece").alias("eq"),
+        )
+        .join(F.broadcast(cw), ["cell", "sub_id"])
+        .select(
+            "query_id", "cell", "sub_id", "cent_id", l2sq("eq", "cq").alias("d")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["cell"] == lut["cell"])
+            & (codes["sub_id"] == lut["sub_id"])
+            & (codes["code"] == lut["cent_id"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        .where(F.col("match_id") != F.col("query_id"))
+    )
+    wr = W.partitionBy("query_id").orderBy("adc_dist", "match_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "match_id", "adc_dist", "rnk")
+    )
+
+
+sim12_ivfpq_ann.__doc__ = sim12_ivfpq_ann.__doc__.format(
+    cells=_IVFPQ_CELLS,
+    nprobe=_IVFPQ_NPROBE,
+    m=_IVFPQ_M,
+    sd=_IVFPQ_SD,
+    k=_IVFPQ_K,
+)
+
+
 # --- SIM8: per-label embedding centroids (exact aggregation) -----------------
 
 

@@ -211,6 +211,34 @@ def test_sim6_pq_adc_recall_floor(spark, vectors):
     assert sum(overlaps) / len(overlaps) >= 2.0, overlaps
 
 
+def test_sim12_ivfpq_recall_floor(spark, vectors):
+    """Composed IVF-PQ must approximate TRUE nearest neighbors, not
+    just self-replay: with nprobe=2 of 8 cells and per-cell 16x4/16
+    residual codebooks it measures ~3.8/10 mean recall@10 against
+    exact quantized-L2 on uniform random vectors — i.e. the residual
+    coding recovers flat-PQ precision (sim6's ~4/10) while touching
+    only a quarter of the corpus.  Pin the same conservative 2/10
+    floor so a broken probe or codebook regression fails loudly."""
+    import numpy as np
+
+    from ecostream.queries.similarity import _PQ_QSCALE, sim12_ivfpq_ann
+
+    ids, mat = vectors
+    q = np.round(mat.astype(np.float64) * _PQ_QSCALE)
+    got = sim12_ivfpq_ann(spark, SF_SMOKE).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r["match_id"])
+    idx = {v: i for i, v in enumerate(ids)}
+    overlaps = []
+    for qid, adc_top in by_query.items():
+        d = ((q - q[idx[qid]]) ** 2).sum(axis=1)
+        d[idx[qid]] = np.inf
+        exact_top = [ids[i] for i in np.argsort(d, kind="stable")[:10]]
+        overlaps.append(len(set(adc_top) & set(exact_top)))
+    assert sum(overlaps) / len(overlaps) >= 2.0, overlaps
+
+
 def test_eval_recall_floors_all_ann_families(spark):
     """Every ANN family's declared evaluation query must report sane
     recall@10 against the exact baseline: IVF (nprobe=2/8 cells) is

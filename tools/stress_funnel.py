@@ -471,6 +471,23 @@ def stages():
             )
         )
 
+    # sim12 composed IVF-PQ (round 10): the corpus-scaling stages are
+    # the coarse assignment and the per-vector encoding (both one
+    # broadcast join + map-side argmin collapse); codebooks/LUT are
+    # model-sized.  Expect ~linear wall like pca1.
+    from ecostream.queries.similarity import sim12_ivfpq_ann
+
+    def ivfpq_full(spark, d):
+        return (
+            sim12_ivfpq_ann(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("adc_dist").alias("sd"),
+                FF.sum("match_id").alias("sm"),
+            )
+        )
+
     from ecostream.queries.storage_queries import (
         roll3_distinct_sketch_serve,
     )
@@ -521,6 +538,7 @@ def stages():
         ("link_prediction_hub (g10)", linkpred_hub_full, "users"),
         ("semantic_decon (decon2)", decon_full, "vecs"),
         ("ppjoin_exact (d17)", ppjoin_full, "docs"),
+        ("ivfpq_ann (sim12)", ivfpq_full, "vecs"),
         ("pca_power_iteration (pca1)", pca_full, "vecs"),
         ("distinct_sketch_rollup (roll3)", roll3_full, "events"),
     ]
