@@ -1616,7 +1616,7 @@ def pack3_bfd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w GROUP BY source
     )
     SELECT source, n_docs, sum_w,
-           CAST((1000 * sum_w * sum_w) // (n_docs * sum_w2) AS BIGINT)
+           CAST(((1000 * sum_w) // n_docs) // (sum_w2 // sum_w) AS BIGINT)
                AS ess_permille,
            CAST((1000 * max_w) // sum_w AS BIGINT) AS top_share_permille
     FROM agg ORDER BY source
@@ -1629,9 +1629,13 @@ def ess1_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ESS = (Σw)²/Σw² says how many EFFECTIVE documents a weighted draw
     really carries; ESS/n far below 1000‰ means a few long documents
     dominate the sample and the weighting needs tempering.  Weights
-    are the exact integer token counts, so ESS/n and the largest
-    single-document share are exact BIGINT floor divisions — no float
-    crosses engines.
+    are the exact integer token counts and the permille is the
+    TELESCOPED floor form ((1000·Σw) div n) div (Σw² div Σw) — the
+    squared-sum form 1000·(Σw)² overflows BIGINT once a source holds
+    ~9.6e7 tokens (a loud ANSI failure at any real scale), while the
+    telescoped form is safe to Σw ≤ 9.2e15 and within 1‰ + 1/(Σw²/Σw)
+    of the rational Kish value; identical integer ops in both engines,
+    so no float crosses.
 
     Scale shape: ONE scan, a map-side token count per row (in-row
     split, no explode), and a partial-aggregated 4-moment collapse per
@@ -1654,7 +1658,8 @@ def ess1_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "sum_w",
         F.expr(
-            "CAST((1000 * sum_w * sum_w) div (n_docs * sum_w2) AS BIGINT)"
+            "CAST(((1000 * sum_w) div n_docs) div (sum_w2 div sum_w)"
+            " AS BIGINT)"
         ).alias("ess_permille"),
         F.expr("CAST((1000 * max_w) div sum_w AS BIGINT)").alias(
             "top_share_permille"

@@ -759,8 +759,12 @@ def kmv1_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = topk_per_group(
         hashed, ["event_type"], [F.asc("h")], k=_KMV_K, salt_col=F.col("h")
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
+    # Exact audit over the SAME hashed relation the sketch reads:
+    # distinct 40-bit hashes, not distinct user ids — a hash collision
+    # inside a group would otherwise make engine and oracle disagree
+    # by 1 (and the hash space IS the estimator's true domain).
+    exact = hashed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_exact")
     )
     kth = top.groupBy("event_type").agg(
         F.max(F.when(F.col("rnk") == _KMV_K, F.col("h"))).alias("hk")

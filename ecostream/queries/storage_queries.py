@@ -1228,7 +1228,7 @@ s13_deletion_vector_read.__doc__ = s13_deletion_vector_read.__doc__.format(
                event_type
         FROM base WHERE event_id % 11 != 5
         UNION ALL
-        SELECT event_id + 1000000000, CAST(1 AS BIGINT), 'inserted'
+        SELECT -event_id - 1, CAST(1 AS BIGINT), 'inserted'
         FROM base WHERE event_id % 13 = 1
     ),
     d AS (
@@ -1255,7 +1255,8 @@ def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table diff between two physically-written snapshots — the
     incremental-consumer view of the s11 commit model: v2 is v1 with
     deterministic planted deletes (id % 11 = 5), updates (+100 cents
-    on id % 7 = 3), and inserts (new ids for id % 13 = 1); the diff
+    on id % 7 = 3), and inserts (ids negated out of the non-negative
+    natural key domain, for id % 13 = 1); the diff
     classifies every key as added / removed / changed / unchanged via
     ONE full outer join on the primary key and rolls up counts, net
     cents delta, and exact integer shares.  Both snapshots are real
@@ -1292,7 +1293,10 @@ def s14_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.where(F.expr("event_id % 13 = 1")).select(
-                F.expr("event_id + 1000000000").alias("event_id"),
+                # Insert keys NEGATED out of the natural key domain
+                # (ids are non-negative), so a corpus with ids >= 1e9
+                # can never collide a planted insert with a real key.
+                F.expr("-event_id - 1").alias("event_id"),
                 F.lit(1).cast("long").alias("cents"),
                 F.lit("inserted").alias("event_type"),
             )
@@ -1523,15 +1527,15 @@ def roll3_serve_weekly(spark: SparkSession, store: str, sf_dir: str) -> DataFram
         .withColumn("rn", F.row_number().over(ww))
         .where(F.col("rn") <= _ROLL3_K)
     )
+    # The exact audit counts the SAME quantity the oracle counts:
+    # distinct 40-bit user HASHES per (week, type), not distinct user
+    # ids — a hash collision between two users in one group would
+    # otherwise make the two sides disagree by 1.  (The sketch domain
+    # is the hash space, so the collision-folded count is also the
+    # estimator's true target.)
     exact = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.expr(
-                "CAST(unix_micros(ts) div 86400000000 AS BIGINT) div 7"
-            ).alias("week"),
-            "event_type",
-            "user_id",
-        )
+        roll3_hash_exprs(load_table(spark, sf_dir, "events"))
+        .select(F.expr("day div 7").alias("week"), "event_type", "h")
         .distinct()
         .groupBy("week", "event_type")
         .agg(F.count("*").cast("long").alias("n_exact"))

@@ -1294,3 +1294,78 @@ def st17_stream_distinct_maintenance(
     finally:
         q.stop()
     return roll3_serve_weekly(spark, state["cur"], sf_dir)
+
+
+# --- ST18: transformWithStateInPandas running counts (round 10) -----------------
+
+
+@query(
+    "st18_tws_running_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def st18_tws_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 through Spark 4's flagship stateful API: the same per-key
+    running totals contract as st2, but via
+    ``transformWithStateInPandas`` (typed ValueState handles on the
+    RocksDB state store — the only provider that supports TWS, and the
+    scale-path provider regardless: state lives off-heap and snapshots
+    to the checkpoint).  Update mode emits each key's cumulative
+    (n, total) every micro-batch; the final state's count equals the
+    batch group-count — the deterministic slice the oracle signs (the
+    float total is covered by the stream-batch equivalence test,
+    tests/test_streaming.py::test_transform_with_state_stream_equals_batch).
+
+    The TWS Python driver worker imports ``google.protobuf``; this
+    query resolves it via the installed package or the vendored
+    runtime (ecostream/_vendor) and raises a clear error when neither
+    exists rather than failing inside the worker.
+
+    Reference analog: consumer.py:119-148 (the hand-rolled TTL'd keyed
+    store) — same re-spec as st2, on the successor API."""
+    import tempfile
+
+    from ..streaming.stateful import ensure_protobuf, running_totals_tws
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "st18 needs google.protobuf (installed or vendored under "
+            "ecostream/_vendor) for the transformWithStateInPandas "
+            "driver worker"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = f"st18_{uuid.uuid4().hex[:12]}"
+    try:
+        stream = events_stream(spark, sf_dir).select("event_type", "value")
+        with tempfile.TemporaryDirectory(prefix="st18_ckpt_") as ckpt:
+            q = (
+                running_totals_tws(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.max("n").alias("n"))
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
