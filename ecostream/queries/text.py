@@ -2842,6 +2842,9 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("t"))
         .select("doc_id", F.expr(grams).alias("h"))
         .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
+        # Two consumers (df table + the suppression join): cut lineage
+        # so the md5-per-gram hashing and window minima run once.
+        .localCheckpoint(eager=False)
     )
     keep = (
         all_fps.groupBy("fp")
@@ -2849,7 +2852,8 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= _D14_MAX_DF)
         .select("fp")
     )
-    fps = all_fps.join(keep, "fp")
+    # Three consumers (sizes + both join sides): one suppression join.
+    fps = all_fps.join(keep, "fp").localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("a_id"), "fp")
     b = fps.select(F.col("doc_id").alias("b_id"), "fp")
