@@ -1171,6 +1171,381 @@ sim12_ivfpq_ann.__doc__ = sim12_ivfpq_ann.__doc__.format(
 )
 
 
+# --- SIM13: graph-ANN baseline (navigable kNN graph + greedy beam search) ------
+#
+# The graph family (NSW/HNSW — Malkov & Yashunin 2018) that dominates
+# production vector serving: answers come from WALKING a neighbor
+# graph toward the query, not from scanning a partition.  The
+# deterministic baseline here builds a navigable graph as the in-cell
+# exact-kNN graph (count-adaptive cells via the decon2 two-level
+# router, so graph build is ~n·occupancy, never all-pairs), routes
+# each query to entry points (the md5-min member of its top-2 cells —
+# the role HNSW's upper layers play), and runs T unrolled rounds of
+# greedy BEAM search: rank the frontier by exact integer-quantized L2
+# to the query, expand the top-B's neighbors, accumulate visited.
+# Every step is deterministic (integer distances, id tiebreaks), so
+# the DuckDB oracle replays graph build, routing, every beam round,
+# and the final top-10.
+
+_NSW_NB = 6      # kNN-graph out-degree
+_NSW_BEAM = 8    # beam width per expansion round
+_NSW_ROUNDS = 3  # unrolled greedy expansion rounds
+_NSW_NPROBE = 2  # entry cells per query
+
+
+def _nsw_oracle(
+    nb: int = _NSW_NB,
+    beam: int = _NSW_BEAM,
+    rounds: int = _NSW_ROUNDS,
+    nprobe: int = _NSW_NPROBE,
+    dim: int = 64,
+) -> str:
+    def l2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    walk_ctes = []
+    prev = "c0"
+    for t in range(1, rounds + 1):
+        walk_ctes.append(
+            f"""
+    b{t} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT c.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY {l2('m.qv', 'q.qqv')}, c.vec_id
+                   ) AS rn
+            FROM {prev} c
+            JOIN member m ON m.vec_id = c.vec_id
+            JOIN qv5 q ON q.query_id = c.query_id
+        ) WHERE rn <= {beam}
+    ),
+    n{t} AS (
+        SELECT b.query_id, e.dst AS vec_id
+        FROM b{t} b JOIN edges e ON e.src = b.vec_id
+    ),
+    c{t} AS (
+        SELECT query_id, vec_id FROM {prev}
+        UNION
+        SELECT query_id, vec_id FROM n{t}
+    )"""
+        )
+        prev = f"c{t}"
+    walk = ",".join(walk_ctes)
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    params AS (
+        SELECT greatest(4, n // 128) AS k,
+               CAST(CEIL(SQRT(greatest(4, n // 128))) AS BIGINT) AS b
+        FROM nn
+    ),
+    cents AS MATERIALIZED (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cent_id,
+               v AS cv
+        FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT k FROM params)
+    ),
+    supers AS MATERIALIZED (
+        SELECT cent_id AS sup_id, cv AS sv FROM cents
+        WHERE cent_id < (SELECT b FROM params)
+    ),
+    cbr AS MATERIALIZED (
+        SELECT cent_id, cv,
+               CASE WHEN cent_id < (SELECT b FROM params)
+                    THEN cent_id ELSE pick END AS branch
+        FROM (
+            SELECT c.cent_id, c.cv, s.sup_id AS pick,
+                   row_number() OVER (
+                       PARTITION BY c.cent_id
+                       ORDER BY list_dot_product(c.cv, s.sv)
+                                / sqrt(list_dot_product(s.sv, s.sv)) DESC,
+                                s.sup_id
+                   ) AS rn
+            FROM cents c CROSS JOIN supers s
+        ) WHERE rn = 1
+    ),
+    vbr AS MATERIALIZED (
+        SELECT vec_id, v, pick AS branch FROM (
+            SELECT e.vec_id, e.v, s.sup_id AS pick,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, s.sv)
+                                / sqrt(list_dot_product(s.sv, s.sv)) DESC,
+                                s.sup_id
+                   ) AS rn
+            FROM e CROSS JOIN supers s
+        ) WHERE rn = 1
+    ),
+    ranked_cells AS MATERIALIZED (
+        SELECT vec_id, cell, rn FROM (
+            SELECT vb.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY vb.vec_id
+                       ORDER BY list_dot_product(vb.v, c.cv)
+                                / sqrt(list_dot_product(c.cv, c.cv)) DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM vbr vb JOIN cbr c ON c.branch = vb.branch
+        ) WHERE rn <= {nprobe}
+    ),
+    qq AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT))
+                   AS qv
+        FROM e
+    ),
+    member AS MATERIALIZED (
+        SELECT r.vec_id, r.cell, q.qv
+        FROM ranked_cells r JOIN qq q USING (vec_id)
+        WHERE r.rn = 1
+    ),
+    knn AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT x.vec_id AS src, y.vec_id AS dst,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY {l2('x.qv', 'y.qv')}, y.vec_id
+                   ) AS rn
+            FROM member x JOIN member y
+              ON y.cell = x.cell AND y.vec_id <> x.vec_id
+        ) WHERE rn <= {nb}
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM knn UNION SELECT dst, src FROM knn
+    ),
+    qv5 AS (
+        SELECT vec_id AS query_id, qv AS qqv FROM qq WHERE vec_id < 5
+    ),
+    entry_rank AS (
+        SELECT cell, vec_id,
+               row_number() OVER (
+                   PARTITION BY cell
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM member
+    ),
+    c0 AS (
+        SELECT DISTINCT p.vec_id AS query_id, m.vec_id
+        FROM ranked_cells p
+        JOIN entry_rank m ON m.cell = p.cell AND m.rn = 1
+        WHERE p.vec_id < 5
+    ),{walk}
+    SELECT query_id, match_id, l2q_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT c.query_id, c.vec_id AS match_id,
+               {l2('m.qv', 'q.qqv')} AS l2q_dist,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {l2('m.qv', 'q.qqv')}, c.vec_id
+               ) AS rnk
+        FROM {prev} c
+        JOIN member m ON m.vec_id = c.vec_id
+        JOIN qv5 q ON q.query_id = c.query_id
+        WHERE c.vec_id <> c.query_id
+    ) WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """
+
+
+@query("sim13_nsw_greedy_ann", oracle=_nsw_oracle())
+def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN baseline (the NSW/HNSW family, Malkov & Yashunin
+    2018): a navigable neighbor graph answers queries by GREEDY WALK,
+    not partition scan.  Build: every vector joins its count-adaptive
+    cell (k = max(4, n/128) md5-lowest centroids, decon2's two-level
+    router — ~2n*sqrt(k) routing work, never flat n*k) and links to
+    its {nb} exact-nearest in-cell neighbors by integer-quantized L2
+    (the graph build is cell-keyed: ~n*occupancy candidate pairs,
+    linear in n).  Search: each query enters at the md5-min member of
+    its top-{nprobe} routed cells (the role HNSW's upper layers play)
+    and runs {rounds} unrolled rounds of beam search — rank visited
+    by exact L2 to the query, expand the top-{beam}'s out-edges,
+    accumulate — then reports the visited top-10.  Deterministic end
+    to end (integer distances, id tiebreaks), so the oracle replays
+    routing, graph build, every beam round, and the final ranking.
+
+    Plan shape at 100 TB: routing is two broadcast argmaxes; the kNN
+    build is one cell-keyed exchange with a per-vector window top-{nb}
+    (the exchange is the index build — run once, persisted in a real
+    deployment exactly like sim11's base index); each beam round is a
+    model-sized frontier (|queries|*{beam}) broadcast-joined to the
+    edge list, i.e. probe cost is independent of corpus size — the
+    property that makes graph indexes win at serving time.
+
+    Reference analog: none (extends the similarity family, SURVEY
+    §2.13); with sim12 this closes VERDICT r9 #3's two named gaps
+    (composed IVF-PQ + a graph-ANN family)."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k_cells = max(4, n // 128)
+    b = math.ceil(math.sqrt(k_cells))
+    init = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_cells)
+        .select("v")
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(init)],
+        "cent_id long, cv_cent array<double>",
+    )
+    supers = spark.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(init[:b])],
+        "cent_id long, cv_cent array<double>",
+    )
+    # Two-level routing (decon2's device verbatim): centroid -> branch
+    # with supers pinned, vector -> branch, in-branch top-nprobe cells.
+    cbr = (
+        ivf_assign(
+            cents.select(
+                F.col("cent_id").alias("vec_id"),
+                F.col("cv_cent").alias("v"),
+            ),
+            supers,
+        )
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.expr(f"CASE WHEN vec_id < {b} THEN vec_id ELSE cell END")
+            .alias("branch"),
+        )
+        .join(cents, "cent_id")
+        .select("branch", "cent_id", "cv_cent")
+    )
+    vbr = ivf_assign(emb, supers).select(
+        "vec_id", "v", F.col("cell").alias("branch")
+    )
+    cbr_n = cbr.withColumn(
+        "cent_norm", F.greatest(norm(F.col("cv_cent")), F.lit(1e-12))
+    )
+    wv = W.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), "cell"
+    )
+    ranked_cells = (
+        vbr.join(F.broadcast(cbr_n), "branch")
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            (dot(F.col("v"), F.col("cv_cent")) / F.col("cent_norm")).alias(
+                "cell_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= _NSW_NPROBE)
+        .select("vec_id", "cell", "rn")
+        # Consumers: member table + query probes.
+        .localCheckpoint(eager=False)
+    )
+    qq = emb.select(
+        "vec_id",
+        F.transform("v", lambda x: F.round(x * 1_000_000.0).cast("long")).alias(
+            "qv"
+        ),
+    )
+    member = (
+        ranked_cells.where(F.col("rn") == 1)
+        .join(qq, "vec_id")
+        .select("vec_id", "cell", "qv")
+        # Consumers: both kNN sides, entry ranking, beam distance joins.
+        .localCheckpoint(eager=False)
+    )
+
+    def l2sq(a: str, bcol: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, bcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    mx = member.select(
+        F.col("vec_id").alias("src"), F.col("cell").alias("cell"), F.col("qv").alias("xv")
+    )
+    my = member.select(
+        F.col("vec_id").alias("dst"), F.col("cell").alias("cell"), F.col("qv").alias("yv")
+    )
+    wk = W.partitionBy("src").orderBy("d", "dst")
+    knn = (
+        mx.join(my, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", l2sq("xv", "yv").alias("d"))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _NSW_NB)
+        .select("src", "dst")
+    )
+    edges = (
+        knn.union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        # Re-read every beam round: materialize the graph once (this
+        # IS the index build; a deployment persists it like sim11).
+        .localCheckpoint(eager=False)
+    )
+    qv5 = qq.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    we = W.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    entries = (
+        member.withColumn("ern", F.row_number().over(we))
+        .where(F.col("ern") == 1)
+        .select("cell", F.col("vec_id").alias("entry_id"))
+    )
+    cand = (
+        ranked_cells.where(F.col("vec_id") < 5)
+        .join(entries, "cell")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("entry_id").alias("vec_id"),
+        )
+        .distinct()
+    )
+    mdist = member.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("mv"))
+    for _ in range(_NSW_ROUNDS):
+        wb = W.partitionBy("query_id").orderBy("d", "vec_id")
+        beam = (
+            cand.join(mdist, "vec_id")
+            .join(F.broadcast(qv5), "query_id")
+            .select("query_id", "vec_id", l2sq("mv", "qqv").alias("d"))
+            .withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= _NSW_BEAM)
+            .select("query_id", "vec_id")
+        )
+        nbrs = beam.join(
+            edges, beam["vec_id"] == edges["src"]
+        ).select("query_id", F.col("dst").alias("vec_id"))
+        cand = cand.union(nbrs).distinct().localCheckpoint(eager=False)
+    wr = W.partitionBy("query_id").orderBy("d", "vec_id")
+    return (
+        cand.where(F.col("vec_id") != F.col("query_id"))
+        .join(mdist, "vec_id")
+        .join(F.broadcast(qv5), "query_id")
+        .select("query_id", "vec_id", l2sq("mv", "qqv").alias("d"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.col("d").alias("l2q_dist"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+sim13_nsw_greedy_ann.__doc__ = sim13_nsw_greedy_ann.__doc__.format(
+    nb=_NSW_NB, beam=_NSW_BEAM, rounds=_NSW_ROUNDS, nprobe=_NSW_NPROBE
+)
+
+
 # --- SIM8: per-label embedding centroids (exact aggregation) -----------------
 
 

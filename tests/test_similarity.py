@@ -239,6 +239,34 @@ def test_sim12_ivfpq_recall_floor(spark, vectors):
     assert sum(overlaps) / len(overlaps) >= 2.0, overlaps
 
 
+def test_sim13_nsw_recall_floor(spark, vectors):
+    """The graph-ANN baseline must approximate TRUE nearest neighbors:
+    greedy beam search over the in-cell kNN graph from two routed
+    entry points measures ~3/10 mean recall@10 against exact
+    quantized-L2 on uniform random vectors (bounded by the 2-cell
+    probe coverage, like sim4 at nprobe=2).  Pin a conservative 1.5/10
+    floor so a broken graph build or a walk that never leaves its
+    entry point fails loudly."""
+    import numpy as np
+
+    from ecostream.queries.similarity import sim13_nsw_greedy_ann
+
+    ids, mat = vectors
+    q = np.round(mat.astype(np.float64) * 1e6)
+    got = sim13_nsw_greedy_ann(spark, SF_SMOKE).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r["match_id"])
+    idx = {v: i for i, v in enumerate(ids)}
+    overlaps = []
+    for qid, walk_top in by_query.items():
+        d = ((q - q[idx[qid]]) ** 2).sum(axis=1)
+        d[idx[qid]] = np.inf
+        exact_top = [ids[i] for i in np.argsort(d, kind="stable")[:10]]
+        overlaps.append(len(set(walk_top) & set(exact_top)))
+    assert sum(overlaps) / len(overlaps) >= 1.5, overlaps
+
+
 def test_eval_recall_floors_all_ann_families(spark):
     """Every ANN family's declared evaluation query must report sane
     recall@10 against the exact baseline: IVF (nprobe=2/8 cells) is

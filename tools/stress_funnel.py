@@ -488,6 +488,22 @@ def stages():
             )
         )
 
+    # sim13 graph ANN (round 10): build cost = two-level routing +
+    # cell-keyed kNN graph (~n*occupancy pairs); probe cost is
+    # frontier-sized.  Expect ~linear wall.
+    from ecostream.queries.similarity import sim13_nsw_greedy_ann
+
+    def nsw_full(spark, d):
+        return (
+            sim13_nsw_greedy_ann(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("l2q_dist").alias("sd"),
+                FF.sum("match_id").alias("sm"),
+            )
+        )
+
     from ecostream.queries.storage_queries import (
         roll3_distinct_sketch_serve,
     )
@@ -539,6 +555,7 @@ def stages():
         ("semantic_decon (decon2)", decon_full, "vecs"),
         ("ppjoin_exact (d17)", ppjoin_full, "docs"),
         ("ivfpq_ann (sim12)", ivfpq_full, "vecs"),
+        ("nsw_graph_ann (sim13)", nsw_full, "vecs"),
         ("pca_power_iteration (pca1)", pca_full, "vecs"),
         ("distinct_sketch_rollup (roll3)", roll3_full, "events"),
     ]
