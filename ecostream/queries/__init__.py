@@ -108,8 +108,70 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # ROUND 9 additions (each oracle-bearing, entering the head the
-    # round they land, per the rotation convention):
+    # ROUND 10 additions (oracle-bearing, entering the head the round
+    # they land):
+    "sim12_ivfpq_ann",           # composed FAISS IVF-PQ (coarse + residual PQ)
+    "sim13_nsw_greedy_ann",      # graph-ANN: kNN graph + greedy beam walk
+    "st18_tws_running_counts",   # transformWithStateInPandas through the gate
+    # ROUND 10 re-signs — changed queries re-enter the head:
+    "d17_ppjoin_prefix_filter",  # RE-SIGN: positional filter + suffix-only
+                                 # verify + two-exchange ordering (VERDICT r9 #1)
+    "er1_entity_resolution",     # RE-SIGN: verify-before-distinct, long block
+                                 # keys, window-fused survivorship (VERDICT r9 #2)
+    "d14_winnowing_pairs",       # RE-SIGN: fingerprint lineage cuts (r9 #6)
+    "ess1_weight_diagnostics",   # RE-SIGN: telescoped ESS form (ADVICE overflow)
+    "roll3_distinct_sketch_serve",  # RE-SIGN: exact audit over hashed relation
+    "st17_stream_distinct_maintenance",  # RE-SIGN: same (serve path shared)
+    "kmv1_distinct_estimate",    # RE-SIGN: exact audit over hashed relation
+    "s14_snapshot_diff",         # RE-SIGN: insert keys negated out of domain
+    "d5b_dedup_clusters_md5",    # RE-SIGN: CC checkpoint-then-symmetrize +
+                                 # Arrow union-find (shared functions/cc.py)
+    "g7_user_components",        # RE-SIGN: same CC change
+    # ROUND 10 oldest-signed rotation (VERDICT r9 #5): these 37 keys
+    # were last driver-hash-signed in round 2 while shared helpers
+    # kept evolving under them; re-enter them so the trust anchor
+    # stays fresh.  (The remaining 8 round-2 keys rotate in round 11.)
+    "a1_total_count",
+    "a2_group_counts",
+    "a3_sliding_counts",
+    "a3_tumbling_counts",
+    "a4_trend_counts",
+    "a5_distinct_per_window",
+    "a6_doc_wordcount_topk",
+    "a6_mapreduce_wordcount",
+    "a7_weighted_species_score",
+    "a8_frequency_pct",
+    "cal1_hourly_profile",
+    "f3_conjunctive_filter",
+    "f4_projection",
+    "f5_recent_events",
+    "f6_full_snapshot",
+    "j10_promo_revenue_ratio",
+    "j11_forecast_revenue",
+    "j12_priority_exists",
+    "j13_big_order_customers",
+    "j14_returnflag_priority_mix",
+    "j15_above_brand_avg",
+    "j1_pricing_summary",
+    "j2_star_revenue_by_region",
+    "j3_semi_customers_with_orders",
+    "j4_anti_customers_without_orders",
+    "j5_shipping_priority",
+    "j6_range_join_value_bands",
+    "j7_left_join_order_activity",
+    "j8_full_outer_daily_activity",
+    "j9_argmin_supplier_per_part",
+    "k1_bloom_probe",
+    "k1_membership_absent",
+    "k1_membership_present",
+    "k2_distinct_approx",
+    "k2_distinct_exact",
+    "k3_conditional_windowed_count",
+    "k4_jaccard_exact",
+]
+_ROUND9_HEAD_RETIRED = [
+    # ROUND 9 head, retired to history (all signed green in
+    # CORRECTNESS_r09.json):
     "decon2_semantic_overlap",   # embedding-level benchmark decontamination
     "s13_deletion_vector_read",  # merge-on-read deletion-vector serving
     "mw1_mann_whitney",          # rank-sum two-sample location test
