@@ -68,6 +68,9 @@ HEADLINE = [
     "decon2_semantic_overlap",    # embedding-level decontamination (round 9)
     "s13_deletion_vector_read",   # merge-on-read DV serving (round 9)
     "d17_ppjoin_prefix_filter",   # exact prefix-filtered sim join (round 9)
+    "sim12_ivfpq_ann",            # composed IVF-PQ ADC probe (round 10)
+    "sim13_nsw_greedy_ann",       # graph-ANN kNN graph + beam walk (round 10)
+    "d14_winnowing_pairs",        # winnowing/MOSS fingerprint pairs (round 10)
 ]
 
 

@@ -113,6 +113,7 @@ _ROUND_HEAD = [
     "sim12_ivfpq_ann",           # composed FAISS IVF-PQ (coarse + residual PQ)
     "sim13_nsw_greedy_ann",      # graph-ANN: kNN graph + greedy beam walk
     "st18_tws_running_counts",   # transformWithStateInPandas through the gate
+    "rrf1_hybrid_retrieval",     # reciprocal-rank fusion of lexical+semantic
     # ROUND 10 re-signs — changed queries re-enter the head:
     "d17_ppjoin_prefix_filter",  # RE-SIGN: positional filter + suffix-only
                                  # verify + two-exchange ordering (VERDICT r9 #1)
@@ -127,10 +128,10 @@ _ROUND_HEAD = [
     "d5b_dedup_clusters_md5",    # RE-SIGN: CC checkpoint-then-symmetrize +
                                  # Arrow union-find (shared functions/cc.py)
     "g7_user_components",        # RE-SIGN: same CC change
-    # ROUND 10 oldest-signed rotation (VERDICT r9 #5): these 37 keys
+    # ROUND 10 oldest-signed rotation (VERDICT r9 #5): these 36 keys
     # were last driver-hash-signed in round 2 while shared helpers
     # kept evolving under them; re-enter them so the trust anchor
-    # stays fresh.  (The remaining 8 round-2 keys rotate in round 11.)
+    # stays fresh.  (The remaining 9 round-2 keys rotate in round 11.)
     "a1_total_count",
     "a2_group_counts",
     "a3_sliding_counts",
@@ -167,7 +168,6 @@ _ROUND_HEAD = [
     "k2_distinct_approx",
     "k2_distinct_exact",
     "k3_conditional_windowed_count",
-    "k4_jaccard_exact",
 ]
 _ROUND9_HEAD_RETIRED = [
     # ROUND 9 head, retired to history (all signed green in
