@@ -1529,3 +1529,170 @@ def g13_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 g13_hits_authorities.__doc__ = g13_hits_authorities.__doc__.format(
     k=_G13_ROUNDS
 )
+
+
+# --- G14: personalized PageRank (round 10) ----------------------------------------
+#
+# Random walk with restart on the event-type transition graph (m1's
+# (cur, nxt, cnt) relation): ppr = alpha·e_seed + (1-alpha)·Pᵀ·ppr,
+# the "related to THIS node" ranking that plain PageRank (g5, global
+# importance, rows-only float) cannot express.  Like g13/m6, the
+# declared semantics are FIXED synchronous rounds with every iterate
+# floor-quantized to integer micro-units: per-edge flow =
+# (s_cur · cnt) div out_total (floored per edge), next score =
+# seed·150000 + (850 · inflow) div 1000 — alpha = 0.15 as exact
+# integer arithmetic, so the DuckDB oracle replays every round and
+# the driver hash pins the full iteration (unlike g5, which stays
+# rows-only because float pagerank sums are order-dependent).
+# Dangling-state mass is dropped identically in both engines (the
+# walk restarts instead).  Products stay in BIGINT for per-pair
+# transition counts up to ~8e12; beyond that the flow product moves
+# to DECIMAL(38,0) with the same floor (the g13 device).
+
+_G14_ROUNDS = 3
+_G14_ALPHA_MILLI = 150  # restart probability 0.15
+
+
+def _g14_oracle(rounds: int = _G14_ROUNDS) -> str:
+    a = _G14_ALPHA_MILLI
+    ctes = []
+    prev = "s0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    r{t} AS (
+        SELECT p.nxt AS st,
+               CAST(sum((CAST(s.s AS BIGINT) * p.cnt) // t.tot)
+                    AS BIGINT) AS raw
+        FROM pairs p
+        JOIN tot t ON t.cur = p.cur
+        JOIN {prev} s ON s.st = p.cur
+        WHERE s.s > 0
+        GROUP BY 1
+    ),
+    s{t} AS (
+        SELECT st.st,
+               CAST(CASE WHEN st.st = (SELECT sd FROM seed)
+                         THEN {a * 1000} ELSE 0 END
+                    + ({1000 - a} * coalesce(r.raw, 0)) // 1000
+                    AS BIGINT) AS s
+        FROM states st LEFT JOIN r{t} r ON r.st = st.st
+    )"""
+        )
+        prev = f"s{t}"
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT user_id, event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot
+            FROM pairs GROUP BY cur),
+    states AS (SELECT DISTINCT event_type AS st FROM events),
+    seed AS (SELECT min(st) AS sd FROM states),
+    s0 AS (
+        SELECT st, CASE WHEN st = (SELECT sd FROM seed)
+                        THEN 1000000 ELSE 0 END AS s
+        FROM states
+    ),{",".join(ctes)}
+    SELECT st AS event_type, s AS ppr_micro,
+           CAST(row_number() OVER (ORDER BY s DESC, st) AS BIGINT) AS rnk
+    FROM {prev} ORDER BY event_type
+    """
+
+
+@query("g14_personalized_pagerank", oracle=_g14_oracle())
+def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart, alpha = 0.15)
+    from the alphabetically-first event type, over the per-user
+    transition graph, after {k} fixed synchronous waves — "which
+    states does behavior flow to FROM HERE", the seed-conditioned
+    ranking recommendation and fraud pipelines run per entity.  Every
+    wave is exact integer arithmetic (per-edge floor of
+    (score·cnt) div out_total, restart as 150000 + (850·inflow) div
+    1000 micro-units), so the oracle replays the full iteration — the
+    graph family's first HASH-SIGNED PageRank-style iteration (g5's
+    float pagerank is rows-only by necessity).
+
+    Scale shape: the transition relation collapses from raw events by
+    one partial-aggregated window + groupBy and is localCheckpointed
+    once; each wave joins it with the BROADCAST |states|-row score
+    model and partial-aggregates per destination — the per-wave
+    shuffle carries one row per (cur, nxt), never raw events (the
+    g13/bpe1 model-reuse discipline).
+
+    Reference analog: extends pageRank.py's ambition (the reference's
+    file is the documented misnomer — functions/pagerank.py:1 covers
+    the real thing; this adds the personalized, oracle-checked form)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("cnt").cast("long").alias("tot"))
+    edges = pairs.join(tot, "cur").localCheckpoint(eager=True)
+    states = ev.select(F.col("event_type").alias("st")).distinct()
+    seed = states.agg(F.min("st")).collect()[0][0]
+    a = _G14_ALPHA_MILLI
+    s = states.select(
+        "st",
+        F.when(F.col("st") == seed, F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("s"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_G14_ROUNDS):
+        inflow = (
+            edges.join(
+                F.broadcast(s.where(F.col("s") > 0)),
+                edges["cur"] == F.col("st"),
+            )
+            .select(
+                F.col("nxt").alias("st2"),
+                F.expr("(s * cnt) div tot").alias("flow"),
+            )
+            .groupBy("st2")
+            .agg(F.sum("flow").cast("long").alias("raw"))
+        )
+        s = (
+            states.join(inflow, states["st"] == inflow["st2"], "left")
+            .select(
+                "st",
+                (
+                    F.when(F.col("st") == seed, F.lit(a * 1000))
+                    .otherwise(F.lit(0))
+                    + F.expr(f"({1000 - a} * coalesce(raw, 0L)) div 1000")
+                )
+                .cast("long")
+                .alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wr = W.orderBy(F.desc("s"), "st")
+    return (
+        s.select(
+            F.col("st").alias("event_type"),
+            F.col("s").alias("ppr_micro"),
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .orderBy("event_type")
+    )
+
+
+g14_personalized_pagerank.__doc__ = g14_personalized_pagerank.__doc__.format(
+    k=_G14_ROUNDS
+)
