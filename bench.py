@@ -71,6 +71,8 @@ HEADLINE = [
     "sim12_ivfpq_ann",            # composed IVF-PQ ADC probe (round 10)
     "sim13_nsw_greedy_ann",       # graph-ANN kNN graph + beam walk (round 10)
     "d14_winnowing_pairs",        # winnowing/MOSS fingerprint pairs (round 10)
+    "rrf1_hybrid_retrieval",      # reciprocal-rank fusion retrieval (round 10)
+    "g14_personalized_pagerank",  # integer-exact PPR iteration (round 10)
 ]
 
 

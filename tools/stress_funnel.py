@@ -504,6 +504,34 @@ def stages():
             )
         )
 
+    # rrf1 hybrid retrieval (round 10): both legs are corpus-linear
+    # (one inverted-index join + one broadcast cosine scan); fusion is
+    # model-sized.  g14 PPR: one window+groupBy collapse, then
+    # model-sized waves.
+    from ecostream.queries.similarity import rrf1_hybrid_retrieval
+    from ecostream.queries.graph import g14_personalized_pagerank
+
+    def rrf_full(spark, d):
+        return (
+            rrf1_hybrid_retrieval(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("rrf_micro").alias("sr"),
+                FF.sum("match_id").alias("sm"),
+            )
+        )
+
+    def ppr_full(spark, d):
+        return (
+            g14_personalized_pagerank(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("ppr_micro").alias("sp"),
+            )
+        )
+
     from ecostream.queries.storage_queries import (
         roll3_distinct_sketch_serve,
     )
@@ -556,6 +584,8 @@ def stages():
         ("ppjoin_exact (d17)", ppjoin_full, "docs"),
         ("ivfpq_ann (sim12)", ivfpq_full, "vecs"),
         ("nsw_graph_ann (sim13)", nsw_full, "vecs"),
+        ("hybrid_retrieval (rrf1)", rrf_full, "docs"),
+        ("personalized_pagerank (g14)", ppr_full, "events"),
         ("pca_power_iteration (pca1)", pca_full, "vecs"),
         ("distinct_sketch_rollup (roll3)", roll3_full, "events"),
     ]
