@@ -142,3 +142,50 @@ def test_g8_wraps_the_antimeridian(spark):
     assert [(r["user_a"], r["user_b"], r["dist_km"]) for r in rows] == [
         (45, 82916, 39.632)
     ]
+
+
+def test_g14_ppr_matches_pure_python_replay(spark):
+    """g14's three integer waves recomputed from scratch in pure
+    Python over the same per-user transition pairs: every floored
+    flow, the restart blend, and the final micro-scores must match
+    exactly (the third-implementation discipline — a shared
+    misreading of the wave arithmetic cannot slip through two SQL
+    engines that copied each other's expression)."""
+    rows = duckdb.sql(
+        f"""
+        SELECT cur, nxt, count(*) AS cnt FROM (
+            SELECT user_id, event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM '{SF_SMOKE}/events.parquet'
+        ) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        """
+    ).fetchall()
+    states = sorted(
+        {r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM '{SF_SMOKE}/events.parquet'"
+        ).fetchall()}
+    )
+    tot: dict[str, int] = {}
+    for cur, _nxt, cnt in rows:
+        tot[cur] = tot.get(cur, 0) + cnt
+    seed = min(states)
+    s = {st: (1_000_000 if st == seed else 0) for st in states}
+    for _ in range(3):
+        raw = {st: 0 for st in states}
+        for cur, nxt, cnt in rows:
+            if s.get(cur, 0) > 0:
+                raw[nxt] += (s[cur] * cnt) // tot[cur]
+        s = {
+            st: (150_000 if st == seed else 0) + (850 * raw[st]) // 1000
+            for st in states
+        }
+    got = {
+        r["event_type"]: r["ppr_micro"]
+        for r in QUERIES["g14_personalized_pagerank"](spark, SF_SMOKE).collect()
+    }
+    assert got == s
+    # Mass sanity: restart injects 150k/wave and floors only lose
+    # mass, so the total stays within (0, 1e6].
+    assert 0 < sum(got.values()) <= 1_000_000
