@@ -115,6 +115,7 @@ _ROUND_HEAD = [
     "st18_tws_running_counts",   # transformWithStateInPandas through the gate
     "rrf1_hybrid_retrieval",     # reciprocal-rank fusion of lexical+semantic
     "g14_personalized_pagerank", # integer-exact random walk with restart
+    "s16_incremental_join_view", # aggregate-join view maintained by delta
     # ROUND 10 re-signs — changed queries re-enter the head:
     "d17_ppjoin_prefix_filter",  # RE-SIGN: positional filter + suffix-only
                                  # verify + two-exchange ordering (VERDICT r9 #1)
@@ -129,10 +130,10 @@ _ROUND_HEAD = [
     "d5b_dedup_clusters_md5",    # RE-SIGN: CC checkpoint-then-symmetrize +
                                  # Arrow union-find (shared functions/cc.py)
     "g7_user_components",        # RE-SIGN: same CC change
-    # ROUND 10 oldest-signed rotation (VERDICT r9 #5): these 35 keys
+    # ROUND 10 oldest-signed rotation (VERDICT r9 #5): these 34 keys
     # were last driver-hash-signed in round 2 while shared helpers
     # kept evolving under them; re-enter them so the trust anchor
-    # stays fresh.  (The remaining 10 round-2 keys rotate in round 11.)
+    # stays fresh.  (The remaining 11 round-2 keys rotate in round 11.)
     "a1_total_count",
     "a2_group_counts",
     "a3_sliding_counts",
@@ -167,7 +168,6 @@ _ROUND_HEAD = [
     "k1_membership_absent",
     "k1_membership_present",
     "k2_distinct_approx",
-    "k2_distinct_exact",
 ]
 _ROUND9_HEAD_RETIRED = [
     # ROUND 9 head, retired to history (all signed green in

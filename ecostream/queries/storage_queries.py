@@ -1618,3 +1618,97 @@ def roll3_distinct_sketch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 roll3_distinct_sketch_serve.__doc__ = roll3_distinct_sketch_serve.__doc__.format(
     k=_ROLL3_K
 )
+
+
+# --- S16: incremental join-view maintenance (round 10) --------------------------
+#
+# The maintenance side of the materialized-view story s14 reads and
+# st12/roll3 cover for single-table rollups: an AGGREGATED JOIN view
+# (orders ⋈ customer rolled up to (nation, priority)) kept current
+# under inserts WITHOUT recomputing the join over the full fact table.
+# Aggregate-join views are self-maintainable under inserts (Gupta &
+# Mumick's IVM classification): delta-view = delta-orders ⋈ customer
+# aggregated to the same keys, and the merged view is the group-wise
+# SUM of the stored view and the delta view.  The oracle computes the
+# view DIRECTLY over the full orders table, so the hash match proves
+# incremental maintenance == full recompute, row for row and cent for
+# cent.
+
+
+@query(
+    "s16_incremental_join_view",
+    oracle="""
+    SELECT c.c_nationkey AS nation, o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def s16_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregated join view: the base
+    view (orders with o_orderkey % 10 != 7, joined to customer and
+    rolled up to (nation, priority) counts + exact revenue cents) is
+    physically WRITTEN to parquet; the remaining orders arrive as the
+    insert delta, and maintenance joins ONLY the delta against the
+    dimension, aggregates it to the same keys, and group-wise sums it
+    into the stored view — the fact table is never rescanned.  The
+    oracle computes the same view directly over ALL orders, so the
+    driver hash proves the incremental path equals the full recompute
+    (the d12/sim11/st17 increment-equals-batch contract, now for the
+    aggregate-JOIN view class — self-maintainable under inserts, Gupta
+    & Mumick 1995).
+
+    Scale shape at 100 TB: maintenance cost is |delta| ⋈ broadcast
+    dimension + a |groups|-row merge — independent of the fact table's
+    size, which is the entire point of IVM; the stored view is
+    |nations|x|priorities| rows.  Deletes/updates extend the same
+    dataflow with signed deltas (counts and cents are both additive);
+    non-additive aggregates (min/max) need the s13-style tombstone
+    path instead.
+
+    Reference analog: none — extends the S6 lakehouse family
+    (SURVEY §2.10) beside s8/s11/s13/s14."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def view(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(cust), fact["o_custkey"] == cust["c_custkey"])
+            .groupBy(
+                F.col("c_nationkey").alias("nation"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+        )
+
+    root = _workdir("s16_view")
+    store = os.path.join(root, "view_v0")
+    view(orders.where(F.expr("o_orderkey % 10 != 7"))).write.mode(
+        "overwrite"
+    ).parquet(store)
+
+    delta = orders.where(F.expr("o_orderkey % 10 = 7"))
+    merged = (
+        spark.read.parquet(store)
+        .unionByName(view(delta))
+        .groupBy("nation", "priority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return merged.select(
+        "nation", "priority", "n_orders", "revenue_cents"
+    ).orderBy("nation", "priority")
