@@ -108,133 +108,78 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # ROUND 10 additions (oracle-bearing, entering the head the round
+    # ROUND 11 additions (oracle-bearing, entering the head the round
     # they land):
-    "sim12_ivfpq_ann",           # composed FAISS IVF-PQ (coarse + residual PQ)
-    "sim13_nsw_greedy_ann",      # graph-ANN: kNN graph + greedy beam walk
-    "st18_tws_running_counts",   # transformWithStateInPandas through the gate
-    "rrf1_hybrid_retrieval",     # reciprocal-rank fusion of lexical+semantic
-    "g14_personalized_pagerank", # integer-exact random walk with restart
-    "s16_incremental_join_view", # aggregate-join view maintained by delta
-    # ROUND 10 re-signs — changed queries re-enter the head:
-    "d17_ppjoin_prefix_filter",  # RE-SIGN: positional filter + suffix-only
-                                 # verify + two-exchange ordering (VERDICT r9 #1)
-    "er1_entity_resolution",     # RE-SIGN: verify-before-distinct, long block
-                                 # keys, window-fused survivorship (VERDICT r9 #2)
-    "d14_winnowing_pairs",       # RE-SIGN: fingerprint lineage cuts (r9 #6)
-    "ess1_weight_diagnostics",   # RE-SIGN: telescoped ESS form (ADVICE overflow)
-    "roll3_distinct_sketch_serve",  # RE-SIGN: exact audit over hashed relation
-    "st17_stream_distinct_maintenance",  # RE-SIGN: same (serve path shared)
-    "kmv1_distinct_estimate",    # RE-SIGN: exact audit over hashed relation
-    "s14_snapshot_diff",         # RE-SIGN: insert keys negated out of domain
-    "d5b_dedup_clusters_md5",    # RE-SIGN: CC checkpoint-then-symmetrize +
-                                 # Arrow union-find (shared functions/cc.py)
-    "g7_user_components",        # RE-SIGN: same CC change
-    # ROUND 10 oldest-signed rotation (VERDICT r9 #5): these 34 keys
-    # were last driver-hash-signed in round 2 while shared helpers
-    # kept evolving under them; re-enter them so the trust anchor
-    # stays fresh.  (The remaining 11 round-2 keys rotate in round 11.)
-    "a1_total_count",
-    "a2_group_counts",
-    "a3_sliding_counts",
-    "a3_tumbling_counts",
-    "a4_trend_counts",
-    "a5_distinct_per_window",
-    "a6_doc_wordcount_topk",
-    "a6_mapreduce_wordcount",
-    "a7_weighted_species_score",
-    "a8_frequency_pct",
-    "cal1_hourly_profile",
-    "f3_conjunctive_filter",
-    "f4_projection",
-    "f5_recent_events",
-    "f6_full_snapshot",
-    "j10_promo_revenue_ratio",
-    "j11_forecast_revenue",
-    "j12_priority_exists",
-    "j13_big_order_customers",
-    "j14_returnflag_priority_mix",
-    "j15_above_brand_avg",
-    "j1_pricing_summary",
-    "j2_star_revenue_by_region",
-    "j3_semi_customers_with_orders",
-    "j4_anti_customers_without_orders",
-    "j5_shipping_priority",
-    "j6_range_join_value_bands",
-    "j7_left_join_order_activity",
-    "j8_full_outer_daily_activity",
-    "j9_argmin_supplier_per_part",
-    "k1_bloom_probe",
-    "k1_membership_absent",
-    "k1_membership_present",
-    "k2_distinct_approx",
+    "st19_tws_ttl_expiry",       # TWS event-time timers: purge-as-timer TTL
+    # ROUND 11 re-signs — the round-10 red row (protobuf .pth shim fix)
+    # and the queries whose source changes this round:
+    "st18_tws_running_counts",   # RE-SIGN: failed r10 under the driver's
+                                 # pre-existing JVM; ensure_protobuf now
+                                 # installs a site-packages .pth shim
+    "sim13_nsw_greedy_ann",      # RE-SIGN: scale-safe sqrt(n)-capped centroid
+                                 # seeding (VERDICT r10 #3)
+    "decon2_semantic_overlap",   # RE-SIGN: same centroid-seeding change
+    "d14_winnowing_pairs",       # RE-SIGN: per-stage funnel counters pass
+                                 # (VERDICT r10 #4)
+    # ROUND 11 oldest-signed rotation, part 1 (VERDICT r10 #2): the 11
+    # keys never driver-hash-signed since round 2 — this closes the
+    # round-2 rotation debt entirely.
+    "k2_distinct_exact",
+    "k3_conditional_windowed_count",
+    "k4_jaccard_exact",
+    "m1_global_transition_pairs",
+    "m1_transition_pairs",
+    "m2_markov_probabilities",
+    "m3_transition_matrix",
+    "o1_sort_by_event_time",
+    "o2_topk_users_by_value",
+    "sk1_salted_cohort_revenue",
+    "t4_session_windows",
+    # ROUND 11 oldest-signed rotation, part 2: the oldest round-3 cohort
+    # (50 keys were last signed in round 3; the first 34 alphabetically
+    # re-sign now, the remaining 16 rotate in round 12).
+    "chunk1_token_windows",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d3b_minhash_lsh_md5",
+    "d4_simhash",
+    "g5_pagerank_habitats",
+    "j16_volume_shipping",
+    "j17_market_share",
+    "j18_product_profit",
+    "j19_returned_revenue",
+    "j20_customer_distribution",
+    "j21_parts_supplier_count",
+    "j22_disjunctive_revenue",
+    "j23_waiting_orders",
+    "j24_global_sales_opportunity",
+    "j25_important_parts",
+    "j26_top_supplier",
+    "j27_excess_shippers",
+    "m4_dtmc_classification",
+    "mm4_png_roundtrip",
+    "pack1_sequence_packing",
+    "pii1_entity_redaction",
+    "pipeline1_clean_corpus",
+    "pipeline2_training_manifest",
+    "s6_cluster_roundtrip",
+    "s6_compact_roundtrip",
+    "s7_bucketed_join",
+    "samp1_stratified_sample",
+    "shuffle1_training_order",
+    "sim1_cosine_topk",
+    "sim2_signlsh_ann",
+    "sim2_signlsh_buckets",
+    "sim3_embedding_near_dup",
+    "sim4_ivf_ann",
 ]
-_ROUND9_HEAD_RETIRED = [
-    # ROUND 9 head, retired to history (all signed green in
-    # CORRECTNESS_r09.json):
-    "decon2_semantic_overlap",   # embedding-level benchmark decontamination
-    "s13_deletion_vector_read",  # merge-on-read deletion-vector serving
-    "mw1_mann_whitney",          # rank-sum two-sample location test
-    "welch1_ttest",              # unequal-variance t statistic per segment
-    "srm1_sample_ratio_mismatch",  # chi-square assignment-ratio guardrail
-    "perm1_randomization_test",  # hash-seeded permutation null distribution
-    "acf1_autocorrelation",      # lag-k autocorrelation of daily series
-    "nov1_source_novelty",       # cross-source n-gram novelty audit
-    "cov1_embedding_covariance", # embedding covariance/PCA-readiness matrix
-    "g13_hits_authorities",      # HITS hub/authority fixed-iteration scores
-    "d17_ppjoin_prefix_filter",  # exact prefix-filtered similarity join
-    "pca1_power_iteration",      # top principal component, integer waves
-    "m7_top_trigram_paths",      # order-2 sequence mining over journeys
-    "dq6_column_profile_drift",  # per-column data-contract drift audit
-    "st16_stream_welch_maintenance",  # streaming A/B moment-store upkeep
-    "seq1_sprt_monitor",         # anytime-valid SPRT conversion monitor
-    "s14_snapshot_diff",         # added/removed/changed table diff
-    "s15_integrity_checksum",    # order-free replica checksum manifest
-    "t16_keyword_extraction",    # per-doc top-3 tf-idf keywords
-    "ess1_weight_diagnostics",   # Kish ESS sampling-weight audit
-    "trim1_robust_means",        # trimmed/winsorized robust location
-    "ent2_user_diversity",       # per-user behaviour entropy buckets
-    "eval9_brier_score",         # proper scoring rule + Murphy decomposition
-    "imp1_median_impute",        # group-median missing-value imputation
-    "streak1_daily_streaks",     # calendar gaps-and-islands streaks
-    "roll3_distinct_sketch_serve",  # mergeable KMV distinct rollup
-    "st17_stream_distinct_maintenance",  # streaming KMV sketch upkeep
-    # ROUND 9 re-signs — changed signed queries re-enter the head:
-    "m4c_dtmc_recurrence",       # RE-SIGN: driver collect now ships only
-                                 # DISTINCT (cur,nxt) edges (VERDICT r8 #1)
-    "sim11_ivf_incremental",     # RE-SIGN: base index persisted to parquet;
-                                 # declared query reads it and pays only
-                                 # delta-assign + serve (VERDICT r8 #5)
-    "g10_link_prediction",       # RE-SIGN: wedge-formation adjacency capped
-                                 # per hub-skew stress twin (VERDICT r8 #6)
-    # ROUND 8 additions re-confirmed while head space allows:
-    "roll2_quantile_sketch_serve",  # mergeable DDSketch-style p50/p95 serve
-    "st15_stream_quantile_maintenance",  # streaming sketch upkeep twin
-    "m5_transition_heldout",     # Markov next-event heldout accuracy
-    "d16_containment_pairs",     # asymmetric shingle-containment near-dup
-    "s12_zonemap_skipping",      # zone-map file pruning from a stats manifest
-    "zipf1_rank_frequency",      # ln-ln rank-frequency power-law fit
-    "eval8_bleu",                # BLEU-2 clipped precision + brevity penalty
-    "bootstrap1_mean_ci",        # one-pass Poisson bootstrap error bars
-    "trend2_theil_sen",          # median-of-pairwise-slopes robust trend
-    "kappa1_agreement",          # Cohen's kappa inter-annotator agreement
-    "dq5_benford_deviation",     # first-digit Benford fraud/quality audit
-    "ewma1_decay_smoothing",     # half-life EWMA over daily series
-    "g11_label_propagation",     # deterministic LPA community detection
-    "g12_modularity",            # Newman modularity of the LPA partition
-    "gini1_concentration",       # Lorenz/Gini activity-concentration audit
-    "surv1_conversion_hazard",   # censored Nelson-Aalen conversion curve
-    "m6_stationary_distribution",  # Markov chain long-run state shares
-    "cusum1_change_point",       # CUSUM level-shift detection per type
-    "anon2_l_diversity",         # homogeneity-attack audit beside anon1
-    "seg1_rfm_segments",         # value-based RFM quintile segmentation
-]
+# Retired heads (rounds 3-10) live in git history of this file; each
+# retired key keeps full coverage via tools/parity_sweep.py and
+# tests/test_oracle_parity.py, and re-enters the head only on re-sign
+# or its oldest-signed rotation turn.
+#
 # (g2_random_walk / g2_walk_distributed / d3 / d5 / d6 / sim5 are
 # rows-only by design and never enter the head.)
-#
-# After round 6 the head is maintenance-only: new queries enter at the
-# head the round they are added; everything older is already signed and
-# stays covered by tools/parity_sweep.py + tests/test_oracle_parity.py.
 
 
 

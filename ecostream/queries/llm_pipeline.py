@@ -1635,7 +1635,11 @@ def ess1_weight_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~9.6e7 tokens (a loud ANSI failure at any real scale), while the
     telescoped form is safe to Σw ≤ 9.2e15 and within 1‰ + 1/(Σw²/Σw)
     of the rational Kish value; identical integer ops in both engines,
-    so no float crosses.
+    so no float crosses.  Residual bound: Σw² itself still sums
+    per-document w², so one document of ~3e9 tokens (or any source
+    whose Σw² exceeds 2^63) would overflow — documents are bounded far
+    below that in any real tokenizer pipeline, but a defensive
+    deployment would cap w at ingest (ql2's length gate runs first).
 
     Scale shape: ONE scan, a map-side token count per row (in-row
     split, no explode), and a partial-aggregated 4-moment collapse per

@@ -1241,8 +1241,10 @@ def _nsw_oracle(
     ),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
     params AS (
-        SELECT greatest(4, n // 128) AS k,
-               CAST(CEIL(SQRT(greatest(4, n // 128))) AS BIGINT) AS b
+        SELECT greatest(4, least(n // 128,
+                                 4 * CAST(CEIL(SQRT(n)) AS BIGINT))) AS k,
+               CAST(CEIL(SQRT(greatest(4, least(n // 128,
+                   4 * CAST(CEIL(SQRT(n)) AS BIGINT))))) AS BIGINT) AS b
         FROM nn
     ),
     cents AS MATERIALIZED (
@@ -1360,7 +1362,8 @@ def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN baseline (the NSW/HNSW family, Malkov & Yashunin
     2018): a navigable neighbor graph answers queries by GREEDY WALK,
     not partition scan.  Build: every vector joins its count-adaptive
-    cell (k = max(4, n/128) md5-lowest centroids, decon2's two-level
+    cell (k = max(4, min(n/128, 4*sqrt(n))) md5-lowest centroids —
+    sqrt-capped so the seed table never grows linearly — decon2's two-level
     router — ~2n*sqrt(k) routing work, never flat n*k) and links to
     its {nb} exact-nearest in-cell neighbors by integer-quantized L2
     (the graph build is cell-keyed: ~n*occupancy candidate pairs,
@@ -1387,7 +1390,16 @@ def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     n = emb.count()
-    k_cells = max(4, n // 128)
+    # Count-adaptive cells, sqrt-CAPPED (VERDICT r10 #3): n/128 keeps
+    # cell occupancy flat through the gate scales, but an uncapped
+    # k = n/128 makes this seed collect() linear in the corpus — at
+    # 1e10 vectors that is an 8e7-row driver materialization.  The cap
+    # 4*sqrt(n) (sim5's trained-IVF convention: k ~ sqrt(n) balances
+    # n*k/b routing dots against n/k-sized cells) binds only past
+    # n = 262144, so every tested scale is unchanged while the driver
+    # table is O(sqrt(n)) — ~400k rows at 1e10 vectors, a broadcast,
+    # not a bottleneck.  The oracle replays the same formula.
+    k_cells = max(4, min(n // 128, 4 * math.ceil(math.sqrt(n))))
     b = math.ceil(math.sqrt(k_cells))
     init = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -3323,8 +3335,10 @@ def _decon2_oracle() -> str:
     d AS (SELECT doc_id, source FROM documents),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
     params AS (
-        SELECT greatest(4, n // 128) AS k,
-               CAST(CEIL(SQRT(greatest(4, n // 128))) AS BIGINT) AS b
+        SELECT greatest(4, least(n // 128,
+                                 4 * CAST(CEIL(SQRT(n)) AS BIGINT))) AS k,
+               CAST(CEIL(SQRT(greatest(4, least(n // 128,
+                   4 * CAST(CEIL(SQRT(n)) AS BIGINT))))) AS BIGINT) AS b
         FROM nn
     ),
     cents AS MATERIALIZED (
@@ -3432,7 +3446,8 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates are BUCKETED, never all-pairs (the sim4/semdedup
     discipline): all vectors are assigned to their nearest of
-    max(4, n/128) deterministic coarse centroids (the k md5-lowest
+    max(4, min(n/128, 4*sqrt(n))) deterministic coarse centroids
+    (sqrt-capped seed table — O(sqrt(n)) driver rows; the k md5-lowest
     vectors — portable order, no training) via the TWO-LEVEL
     broadcast-centroid argmax (route through ceil(sqrt(k)) supers,
     then in-branch argmax — the semdedup3 device; the round-9 stress
@@ -3454,7 +3469,10 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     n = emb.count()
-    k_cells = max(4, n // 128)
+    # sqrt-capped count-adaptive k (VERDICT r10 #3) — see sim13's
+    # in-source argument: identical results through n = 262144, and the
+    # seed collect is O(sqrt(n)) instead of linear in the corpus.
+    k_cells = max(4, min(n // 128, 4 * math.ceil(math.sqrt(n))))
     b = math.ceil(math.sqrt(k_cells))
     init = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")

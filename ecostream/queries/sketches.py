@@ -734,6 +734,11 @@ def kmv1_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k smallest — same property HLL is prized for at 100 TB, with
     the bonus that KMV supports set intersection estimates.
 
+    n_exact is the exact count of DISTINCT 40-BIT HASHES per group —
+    the quantity KMV estimates — not a user-distinct count: hash
+    collisions fold users together identically in both engines
+    (~n²/2^41 collision probability at these cardinalities).
+
     Scale shape: one distinct shuffle on (group, hash), then the
     salted two-stage top-k (functions/topk.py — no skew funnel through
     ≤|groups| partitions), and a ≤|groups|-row exact-count join.

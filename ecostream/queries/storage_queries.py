@@ -1599,8 +1599,12 @@ def roll3_distinct_sketch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events — signs bit-identical merge-vs-direct, roll2's
     property for the aggregate that is neither additive nor
     histogram-able.  n_exact and err_permille audit the estimator
-    against the true weekly distinct (k = {k} ⇒ ~12% relative error
-    bound; testdata reads single digits).
+    against the exact count of DISTINCT 40-BIT HASHES per (week, type)
+    — the quantity a KMV sketch estimates; hash collisions fold true
+    users together identically in both engines, so n_exact is a
+    hash-distinct count, not a user-distinct count (they differ only
+    with ~n²/2^41 collision probability).  k = {k} ⇒ ~12% relative
+    error bound; testdata reads single digits.
 
     Scale shape: sketch build is one distinct (day, type, hash)
     shuffle + the per-group top-k; the store holds ≤ |days|·|types|·k

@@ -1369,3 +1369,83 @@ def st18_tws_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# --- ST19: transformWithState event-time timer TTL expiry (round 11) ------------
+
+
+@query(
+    "st19_tws_ttl_expiry",
+    oracle="""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+    per_user AS (
+        SELECT user_id, epoch_ms(max(ts)) AS last_ms, count(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n
+    FROM per_user, mx
+    WHERE last_ms + 14400000 <= m - 1800000
+    """,
+)
+def st19_tws_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's timer surface: per-user state that the ENGINE expires.
+
+    The reference hand-rolls TTL by walking its keyed dicts under a lock
+    and deleting entries older than 4 h (consumer.py:119-148).  The TWS
+    re-spec registers an event-time timer at ``last_activity + 4h`` per
+    user (sliding with each batch); when the watermark passes it, the
+    engine calls ``handleExpiredTimer`` and we emit the user's final
+    count and drop the state — purge as a timer, not a scan.  RocksDB
+    keeps the timer index off-heap, so the purge cost at 100 TB is the
+    number of FIRED timers, never the number of LIVE keys.
+
+    Determinism: the file stream delivers one data micro-batch, so the
+    final watermark is exactly ``max(ts) - 30min`` and the expired set
+    is the pure SQL predicate the oracle replays (no boundary ties in
+    the testdata at any scale — verified strict vs non-strict agree).
+    """
+    import tempfile
+
+    from ..streaming.stateful import ensure_protobuf, ttl_expiry_tws
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "st19 needs google.protobuf (installed or vendored under "
+            "ecostream/_vendor) for the transformWithStateInPandas "
+            "driver worker"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = f"st19_{uuid.uuid4().hex[:12]}"
+    try:
+        stream = (
+            events_stream(spark, sf_dir)
+            .select("user_id", "ts")
+            .withWatermark("ts", "30 minutes")
+        )
+        with tempfile.TemporaryDirectory(prefix="st19_ckpt_") as ckpt:
+            q = (
+                ttl_expiry_tws(stream, ttl_ms=4 * 3600 * 1000)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        return spark.table(name).select("user_id", "n")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -2819,6 +2819,17 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ignores fingerprints "in too many documents".  All-integer output.
     Both engines build identical integers, so the oracle replays hash
     selection, suppression, and pairing exactly."""
+    return _d14_stages(spark, sf_dir)["result"]
+
+
+d14_winnowing_pairs.__doc__ = d14_winnowing_pairs.__doc__.format(
+    k=_D14_K, w=_D14_W, m=_D14_MIN_SHARED, df=_D14_MAX_DF
+)
+
+
+def _d14_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """d14's pipeline with every stage exposed (shared by the declared
+    query and the stress-funnel stage counters, VERDICT r10 #4)."""
     docs = _docs(spark, sf_dir)
     k, w = _D14_K, _D14_W
     grams = (
@@ -2838,10 +2849,11 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN size(h) > 0 THEN array(array_min(h)) "
         f"ELSE array() END"
     )
+    hashed = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", F.expr(grams).alias("h")
+    )
     all_fps = (
-        docs.select("doc_id", F.split("text", " ").alias("t"))
-        .select("doc_id", F.expr(grams).alias("h"))
-        .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
+        hashed.select("doc_id", F.explode(F.expr(wins)).alias("fp"))
         # Two consumers (df table + the suppression join): cut lineage
         # so the md5-per-gram hashing and window minima run once.
         .localCheckpoint(eager=False)
@@ -2857,14 +2869,13 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("a_id"), "fp")
     b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    bucket_rows = a.join(b, "fp").where(F.col("a_id") < F.col("b_id"))
     shared = (
-        a.join(b, "fp")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        bucket_rows.groupBy("a_id", "b_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= _D14_MIN_SHARED)
     )
-    return (
+    result = (
         shared.join(sizes.withColumnRenamed("doc_id", "a_id")
                     .withColumnRenamed("n_fp", "na"), "a_id")
         .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -2879,11 +2890,31 @@ def d14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+    return {
+        "hashed": hashed,
+        "all_fps": all_fps,
+        "fps": fps,
+        "bucket_rows": bucket_rows,
+        "result": result,
+    }
 
 
-d14_winnowing_pairs.__doc__ = d14_winnowing_pairs.__doc__.format(
-    k=_D14_K, w=_D14_W, m=_D14_MIN_SHARED, df=_D14_MAX_DF
-)
+def d14_funnel_counts(spark: SparkSession, sf_dir: str) -> dict:
+    """Untimed per-stage counters for d14's funnel (VERDICT r10 #4):
+    grams hashed → window minima kept → fingerprints surviving the
+    document-frequency cap → fp-bucket join rows → output pairs.
+    Dividing stage wall time by these turns a stress exponent into a
+    measured per-row attribution (the d17/er1 convention)."""
+    st = _d14_stages(spark, sf_dir)
+    return {
+        "grams": st["hashed"]
+        .select(F.sum(F.size("h")).alias("n"))
+        .collect()[0]["n"],
+        "window_minima": st["all_fps"].count(),
+        "kept_fps": st["fps"].count(),
+        "bucket_join_rows": st["bucket_rows"].count(),
+        "output_pairs": st["result"].count(),
+    }
 
 
 # --- T14: PMI collocations (round 7; threshold made count-adaptive and

@@ -25,6 +25,7 @@ property is testable.
 
 from __future__ import annotations
 
+import os
 import zlib
 from collections.abc import Iterable
 
@@ -133,6 +134,44 @@ def batch_sketch(
 TWS_OUTPUT_SCHEMA = "event_type string, n bigint, total double"
 
 
+def _install_pth_shim(vendor) -> bool:
+    """Write ``ecostream_protobuf_vendor.pth`` → ``str(vendor)`` into the
+    first writable site-packages dir.
+
+    ``site`` reads ``.pth`` files at every CPython start, so any process
+    spawned later — including the transformWithState driver worker the
+    JVM forks with its OWN (pre-existing) environment — gets the vendor
+    tree on ``sys.path`` without depending on who exported PYTHONPATH
+    first.  Idempotent: rewritten only when missing or stale.  Returns
+    True when a current shim exists after the call.
+    """
+    import site
+
+    target = str(vendor)
+    candidates = []
+    try:
+        candidates.extend(site.getsitepackages())
+    except AttributeError:
+        pass  # virtualenv-embedded interpreters may lack it
+    usersite = site.getusersitepackages() if site.ENABLE_USER_SITE else None
+    if usersite:
+        candidates.append(usersite)
+    for sp in candidates:
+        pth = os.path.join(sp, "ecostream_protobuf_vendor.pth")
+        try:
+            if os.path.exists(pth):
+                with open(pth, "r", encoding="utf-8") as fh:
+                    if fh.read().strip() == target:
+                        return True
+            os.makedirs(sp, exist_ok=True)
+            with open(pth, "w", encoding="utf-8") as fh:
+                fh.write(target + "\n")
+            return True
+        except OSError:
+            continue  # read-only site dir: try the next candidate
+    return False
+
+
 def ensure_protobuf(spark=None) -> bool:
     """Make ``google.protobuf`` importable for the TWS state protocol.
 
@@ -145,9 +184,17 @@ def ensure_protobuf(spark=None) -> bool:
     The TWS *driver worker* is a separate process the JVM spawns with
     the JVM's own PYTHONPATH — addPyFile does not reach it.  We export
     PYTHONPATH here as well, which covers any JVM launched afterwards;
-    for a session that already exists, call this BEFORE
-    ``SparkSession.builder...getOrCreate()`` (``ecostream.session.
-    get_spark`` does).
+    for a JVM that ALREADY exists (a harness that built its own
+    SparkSession before importing us), the env export is too late, so
+    we also drop a ``.pth`` shim into site-packages: ``site`` processes
+    it at every interpreter start, which reaches the TWS driver worker
+    regardless of launch order.  The shim is one line, idempotent, and
+    harmless when protobuf later gets pip-installed (the real install
+    shadows the vendor tree because site-packages itself sorts first on
+    ``sys.path``... the vendor dir is appended by the .pth, and
+    ``google.protobuf`` resolves from whichever comes first; the
+    vendored runtime is version-matched to Spark 4's generated pb2
+    modules either way).
     """
     import importlib
     import os
@@ -175,6 +222,7 @@ def ensure_protobuf(spark=None) -> bool:
             os.environ["PYTHONPATH"] = (
                 str(vendor) + (os.pathsep + existing if existing else "")
             )
+        _install_pth_shim(vendor)
     if spark is not None and vendored:
         zip_base = os.path.join(tempfile.gettempdir(), "ecostream_protobuf_vendor")
         zip_path = zip_base + ".zip"
@@ -243,6 +291,86 @@ class RunningTotalsProcessor:
 
     def close(self) -> None:
         pass
+
+
+TTL_EXPIRY_OUTPUT_SCHEMA = "user_id bigint, n bigint"
+
+
+class TtlExpiryProcessor:
+    """Event-time timer-based TTL expiry: the reference's purge loop as
+    a Spark-4 TWS timer (consumer.py:119-148 walks 7 dicts under a lock
+    deleting entries older than TTL; here the ENGINE fires a per-key
+    timer when the watermark passes last-activity + TTL).
+
+    Per user: ValueState (n, last_ms).  Each input batch advances the
+    running count, deletes the previously registered timer, and
+    re-registers at ``last_ms + ttl_ms`` — i.e. the key's expiry slides
+    with activity, exactly a keyed-store TTL.  When the event-time
+    watermark passes the timer, ``handleExpiredTimer`` emits the key's
+    final (user_id, n) and clears state.  State per key is O(1); the
+    timer index is the engine's (RocksDB), so 100 TB of keys never
+    needs a driver-side purge scan.
+
+    Determinism for the oracle: with the file-streamed events arriving
+    in one micro-batch, the final watermark is ``max(ts) - delay`` and
+    a key expires iff ``last_ms + ttl <= max_ms - delay_ms`` — a pure
+    SQL predicate (see st19's oracle).
+    """
+
+    def __init__(self, ttl_ms: int):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState("agg", "n BIGINT, last_ms BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._agg.exists():
+            prev = self._agg.get()
+            n, last_ms = int(prev[0]), int(prev[1])
+            self._handle.deleteTimer(last_ms + self._ttl_ms)
+        else:
+            n, last_ms = 0, 0
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                batch_max = int(
+                    pdf["ts"].astype("datetime64[ms]").astype("int64").max()
+                )
+                last_ms = max(last_ms, batch_max)
+        self._agg.update((n, last_ms))
+        self._handle.registerTimer(last_ms + self._ttl_ms)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._agg.exists():
+            prev = self._agg.get()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [int(prev[0])]})
+            self._agg.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def ttl_expiry_tws(keyed_events: DataFrame, ttl_ms: int) -> DataFrame:
+    """Streaming per-user TTL expiry via ``transformWithStateInPandas``
+    with event-time timers.
+
+    ``keyed_events``: streaming DataFrame with (user_id, ts) and a
+    watermark already applied to ``ts`` (EventTime mode requires one).
+    Emits one (user_id, n) row per key whose timer expired.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "_TtlExpiryTWS", (StatefulProcessor,), dict(TtlExpiryProcessor.__dict__)
+    )
+    return keyed_events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(ttl_ms),
+        outputStructType=TTL_EXPIRY_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
 
 
 def running_totals_tws(keyed_events: DataFrame, ttl_ms: int | None = None) -> DataFrame:

@@ -153,6 +153,51 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
     assert rounds <= bound, f"{rounds} rounds > {bound} on a {n}-chain"
 
 
+def test_cc_zero_edges_on_both_paths(spark):
+    """An EMPTY edge relation must yield every vertex as its own
+    component on both paths — exercised without the `or [(0, 0)]`
+    placeholder the random-graph test substitutes, so a regression in
+    empty-DataFrame handling (Arrow round-trip of an empty pandas
+    frame, empty createDataFrame with schema) is caught here."""
+    import pandas as pd
+
+    from ecostream.functions.cc import connected_components
+
+    vertices = spark.createDataFrame([(v,) for v in range(5)], "v long")
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": pd.Series(dtype="int64"),
+                      "dst": pd.Series(dtype="int64")}),
+        "src long, dst long",
+    )
+    assert edges.count() == 0
+    for threshold in (1_000_000, 0):  # local path, then distributed path
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(
+                vertices, edges, local_threshold=threshold
+            ).collect()
+        }
+        assert got == {v: v for v in range(5)}, (threshold, got)
+
+
+def test_cc_string_vertex_ids_local_path(spark):
+    """String vertex ids through the local union-find path: component
+    labels are the lexicographic min of each component."""
+    from ecostream.functions.cc import connected_components
+
+    vertices = spark.createDataFrame(
+        [("ant",), ("bee",), ("cat",), ("dog",)], "v string"
+    )
+    edges = spark.createDataFrame(
+        [("bee", "cat"), ("cat", "dog")], "src string, dst string"
+    )
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {"ant": "ant", "bee": "bee", "cat": "bee", "dog": "bee"}
+
+
 def test_cc_null_edge_endpoints_ignored_on_both_paths(spark):
     """Edges with a null endpoint carry no connectivity; the local
     union-find and distributed label-propagation paths must agree on

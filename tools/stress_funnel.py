@@ -616,6 +616,17 @@ def pair_probes():
     }
 
 
+def funnel_probes():
+    """Per-stage funnel counters (VERDICT r10 #4): run untimed once per
+    scale; the full stage-by-stage row volumes that attribute a stress
+    exponent to a specific stage rather than to the pipeline at large."""
+    from ecostream.queries.text import d14_funnel_counts
+
+    return {
+        "winnowing_pairs (d14)": d14_funnel_counts,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,5,10")
@@ -645,6 +656,8 @@ def main() -> None:
         d = os.path.join(args.workdir, f"x{mult}")
         sizes[mult] = gen_slice(d, mult)
     probes = pair_probes()
+    stage_probes = funnel_probes()
+    stage_counts: dict[str, dict[int, dict]] = {s: {} for s in stage_probes}
 
     # Untimed warm-up at the smallest scale: JVM, codegen, parquet
     # footer caches, broadcast machinery — all paid before any timing.
@@ -678,6 +691,10 @@ def main() -> None:
                 upp = 1e6 * results[name][mult] / max(pairs[name][mult], 1)
                 print(f"   {name:26s} pairs={pairs[name][mult]} "
                       f"({upp:.2f} us/pair)", flush=True)
+            if name in stage_probes:
+                stage_counts[name][mult] = stage_probes[name](spark, d)
+                print(f"   {name:26s} stages={stage_counts[name][mult]}",
+                      flush=True)
 
     hi = max(scales)
     print("\nstage                       "
@@ -715,6 +732,10 @@ def main() -> None:
             report[name]["us_per_pair"] = upp
             print(f"{name:28s}us/pair: "
                   + "  ".join(f"x{m}={upp[str(m)]}" for m in scales))
+        if name in stage_counts and stage_counts[name]:
+            report[name]["stages"] = {
+                str(m): stage_counts[name][m] for m in scales
+            }
     print(json.dumps(report))
     spark.stop()
 
