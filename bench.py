@@ -73,6 +73,7 @@ HEADLINE = [
     "d14_winnowing_pairs",        # winnowing/MOSS fingerprint pairs (round 10)
     "rrf1_hybrid_retrieval",      # reciprocal-rank fusion retrieval (round 10)
     "g14_personalized_pagerank",  # integer-exact PPR iteration (round 10)
+    "cms1_heavy_hitters",         # Count-Min grid + min-of-d probe (round 11)
 ]
 
 

@@ -111,6 +111,9 @@ _ROUND_HEAD = [
     # ROUND 11 additions (oracle-bearing, entering the head the round
     # they land):
     "st19_tws_ttl_expiry",       # TWS event-time timers: purge-as-timer TTL
+    "st20_tws_recent_events",    # TWS ListState: bounded per-key recency buffer
+    "cms1_heavy_hitters",        # Count-Min sketch grid + min-of-d estimates
+    "g15_k_truss",               # 4-truss backbone by bulk edge-peeling
     # ROUND 11 re-signs — the round-10 red row (protobuf .pth shim fix)
     # and the queries whose source changes this round:
     "st18_tws_running_counts",   # RE-SIGN: failed r10 under the driver's
@@ -136,8 +139,8 @@ _ROUND_HEAD = [
     "sk1_salted_cohort_revenue",
     "t4_session_windows",
     # ROUND 11 oldest-signed rotation, part 2: the oldest round-3 cohort
-    # (50 keys were last signed in round 3; the first 34 alphabetically
-    # re-sign now, the remaining 16 rotate in round 12).
+    # (50 keys were last signed in round 3; the first 31 alphabetically
+    # re-sign now, the remaining 19 rotate in round 12).
     "chunk1_token_windows",
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
@@ -169,9 +172,6 @@ _ROUND_HEAD = [
     "shuffle1_training_order",
     "sim1_cosine_topk",
     "sim2_signlsh_ann",
-    "sim2_signlsh_buckets",
-    "sim3_embedding_near_dup",
-    "sim4_ivf_ann",
 ]
 # Retired heads (rounds 3-10) live in git history of this file; each
 # retired key keeps full coverage via tools/parity_sweep.py and

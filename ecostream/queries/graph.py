@@ -1696,3 +1696,183 @@ def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 g14_personalized_pagerank.__doc__ = g14_personalized_pagerank.__doc__.format(
     k=_G14_ROUNDS
 )
+
+
+# --- G15: k-truss backbone of the co-presence graph (round 11) ---------------
+
+_G15_T = 2  # required triangles per edge: the 4-truss (k = t + 2)
+_G15_MAX_PEELS = 16  # oracle unroll depth; parity fails LOUDLY if exceeded
+
+
+def _g15_oracle() -> str:
+    """Unrolled bulk edge-peel replay: t{i} = edges alive after i
+    rounds; each round enumerates triangles over t{i-1} (canonical
+    a<b<c — every edge is stored s<d, so e1(a,b)⋈e2(b,c)⋈e3(a,c)
+    enumerates each triangle once), explodes them to their three
+    edges, and keeps edges with support >= t.  Each level is
+    MATERIALIZED (each t{i} feeds all three legs of the next round's
+    triple join).  The final SELECT recomputes support within t{N},
+    which equals the fixpoint truss only if peeling CONVERGED within
+    {n} rounds — a truncated oracle would disagree with the engine's
+    true fixpoint, so non-convergence fails parity loudly (the g9
+    device, on edges instead of vertices)."""
+    n = _G15_MAX_PEELS
+    parts = [
+        f"""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               event_type, user_id
+        FROM events
+    ),
+    t0 AS MATERIALIZED (
+        SELECT x.user_id AS a, y.user_id AS b
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_G9_SUPPORT}
+    )"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f""",
+    tr{i} AS MATERIALIZED (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM t{i - 1} e1
+        JOIN t{i - 1} e2 ON e2.a = e1.b
+        JOIN t{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    t{i} AS MATERIALIZED (
+        SELECT e.a, e.b
+        FROM t{i - 1} e JOIN (
+            SELECT a, b, count(*) AS c FROM (
+                SELECT a, b FROM tr{i}
+                UNION ALL SELECT b, c FROM tr{i}
+                UNION ALL SELECT a, c FROM tr{i}
+            ) GROUP BY 1, 2
+        ) s USING (a, b)
+        WHERE s.c >= {_G15_T}
+    )"""
+        )
+    parts.append(
+        f""",
+    fin_tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM t{n} e1
+        JOIN t{n} e2 ON e2.a = e1.b
+        JOIN t{n} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    fin AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+            SELECT a, b FROM fin_tri
+            UNION ALL SELECT b, c FROM fin_tri
+            UNION ALL SELECT a, c FROM fin_tri
+        ) GROUP BY 1, 2
+    )
+    SELECT e.a AS u, e.b AS w, coalesce(f.support, 0) AS support
+    FROM t{n} e LEFT JOIN fin f ON f.a = e.a AND f.b = e.b
+    ORDER BY u, w"""
+    )
+    return "".join(parts)
+
+
+def _g15_edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support within ``edges`` (canonical a<b rows):
+    enumerate each triangle once via the ID-oriented triple join, then
+    explode to its three edges and count."""
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    return (
+        tri.select("a", "b")
+        .unionByName(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionByName(tri.select("a", F.col("c").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+
+
+@query("g15_k_truss", oracle=_g15_oracle())
+def g15_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss backbone of the user co-presence graph (Cohen 2008):
+    the maximal subgraph in which EVERY edge closes >= {t} triangles —
+    the standard community-backbone object one notch stronger than
+    k-core (a k-truss is always inside a (k-1)-core, but prunes
+    bridge/hub edges k-core keeps).  Bulk edge-peeling: per round,
+    enumerate triangles once (ID-canonical a<b<c triple join — every
+    stored edge is s<d), explode each to its three edges, count
+    per-edge support, and drop ALL edges below {t}; repeat to the TRUE
+    fixpoint.  Output is the surviving edges with their within-truss
+    support.
+
+    k is FIXED at 4 (t = {t}), not count-adaptive: the avg-support
+    threshold family (3T div E + 1, g9's device) was measured to
+    CASCADE the sf0.1 graph to empty — truss peeling is the classic
+    demonstration that thresholding at the mean of a right-skewed
+    support distribution unravels the whole graph — while the 4-truss
+    is non-vacuous at both driver gate scales (6 edges at sf0.01,
+    26,643 at sf0.1, fixpoint in 3 / 13 rounds).  Density adaptation
+    lives in the support-{s} co-presence edge filter underneath
+    (copresence_support_pairs, shared with g9/g10).
+
+    Scale shape: each round is one triangle triple join over the
+    CHECKPOINTED surviving edge list (two keyed exchanges), one
+    partial-aggregated support count, one filtering join — no global
+    state, driver sees only the survivor count per round (the
+    g9/pagerank loop discipline).  The ID orientation keeps oracle
+    parity exact; the degree-ordered orientation (g6's
+    triangle_corners_oriented) is the drop-in replacement when a
+    power-law graph makes wedge fan-out the bottleneck at 100 TB.
+    The oracle unrolls {n} bulk rounds with the loud convergence
+    guard: if the engine's fixpoint needed more, the oracle's
+    truncated truss would mismatch and parity fails."""
+    pairs = copresence_support_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("s").alias("a"), F.col("d").alias("b")
+    ).localCheckpoint(eager=True)
+    n_alive = edges.count()
+    # Bulk-peel to the true fixpoint; each round strictly shrinks the
+    # edge set or stops, so <= n_edges + 1 rounds; the cap is a
+    # defensive impossibility guard, not a semantic bound.
+    for _ in range(n_alive + 2):
+        survivors = (
+            edges.join(
+                _g15_edge_support(edges).where(F.col("support") >= _G15_T),
+                ["a", "b"],
+                "left_semi",
+            )
+        ).localCheckpoint(eager=True)
+        n_next = survivors.count()
+        if n_next == n_alive:
+            break
+        edges, n_alive = survivors, n_next
+        if n_alive == 0:
+            break
+    else:  # pragma: no cover - mathematically unreachable
+        raise RuntimeError("g15 bulk edge-peeling failed to reach a fixpoint")
+    edges = survivors if n_alive == 0 else edges
+    final_sup = _g15_edge_support(edges)
+    return (
+        edges.join(final_sup, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("w"),
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        .orderBy("u", "w")
+    )
+
+
+g15_k_truss.__doc__ = g15_k_truss.__doc__.format(
+    t=_G15_T, s=_G9_SUPPORT, n=_G15_MAX_PEELS
+)

@@ -949,3 +949,148 @@ def kmv2_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_type", "b_type")
     )
+
+
+# --- CMS ranking variant (round 11) -------------------------------------------
+#
+# k8 above reports the CMS keys clearing a SUPPORT threshold (the
+# stream-summary contract).  cms1 is the RANKING form of the same
+# sketch: probe every distinct user against the grid and rank the
+# top-20 by estimate, with the per-key overcount (est - true, provably
+# >= 0) as an explicit audit column — the "who are my heaviest keys
+# and how wrong is the sketch about each" dashboard question, vs k8's
+# "which keys clear s% of the stream".  Distinct hash family on
+# purpose (kmv1's md5-prefix integers vs k8's ascii-digit mix) so the
+# two queries also cross-check two portable CMS hash constructions.
+
+_CMS1_D = 4
+_CMS1_W = 1024
+
+
+def _cms1_bucket_sql(j: str, key: str) -> str:
+    """Portable row-j bucket: first 8 md5 hex digits of 'j:key' mod w
+    (the kmv1 hash family — identical integers in Spark and DuckDB)."""
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({j} AS STRING), ':', "
+        f"CAST({key} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {_CMS1_W}"
+    )
+
+
+@query(
+    "cms1_heavy_hitters",
+    oracle=f"""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cnt AS MATERIALIZED (
+        SELECT j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT::BIGINT % {_CMS1_W} AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events CROSS JOIN js
+        GROUP BY 1, 2
+    ),
+    tru AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY user_id
+    ),
+    est AS (
+        SELECT t.user_id, CAST(min(c.c) AS BIGINT) AS est_count
+        FROM tru t
+        CROSS JOIN js
+        JOIN cnt c ON c.j = js.j
+         AND c.bucket = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                 || CAST(t.user_id AS VARCHAR)), 1, 8))
+                 ::UBIGINT::BIGINT % {_CMS1_W}
+        GROUP BY t.user_id
+    )
+    SELECT e.user_id, e.est_count, t.true_count,
+           e.est_count - t.true_count AS overcount
+    FROM est e JOIN tru t USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT 20
+    """,
+)
+def cms1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch TOP-K ranking (Cormode & Muthukrishnan 2005) —
+    the ranking complement of k8 above: k8 answers "which keys clear
+    s% of the stream" (the threshold contract); cms1 builds a {d}x{w}
+    grid over per-event user updates and RANKS the top-20 users by
+    min-of-{d} estimate, with each key's overcount (est - true,
+    provably >= 0) as an explicit audit column — and deliberately uses
+    a different portable hash family (kmv1's md5-prefix integers vs
+    k8's ascii-digit mix), so the two queries cross-check two CMS hash
+    constructions end to end.  The sketch is {d}*{w} counters
+    REGARDLESS of user cardinality, mergeable by plain addition
+    (counters are linear — the roll1 additive-rollup property, so
+    per-partition or per-day sketches sum into the global one), and
+    its error is one-sided: est >= true always, est <= true + eps*N
+    with probability 1-delta (eps = e/w, delta = e^-d).
+
+    Determinism: the hash family is the kmv1 md5-prefix device — row
+    j's bucket for key u is the first 8 md5 hex digits of "j:u" mod
+    {w}, identical integers in both engines — and every counter is an
+    exact BIGINT count, so the oracle replays the grid, the min-of-{d}
+    estimates, and the top-20 bit for bit (ties fall to user_id).
+
+    Scale shape: ONE partial-aggregated count shuffle touches the fact
+    table; everything after is model-sized.  Counter linearity lets
+    the grid absorb the pre-aggregated (user, count) rows — cell =
+    sum of counts of the users hashing there, identical integers to
+    per-event updates — so the 4 md5s run per USER, not per event
+    (the round-11 stress run measured the per-event form at 7.8
+    us/event, pure map-side hashing; the weighted form cut the x10
+    wall 7.76 -> 1.18 s and the exponent 0.85 -> flat (-0.11)).  The
+    probe side joins the same hashed key table against the BROADCAST
+    grid (49 KiB of counters at any corpus size); the top-20 is a
+    TakeOrderedAndProject."""
+    ev = _events(spark, sf_dir).select("user_id")
+    js = F.array(*[F.lit(j) for j in range(_CMS1_D)])
+    tru = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        # Three consumers (grid build + probe rows + the final join):
+        # one scan, one partial-aggregated shuffle.
+        .localCheckpoint(eager=False)
+    )
+    # Counter LINEARITY is what makes this cheap: the grid absorbs the
+    # pre-aggregated (user, count) rows instead of one update per
+    # event, so the md5 hashing runs 4x|users| times, not 4x|events| —
+    # the round-11 stress run measured the per-event form at 7.8 us/
+    # event (exponent 0.85, pure map-side hashing CPU); this weighted
+    # form does the identical integer arithmetic (grid cell = sum of
+    # counts of the users hashing there) at model-sized cost after the
+    # one count shuffle.
+    keyed = tru.select(
+        "user_id", "true_count", F.explode(js).alias("j")
+    ).select(
+        "user_id",
+        "true_count",
+        "j",
+        F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    counters = (
+        keyed.groupBy("j", "bucket")
+        .agg(F.sum("true_count").cast("long").alias("c"))
+    )
+    probes = keyed.select("user_id", "j", "bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    return (
+        est.join(tru, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
+cms1_heavy_hitters.__doc__ = cms1_heavy_hitters.__doc__.format(
+    d=_CMS1_D, w=_CMS1_W
+)

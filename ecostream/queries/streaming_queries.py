@@ -1449,3 +1449,79 @@ def st19_tws_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# --- ST20: transformWithState ListState recent-K buffer (round 11) --------------
+
+
+@query(
+    "st20_tws_recent_events",
+    oracle="""
+    SELECT user_id, rk, ts_us FROM (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC
+               ) AS rk
+        FROM events
+    ) WHERE rk <= 5
+    """,
+)
+def st20_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's typed-list surface: the per-key bounded recency buffer the
+    reference keeps as a hand-rolled ``deque`` per insect under a lock
+    (consumer.py:32-44), as a TWS ``ListState`` the engine stores,
+    snapshots, and TTLs — each batch merges new timestamps and trims to
+    the 5 largest, so per-key state is O(5) forever and emitted ranks
+    are monotone across batches.  The final (user_id, rank) → max(ts)
+    slice equals the batch top-5-recent per user, which the oracle
+    replays with one window function; ties in ts are rank-ambiguous
+    but value-identical (the emitted statistic is the sorted multiset),
+    so the hash is deterministic.
+
+    With st18 (ValueState) and st19 (event-time timers) this completes
+    the TWS typed-state surface the reference's keyed store maps onto."""
+    import tempfile
+
+    from ..streaming.stateful import ensure_protobuf, recent_events_tws
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "st20 needs google.protobuf (installed or vendored under "
+            "ecostream/_vendor) for the transformWithStateInPandas "
+            "driver worker"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = f"st20_{uuid.uuid4().hex[:12]}"
+    try:
+        stream = events_stream(spark, sf_dir).select("user_id", "ts")
+        with tempfile.TemporaryDirectory(prefix="st20_ckpt_") as ckpt:
+            q = (
+                recent_events_tws(stream, k=5)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        return (
+            spark.table(name)
+            .groupBy("user_id", "rk")
+            .agg(F.max("ts_us").alias("ts_us"))
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

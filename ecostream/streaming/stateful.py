@@ -373,6 +373,69 @@ def ttl_expiry_tws(keyed_events: DataFrame, ttl_ms: int) -> DataFrame:
     )
 
 
+RECENT_K_OUTPUT_SCHEMA = "user_id bigint, rk bigint, ts_us bigint"
+
+
+class RecentEventsProcessor:
+    """TWS ``ListState``: per key, the K most-recent event timestamps —
+    the bounded per-key buffer the reference hand-rolls as
+    ``deque(maxlen=...)`` per insect (consumer.py:32-44), held in a
+    typed engine-managed list instead of a Python object under a lock.
+
+    Each batch merges the incoming timestamps into the stored list and
+    trims to the K largest, so state is O(K) per key forever; the
+    emitted (rank, ts) rows are per-rank MONOTONE non-decreasing across
+    batches (new events only improve a rank), which is what makes the
+    final ``max`` per (key, rank) slice deterministic for the oracle
+    regardless of micro-batching."""
+
+    def __init__(self, k: int = 5):
+        self._k = k
+
+    def init(self, handle) -> None:
+        self._recent = handle.getListState("recent", "ts_us BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [int(r[0]) for r in self._recent.get()]
+        for pdf in rows:
+            if len(pdf):
+                cur.extend(
+                    int(x)
+                    for x in pdf["ts"].astype("datetime64[us]").astype("int64")
+                )
+        cur = sorted(cur, reverse=True)[: self._k]
+        self._recent.put([(v,) for v in cur])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(cur),
+                "rk": list(range(1, len(cur) + 1)),
+                "ts_us": cur,
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def recent_events_tws(keyed_events: DataFrame, k: int = 5) -> DataFrame:
+    """Streaming per-user recent-K buffer via ``transformWithStateInPandas``
+    ListState.  ``keyed_events``: streaming DataFrame with (user_id, ts)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "_RecentEventsTWS", (StatefulProcessor,), dict(RecentEventsProcessor.__dict__)
+    )
+    return keyed_events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(k),
+        outputStructType=RECENT_K_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_totals_tws(keyed_events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming keyed running totals via ``transformWithStateInPandas``.
 

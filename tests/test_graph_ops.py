@@ -189,3 +189,50 @@ def test_g14_ppr_matches_pure_python_replay(spark):
     # Mass sanity: restart injects 150k/wave and floors only lose
     # mass, so the total stays within (0, 1e6].
     assert 0 < sum(got.values()) <= 1_000_000
+
+
+def test_g15_truss_matches_pure_python(spark):
+    """Third implementation of the 4-truss bulk peel: a dict-based
+    Python fixpoint over the SAME co-presence edge set must produce the
+    identical surviving edges and within-truss supports (guards the
+    Spark triple join and the DuckDB unroll against a shared
+    misreading of the truss definition)."""
+    from itertools import combinations
+
+    from ecostream.queries.graph import _G15_T, copresence_support_pairs, g15_k_truss
+    from tests.conftest import SF_CORRECT
+
+    edges = {
+        (r["s"], r["d"])
+        for r in copresence_support_pairs(spark, SF_CORRECT).collect()
+    }
+
+    def supports(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {}
+        for a, b in es:
+            common = adj[a] & adj[b]
+            for c in common:
+                # count each triangle once per edge: (a,b) closes with c
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+        return sup
+
+    cur = set(edges)
+    while True:
+        sup = supports(cur)
+        nxt = {e for e in cur if sup.get(e, 0) >= _G15_T}
+        if nxt == cur:
+            break
+        cur = nxt
+    expected = {e: supports(cur).get(e, 0) for e in cur}
+
+    got = {
+        (r["u"], r["w"]): r["support"]
+        for r in g15_k_truss(spark, SF_CORRECT).collect()
+    }
+    assert got == expected
+    # truss invariant: every surviving edge closes >= t triangles
+    assert all(v >= _G15_T for v in got.values()) or not got

@@ -10,6 +10,7 @@ import time
 from pathlib import Path
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -738,3 +739,143 @@ def test_agg_store_replay_is_idempotent(spark, tmp_path):
     assert [r.asDict() for r in got.collect()] == [
         r.asDict() for r in want.collect()
     ]
+
+
+def test_tws_recent_events_multibatch(spark, tmp_path):
+    """st20's ListState buffer across 3 micro-batches: the final
+    (user, rank) -> max(ts) slice must equal the batch top-5-recent per
+    user regardless of how events were split into batches (per-rank
+    emissions are monotone — the property the declared query's final
+    aggregate relies on)."""
+    from ecostream.schema import load_table
+    from ecostream.streaming.stateful import ensure_protobuf, recent_events_tws
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf available (installed or vendored)")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+        src_dir = tmp_path / "tws20_src"
+        events.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+        )
+        q = (
+            recent_events_tws(stream, k=5)
+            .writeStream.format("memory")
+            .queryName("tws20_recent")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws20_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+        got = {
+            (r["user_id"], r["rk"]): r["ts_us"]
+            for r in spark.sql(
+                "SELECT user_id, rk, max(ts_us) AS ts_us FROM tws20_recent "
+                "GROUP BY user_id, rk"
+            ).collect()
+        }
+        expected = {
+            (r["user_id"], r["rk"]): r["ts_us"]
+            for r in events.select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                F.row_number()
+                .over(Window.partitionBy("user_id").orderBy(F.desc("ts")))
+                .alias("rk"),
+            )
+            .where(F.col("rk") <= 5)
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_ttl_expiry_sliding_timer_multibatch(spark, tmp_path):
+    """st19's timer semantics across 4 time-ordered micro-batches: a
+    key's expiry timer must SLIDE with activity (old timer deleted, new
+    one registered at last_ms + ttl), and every key whose final timer
+    precedes the final watermark fires exactly once with its FULL
+    count.  Data is constructed so no key can expire mid-stream (every
+    inter-batch time gap < ttl until the far-future sentinel), which
+    pins the expected output exactly."""
+    import datetime as dt
+
+    from ecostream.streaming.stateful import ensure_protobuf, ttl_expiry_tws
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf available (installed or vendored)")
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    ttl_ms = 2 * 3600 * 1000  # 2 h
+    batches = [
+        [(1, ts(0)), (2, ts(1))],          # A=1, B=2 first seen
+        [(3, ts(60))],                      # C at +1 h (gap 1 h < ttl)
+        [(2, ts(120))],                     # B slides its timer to +2h+ttl
+        [(9, ts(600))],                     # sentinel: watermark -> +10 h
+    ]
+    src_dir = tmp_path / "tws19_src"
+    src_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / f"b{i}"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src_dir / "b*"))
+            .withWatermark("ts", "1 minute")
+        )
+        q = (
+            ttl_expiry_tws(stream, ttl_ms=ttl_ms)
+            .writeStream.format("memory")
+            .queryName("tws19_ttl")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws19_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+        got = sorted(
+            (r["user_id"], r["n"])
+            for r in spark.sql("SELECT * FROM tws19_ttl").collect()
+        )
+        # final watermark = 600 min - 1 min; timers: u1 @ 0+120, u2 @
+        # 120+120, u3 @ 60+120 all fire once with full counts; the
+        # sentinel u9 @ 600+120 never fires.
+        assert got == [(1, 1), (2, 2), (3, 1)], got
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

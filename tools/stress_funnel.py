@@ -316,6 +316,34 @@ def stages():
             )
         )
 
+    def cms_full(spark, d):
+        from ecostream.queries.sketches import cms1_heavy_hitters
+
+        return (
+            cms1_heavy_hitters(spark, d)
+            .groupBy()
+            .agg(
+                FF.sum("user_id").alias("su"),
+                FF.sum("est_count").alias("se"),
+                FF.sum("true_count").alias("st"),
+                FF.sum("overcount").alias("so"),
+            )
+        )
+
+    def truss_full(spark, d):
+        from ecostream.queries.graph import g15_k_truss
+
+        return (
+            g15_k_truss(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("u").alias("su"),
+                FF.sum("w").alias("sw"),
+                FF.sum("support").alias("ss"),
+            )
+        )
+
     def geo_full(spark, d):
         return (
             g8_geo_neighbor_join(spark, d)
@@ -575,6 +603,7 @@ def stages():
         ("bfd_packing (pack3)", pack_full, "docs"),
         ("winnowing_pairs (d14)", winnow_full, "docs"),
         ("kcore_peel (g9)", kcore_full, "users"),
+        ("k_truss (g15)", truss_full, "users"),
         ("ivf_incremental (sim11)", sim11_ivf_incremental, "vecs"),
         ("quantile_sketch (roll2)", roll2_quantile_sketch_serve, "events"),
         ("label_propagation (g11)", lpa_full, "users"),
@@ -588,6 +617,7 @@ def stages():
         ("personalized_pagerank (g14)", ppr_full, "events"),
         ("pca_power_iteration (pca1)", pca_full, "vecs"),
         ("distinct_sketch_rollup (roll3)", roll3_full, "events"),
+        ("cms_topk (cms1)", cms_full, "events"),
     ]
 
 
