@@ -1478,8 +1478,9 @@ def st20_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     but value-identical (the emitted statistic is the sorted multiset),
     so the hash is deterministic.
 
-    With st18 (ValueState) and st19 (event-time timers) this completes
-    the TWS typed-state surface the reference's keyed store maps onto."""
+    With st18 (ValueState), st19 (event-time timers), and st21
+    (MapState) this completes the TWS typed-state surface the
+    reference's keyed store maps onto."""
     import tempfile
 
     from ..streaming.stateful import ensure_protobuf, recent_events_tws
@@ -1517,6 +1518,75 @@ def st20_tws_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(name)
             .groupBy("user_id", "rk")
             .agg(F.max("ts_us").alias("ts_us"))
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+# --- ST21: transformWithState MapState daily counters (round 11) ----------------
+
+
+@query(
+    "st21_tws_daily_map",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def st21_tws_daily_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's typed-map surface, completing the TWS typed-state trio
+    (st18 ValueState, st20 ListState, st21 MapState — plus st19's
+    timers): the reference's nested per-window counter dicts
+    (consumer.py:86-110, ``{window: {key: count}}`` under a lock) as
+    an engine-managed day→count MapState per event type.  Each batch
+    folds its Arrow-preaggregated per-day partial counts into the map
+    and emits the current (n_days, n_total); both are monotone across
+    batches, so the final max-slice equals the batch aggregate the
+    oracle computes directly."""
+    import tempfile
+
+    from ..streaming.stateful import daily_map_tws, ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "st21 needs google.protobuf (installed or vendored under "
+            "ecostream/_vendor) for the transformWithStateInPandas "
+            "driver worker"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = f"st21_{uuid.uuid4().hex[:12]}"
+    try:
+        stream = events_stream(spark, sf_dir).select("event_type", "ts")
+        with tempfile.TemporaryDirectory(prefix="st21_ckpt_") as ckpt:
+            q = (
+                daily_map_tws(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.max("n_days").alias("n_days"), F.max("n").alias("n"))
         )
     finally:
         if prev is None:

@@ -436,6 +436,73 @@ def recent_events_tws(keyed_events: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+DAILY_MAP_OUTPUT_SCHEMA = "event_type string, n_days bigint, n bigint"
+
+
+class DailyMapProcessor:
+    """TWS ``MapState``: per key, a day → count map — the reference's
+    per-window nested counter dicts (consumer.py:86-110 keeps
+    ``{window: {key: count}}`` under a lock) as an engine-managed typed
+    map the state store shards, snapshots, and can TTL per entry.
+
+    Each batch pre-aggregates its rows per day in pandas (Arrow batch,
+    no per-row Python against the state server), folds the partial
+    counts into the map, and emits the key's current (n_days, n_total)
+    — both MONOTONE across batches, so the final ``max`` slice is
+    deterministic for the oracle regardless of micro-batching.  State
+    per key is O(|distinct days|), the same bound the reference's purge
+    loop enforces by deletion."""
+
+    def init(self, handle) -> None:
+        self._days = handle.getMapState("days", "day BIGINT", "cnt BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            days = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+                // 86_400_000_000
+            )
+            for day, cnt in days.groupby(days).size().items():
+                prev = (
+                    self._days.getValue((int(day),))
+                    if self._days.containsKey((int(day),))
+                    else None
+                )
+                base = int(prev[0]) if prev is not None else 0
+                self._days.updateValue((int(day),), (base + int(cnt),))
+        n_days, total = 0, 0
+        for _k, v in self._days.iterator():
+            n_days += 1
+            total += int(v[0])
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_days": [n_days], "n": [total]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def daily_map_tws(keyed_events: DataFrame) -> DataFrame:
+    """Streaming per-type day→count map via ``transformWithStateInPandas``
+    MapState.  ``keyed_events``: streaming DataFrame with (event_type, ts)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "_DailyMapTWS", (StatefulProcessor,), dict(DailyMapProcessor.__dict__)
+    )
+    return keyed_events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=DAILY_MAP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_totals_tws(keyed_events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming keyed running totals via ``transformWithStateInPandas``.
 

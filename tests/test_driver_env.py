@@ -43,6 +43,13 @@ import __spark_entry__ as entry  # AFTER the JVM exists, like the driver
 qs = entry.queries()
 df = qs["st18_tws_running_counts"](spark, sys.argv[1])
 rows = sorted((r["event_type"], r["n"]) for r in df.collect())
+assert rows, "st18 empty"
+# The other three TWS legs ride the same .pth machinery; run them in
+# the same driver-style session so a regression in any typed-state or
+# timer path surfaces here before a signing slot burns on it.
+assert qs["st19_tws_ttl_expiry"](spark, sys.argv[1]).count() >= 0
+assert qs["st20_tws_recent_events"](spark, sys.argv[1]).count() > 0
+assert qs["st21_tws_daily_map"](spark, sys.argv[1]).count() > 0
 print("SMOKE_OK", rows)
 spark.stop()
 """

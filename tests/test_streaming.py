@@ -879,3 +879,66 @@ def test_tws_ttl_expiry_sliding_timer_multibatch(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_daily_map_multibatch(spark, tmp_path):
+    """st21's MapState across 3 micro-batches: the final
+    (event_type) -> max(n_days, n) slice must equal the batch
+    aggregate (per-day counts fold correctly even when one day's
+    events are split across batches)."""
+    from ecostream.schema import load_table
+    from ecostream.streaming.stateful import daily_map_tws, ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf available (installed or vendored)")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, SF_SMOKE, "events").select("event_type", "ts")
+        src_dir = tmp_path / "tws21_src"
+        events.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+        )
+        q = (
+            daily_map_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws21_daily")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws21_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+        got = {
+            r["event_type"]: (r["n_days"], r["n"])
+            for r in spark.sql(
+                "SELECT event_type, max(n_days) AS n_days, max(n) AS n "
+                "FROM tws21_daily GROUP BY event_type"
+            ).collect()
+        }
+        expected = {
+            r["event_type"]: (r["n_days"], r["n"])
+            for r in events.groupBy("event_type")
+            .agg(
+                F.countDistinct(
+                    (F.unix_micros("ts") / 86_400_000_000).cast("long")
+                ).alias("n_days"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+        assert got == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
