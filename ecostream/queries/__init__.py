@@ -115,6 +115,7 @@ _ROUND_HEAD = [
     "cms1_heavy_hitters",        # Count-Min sketch grid + min-of-d estimates
     "g15_k_truss",               # 4-truss backbone by bulk edge-peeling
     "st21_tws_daily_map",        # TWS MapState: day->count per event type
+    "hw1_holt_trend",            # Holt level+trend integer fold + 7-day forecast
     # ROUND 11 re-signs — the round-10 red row (protobuf .pth shim fix)
     # and the queries whose source changes this round:
     "st18_tws_running_counts",   # RE-SIGN: failed r10 under the driver's
@@ -140,8 +141,8 @@ _ROUND_HEAD = [
     "sk1_salted_cohort_revenue",
     "t4_session_windows",
     # ROUND 11 oldest-signed rotation, part 2: the oldest round-3 cohort
-    # (50 keys were last signed in round 3; the first 30 alphabetically
-    # re-sign now, the remaining 20 rotate in round 12).
+    # (50 keys were last signed in round 3; the first 29 alphabetically
+    # re-sign now, the remaining 21 rotate in round 12).
     "chunk1_token_windows",
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
@@ -171,7 +172,6 @@ _ROUND_HEAD = [
     "s7_bucketed_join",
     "samp1_stratified_sample",
     "shuffle1_training_order",
-    "sim1_cosine_topk",
 ]
 # Retired heads (rounds 3-10) live in git history of this file; each
 # retired key keeps full coverage via tools/parity_sweep.py and

@@ -788,3 +788,183 @@ def streak1_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("len"), "user_id", "start_day")
         .limit(20)
     )
+
+
+# --- HW1: Holt linear-trend smoothing (round 11) --------------------------------
+#
+# ewma1 smooths LEVEL only (and dodges recursion with a truncated
+# geometric window); Holt's linear method also tracks TREND, and its
+# two coupled recurrences cannot be truncated the same way — so this
+# query runs the recursion EXACTLY, as one integer fold over the
+# gap-filled daily series (Spark `aggregate`, DuckDB `list_reduce` —
+# the same arithmetic on both sides).  All state is BIGINT micro-units;
+# the one sign-sensitive operation (div 1000 of a possibly-negative
+# trend numerator) uses an explicit floor-division CASE so both
+# engines compute floor(x/1000) with only non-negative divisions.
+
+_HW1_ALPHA = 300  # level gain, permille
+_HW1_BETA = 200  # trend gain, permille
+_HW1_H = 7  # forecast horizon, days
+
+
+def _hw1_fdiv(e: str) -> str:
+    """floor(e / 1000) via non-negative integer division only —
+    identical text evaluates identically in Spark SQL and DuckDB
+    (both `div`/`//` truncate toward zero)."""
+    return (
+        f"(CASE WHEN ({e}) >= 0 THEN ({e}) DIV 1000"
+        f" ELSE -((999 - ({e})) DIV 1000) END)"
+    )
+
+
+def _hw1_level(acc_l: str, acc_b: str, y: str) -> str:
+    return _hw1_fdiv(
+        f"{_HW1_ALPHA} * {y} * 1000000"
+        f" + {1000 - _HW1_ALPHA} * ({acc_l} + {acc_b})"
+    )
+
+
+def _hw1_trend(acc_l: str, acc_b: str, y: str) -> str:
+    lnew = _hw1_level(acc_l, acc_b, y)
+    return _hw1_fdiv(
+        f"{_HW1_BETA} * ({lnew} - {acc_l}) + {1000 - _HW1_BETA} * {acc_b}"
+    )
+
+
+def _hw1_oracle() -> str:
+    lam = (
+        f"[{_hw1_level('acc[1]', 'acc[2]', 'x[1]')},"
+        f" {_hw1_trend('acc[1]', 'acc[2]', 'x[1]')}]"
+    ).replace(" DIV ", " // ")
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT t.event_type, u.d
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN bounds
+        CROSS JOIN unnest(generate_series(bounds.d0, bounds.d1)) AS u(d)
+    ),
+    series AS (
+        SELECT g.event_type,
+               list(coalesce(daily.y, 0) ORDER BY g.d) AS ys
+        FROM grid g LEFT JOIN daily
+          ON daily.event_type = g.event_type AND daily.d = g.d
+        GROUP BY 1
+    ),
+    folded AS (
+        SELECT event_type,
+               CAST(len(ys) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_prepend(
+                       [ys[1] * 1000000, (ys[2] - ys[1]) * 1000000],
+                       list_transform(list_slice(ys, 3, len(ys)),
+                                      y -> [y, CAST(0 AS BIGINT)])
+                   ),
+                   (acc, x) -> {lam}
+               ) AS st
+        FROM series
+    )
+    SELECT event_type, n_days,
+           CAST(st[1] AS BIGINT) AS level_micro,
+           CAST(st[2] AS BIGINT) AS trend_micro,
+           CAST(st[1] + {_HW1_H} * st[2] AS BIGINT) AS forecast{_HW1_H}_micro
+    FROM folded ORDER BY event_type
+    """
+
+
+@query("hw1_holt_trend", oracle=_hw1_oracle())
+def hw1_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957; the
+    level+trend member of the ewma1/cusum1/trend2 time-series family,
+    and the h-step forecaster behind capacity planning and anomaly
+    baselines): per event type, over the GAP-FILLED daily count series
+    (missing days are real zeros — a Holt model fed only observed days
+    would silently skip gaps the trend must react to),
+
+        l_t = (a·y_t·1e6 + (1000-a)·(l_t-1 + b_t-1)) div 1000
+        b_t = (b·(l_t - l_t-1) + (1000-b)·b_t-1)     div 1000
+
+    with a = {a}‰, b = {b}‰, l_0 = y_0·1e6, b_0 = (y_1 - y_0)·1e6,
+    reported as the final level/trend and the {h}-day-ahead forecast
+    l + {h}·b, all in exact BIGINT micro-units.  The recursion is ONE
+    higher-order integer fold per type — Spark ``aggregate`` and DuckDB
+    ``list_reduce`` evaluate textually identical arithmetic (shared
+    expression builders; the trend numerator can be negative, so
+    div-1000 goes through an explicit floor-division CASE that only
+    ever divides non-negative values — Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, so floor must be spelled out).
+
+    Scale shape: ONE partial-aggregated groupBy collapses the fact
+    table to |types| × |days| daily rows; the calendar grid is a
+    broadcast sequence; the fold runs on |types| model-sized arrays.
+    At 100 TB the only fact-table touch is the first combiner shuffle —
+    the ewma1/trend2 contract, now with an exactly-replayed recursion."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+        # Three consumers (bounds, type list, the fill join): one scan.
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    series = (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(d, y))), p -> p.y)"
+            ).alias("ys")
+        )
+    )
+    lam = (
+        f"(acc, y) -> array({_hw1_level('element_at(acc, 1)', 'element_at(acc, 2)', 'y')},"
+        f" {_hw1_trend('element_at(acc, 1)', 'element_at(acc, 2)', 'y')})"
+    )
+    fold = (
+        f"aggregate(slice(ys, 3, size(ys) - 2),"
+        f" array(element_at(ys, 1) * 1000000L,"
+        f" (element_at(ys, 2) - element_at(ys, 1)) * 1000000L),"
+        f" {lam})"
+    )
+    return (
+        series.select(
+            "event_type",
+            F.size("ys").cast("long").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("element_at(st, 1)").cast("long").alias("level_micro"),
+            F.expr("element_at(st, 2)").cast("long").alias("trend_micro"),
+            F.expr(f"element_at(st, 1) + {_HW1_H} * element_at(st, 2)")
+            .cast("long")
+            .alias(f"forecast{_HW1_H}_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+hw1_holt_trend.__doc__ = hw1_holt_trend.__doc__.format(
+    a=_HW1_ALPHA, b=_HW1_BETA, h=_HW1_H
+)

@@ -585,3 +585,59 @@ def test_roll3_st17_merge_equals_direct_and_small_set_fallback(
     # 40 distinct users < k=64 -> exact fallback everywhere here
     assert all(r["err_permille"] == 0 for r in batch)
     assert all(r["kmv_est"] == r["n_exact"] for r in batch)
+
+
+def test_hw1_matches_pure_python(spark):
+    """Third implementation of the Holt fold: a plain-Python integer
+    recursion over the same gap-filled daily series must reproduce the
+    engine's level/trend/forecast exactly (guards the Spark aggregate()
+    and DuckDB list_reduce() against a shared misreading of the
+    floor-division or init conventions)."""
+    from ecostream.queries.seriesops import (
+        _HW1_ALPHA,
+        _HW1_BETA,
+        _HW1_H,
+        hw1_holt_trend,
+    )
+    from ecostream.schema import load_table
+    from tests.conftest import SF_CORRECT
+
+    from pyspark.sql import functions as F
+
+    daily = {
+        (r["event_type"], r["d"]): r["y"]
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").alias("y"))
+        .collect()
+    }
+    d0 = min(d for _, d in daily)
+    d1 = max(d for _, d in daily)
+    types = sorted({t for t, _ in daily})
+
+    def fdiv(x):
+        return x // 1000 if x >= 0 else -((999 - x) // 1000)
+
+    expected = {}
+    for t in types:
+        ys = [daily.get((t, d), 0) for d in range(d0, d1 + 1)]
+        l, b = ys[0] * 1_000_000, (ys[1] - ys[0]) * 1_000_000
+        for y in ys[2:]:
+            lp = l
+            l = fdiv(_HW1_ALPHA * y * 1_000_000 + (1000 - _HW1_ALPHA) * (l + b))
+            b = fdiv(_HW1_BETA * (l - lp) + (1000 - _HW1_BETA) * b)
+        expected[t] = (len(ys), l, b, l + _HW1_H * b)
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["level_micro"],
+            r["trend_micro"],
+            r[f"forecast{_HW1_H}_micro"],
+        )
+        for r in hw1_holt_trend(spark, SF_CORRECT).collect()
+    }
+    assert got == expected
