@@ -74,6 +74,9 @@ HEADLINE = [
     "rrf1_hybrid_retrieval",      # reciprocal-rank fusion retrieval (round 10)
     "g14_personalized_pagerank",  # integer-exact PPR iteration (round 10)
     "cms1_heavy_hitters",         # Count-Min grid + min-of-d probe (round 11)
+    "hw2_holt_winters",           # Holt-Winters seasonal integer fold (round 11)
+    "roll4_cms_rollup_serve",     # CMS rollup serve, merge==direct (round 11)
+    "g16_bfs_hops",               # BFS hop labels, frontier-sized rounds (round 11)
 ]
 
 

@@ -116,6 +116,9 @@ _ROUND_HEAD = [
     "g15_k_truss",               # 4-truss backbone by bulk edge-peeling
     "st21_tws_daily_map",        # TWS MapState: day->count per event type
     "hw1_holt_trend",            # Holt level+trend integer fold + 7-day forecast
+    "hw2_holt_winters",          # Holt-Winters seasonal: 9-slot ring fold
+    "roll4_cms_rollup_serve",    # CMS heavy-hitter rollup serve (merge==direct)
+    "g16_bfs_hops",              # BFS/SSSP hop labels, recursive-CTE oracle
     # ROUND 11 re-signs — the round-10 red row (protobuf .pth shim fix)
     # and the queries whose source changes this round:
     "st18_tws_running_counts",   # RE-SIGN: failed r10 under the driver's
@@ -126,6 +129,9 @@ _ROUND_HEAD = [
     "decon2_semantic_overlap",   # RE-SIGN: same centroid-seeding change
     "d14_winnowing_pairs",       # RE-SIGN: per-stage funnel counters pass
                                  # (VERDICT r10 #4)
+    "bootstrap1_mean_ci",        # RE-SIGN: the Poisson draw now slices four
+                                 # 32-bit uniforms per md5 digest (4x less
+                                 # hashing; 13.9 -> 9.1 s at a 10x slice)
     # ROUND 11 oldest-signed rotation, part 1 (VERDICT r10 #2): the 11
     # keys never driver-hash-signed since round 2 — this closes the
     # round-2 rotation debt entirely.
@@ -141,8 +147,11 @@ _ROUND_HEAD = [
     "sk1_salted_cohort_revenue",
     "t4_session_windows",
     # ROUND 11 oldest-signed rotation, part 2: the oldest round-3 cohort
-    # (50 keys were last signed in round 3; the first 29 alphabetically
-    # re-sign now, the remaining 21 rotate in round 12).
+    # (50 keys were last signed in round 3; the first 25 alphabetically
+    # re-sign now, the remaining 25 rotate in round 12 — four slots
+    # went to the late-round-11 additions hw2/roll4/g16 and the
+    # bootstrap1 re-sign, which take precedence because new/changed
+    # definitions have no valid signature at all).
     "chunk1_token_windows",
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
@@ -168,10 +177,6 @@ _ROUND_HEAD = [
     "pipeline1_clean_corpus",
     "pipeline2_training_manifest",
     "s6_cluster_roundtrip",
-    "s6_compact_roundtrip",
-    "s7_bucketed_join",
-    "samp1_stratified_sample",
-    "shuffle1_training_order",
 ]
 # Retired heads (rounds 3-10) live in git history of this file; each
 # retired key keeps full coverage via tools/parity_sweep.py and

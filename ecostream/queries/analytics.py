@@ -2276,11 +2276,13 @@ _B1_REPS = 64
         FROM events
     ),
     drawn AS (
-        SELECT b.b, e.cents,
+        SELECT g.g * 4 + r.r AS b, e.cents,
                ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
-                               || CAST(b.b AS VARCHAR)), 1, 8))
+                               || CAST(g.g AS VARCHAR)), 1 + 8 * r.r, 8))
                    ::UBIGINT::BIGINT AS h
-        FROM ev e, (SELECT unnest(range(0, {_B1_REPS})) AS b) b
+        FROM ev e,
+             (SELECT unnest(range(0, {_B1_REPS // 4})) AS g) g,
+             (SELECT unnest(range(0, 4)) AS r) r
     ),
     weighted AS (
         SELECT b, cents,
@@ -2321,9 +2323,12 @@ def bootstrap1_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Poisson(1) weight, so all replicates stream through ONE scan
     with map-side partial aggregation instead of {B} shuffled
     resamples.  Determinism: the weight is an integer inverse-CDF
-    lookup on a 32-bit md5 hash of (event_id, replicate) — no PRNG
-    state, both engines draw the identical weight (the truncation at
-    w = 5, ~3e-4 of draws, is part of the estimator's definition).
+    lookup on a 32-bit uniform SLICED from the md5 of (event_id,
+    replicate div 4) — each 128-bit digest yields the four replicates'
+    uniforms (hex digits 1-8, 9-16, 17-24, 25-32), so the hashing runs
+    once per replicate GROUP; no PRNG state, both engines slice the
+    identical digest (the truncation at w = 5, ~3e-4 of draws, is part
+    of the estimator's definition).
     Replicate means are exact integer milli-cents; the CI is the
     2nd / {hi}rd order statistic of the {B} means (the 2.5/97.5
     percentile ranks), reported beside the full-sample mean.
@@ -2344,16 +2349,35 @@ def bootstrap1_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN h < {cuts[3]} THEN 3 "
         f"WHEN h < {cuts[4]} THEN 4 ELSE 5 END"
     )
-    drawn = ev.select(
+    # One md5 per (event, GROUP of 4 replicates): the 128-bit digest is
+    # sliced into four 32-bit uniforms — 4x less hashing for the same
+    # weight distribution.  The digest is computed in the projection
+    # BELOW the second generator (a Project cannot collapse across a
+    # Generate), so it runs per (event, g), not per exploded replicate:
+    # measured at a 10x events slice, 13.9 -> 9.1 s cold median (the
+    # residual is the unchanged 64-rows-per-event aggregate machinery).
+    grouped = ev.select(
         "cents",
-        F.explode(F.expr(f"sequence(0, {_B1_REPS - 1})")).alias("b"),
+        F.explode(F.expr(f"sequence(0, {_B1_REPS // 4 - 1})")).alias("g"),
         "event_id",
     ).select(
-        "b",
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("g").cast("string"),
+            )
+        ).alias("hex"),
+    )
+    drawn = grouped.select(
+        "cents", "g", "hex", F.explode(F.expr("sequence(0, 3)")).alias("r")
+    ).select(
+        (F.col("g") * 4 + F.col("r")).alias("b"),
         "cents",
         F.expr(
-            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':', "
-            "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            "CAST(conv(substring(hex, 1 + 8 * r, 8), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
     reps = (

@@ -1876,3 +1876,113 @@ def g15_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
 g15_k_truss.__doc__ = g15_k_truss.__doc__.format(
     t=_G15_T, s=_G9_SUPPORT, n=_G15_MAX_PEELS
 )
+
+
+# --- G16: BFS hop distances (single-source shortest path) --------------------
+
+_G16_MAX_HOPS = 16  # oracle recursion cap; parity fails LOUDLY if exceeded
+
+
+def _g16_oracle() -> str:
+    """Recursive-CTE replay of the BFS: the walk relation accumulates
+    (vertex, hop) pairs with UNION dedup, capped at {n} hops so a
+    cyclic graph terminates; min(hop) per vertex is the BFS distance.
+    The cap is the loud-convergence device (g9/g15): if the engine's
+    fixpoint reaches a vertex beyond {n} hops, the truncated oracle
+    is missing it and parity fails instead of silently agreeing."""
+    return f"""
+    WITH RECURSIVE b AS MATERIALIZED (
+        SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               event_type, user_id
+        FROM events
+    ),
+    p AS MATERIALIZED (
+        SELECT x.user_id AS s, y.user_id AS d
+        FROM b x JOIN b y
+          ON x.h = y.h AND x.event_type = y.event_type
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_G9_SUPPORT}
+    ),
+    sym AS MATERIALIZED (
+        SELECT s AS a, d AS b FROM p
+        UNION ALL
+        SELECT d AS a, s AS b FROM p
+    ),
+    src AS (SELECT min(a) AS v FROM sym),
+    walk(u, hop) AS (
+        SELECT v, CAST(0 AS BIGINT) FROM src WHERE v IS NOT NULL
+        UNION
+        SELECT e.b, w.hop + 1
+        FROM walk w JOIN sym e ON e.a = w.u
+        WHERE w.hop < {_G16_MAX_HOPS}
+    )
+    SELECT u, CAST(min(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY u ORDER BY hop, u
+    """
+
+
+@query("g16_bfs_hops", oracle=_g16_oracle())
+def g16_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances on the co-presence graph — the
+    SSSP staple the graph family lacked (rc1 computes REACHABILITY
+    closure; walks sample paths; this labels every reachable vertex
+    with its exact minimum hop count).  Source = the smallest vertex
+    id in the edge set (deterministic in both engines); edges are the
+    same support-{s} co-presence pairs g9/g10/g15 share, symmetrized.
+    Bulk-synchronous frontier expansion: per round, the frontier
+    broadcast/hash-joins the CHECKPOINTED symmetric edge list, new
+    vertices (anti-join against the labeled set) become the next
+    frontier at hop+1; termination when a frontier is empty — exact,
+    at most diameter+1 rounds, no cap needed engine-side.
+
+    Scale shape: the per-round join is frontier-sized against the
+    static edge list (the sim13 beam-search property — cost tracks the
+    frontier, not the corpus); the labeled set grows to |reachable|
+    and only ever feeds an anti-join, which Spark executes as a
+    broadcast-hash or shuffled-hash semi-difference on the vertex key.
+    At 100 TB the edge list is the one big table and it is scanned
+    once per round with the SAME partitioning (a in both legs), so AQE
+    reuses the exchange.  The oracle replays BFS as a hop-capped
+    recursive CTE with min(hop) per vertex — the cap ({n}) is the
+    g9/g15 loud-convergence guard, not a semantic bound.
+
+    Reference analog: extends the G-family (SURVEY §2.9) with the
+    textbook BSP graph primitive (Pregel's hello-world)."""
+    pairs = copresence_support_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .unionByName(
+            pairs.select(F.col("d").alias("a"), F.col("s").alias("b"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = sym.agg(F.min("a").alias("v")).collect()[0]
+    if row["v"] is None:  # no edges at this scale: empty labeled set
+        return spark.createDataFrame([], "u long, hop long")
+    dist = spark.createDataFrame([(row["v"], 0)], "u long, hop long")
+    frontier = dist
+    n_edges = sym.count()
+    # Each round labels >= 1 new vertex or stops, so <= |V| + 1 rounds;
+    # the bound below is a defensive impossibility guard.
+    for h in range(1, n_edges + 2):
+        nxt = (
+            frontier.join(sym, frontier["u"] == sym["a"])
+            .select(F.col("b").alias("u"))
+            .distinct()
+            .join(dist, "u", "left_anti")
+            .select("u", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:  # pragma: no cover - mathematically unreachable
+        raise RuntimeError("g16 BFS failed to exhaust the frontier")
+    return dist.orderBy("hop", "u")
+
+
+g16_bfs_hops.__doc__ = g16_bfs_hops.__doc__.format(
+    s=_G9_SUPPORT, n=_G16_MAX_HOPS
+)

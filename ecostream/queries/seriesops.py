@@ -968,3 +968,216 @@ def hw1_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 hw1_holt_trend.__doc__ = hw1_holt_trend.__doc__.format(
     a=_HW1_ALPHA, b=_HW1_BETA, h=_HW1_H
 )
+
+# --- HW2: Holt-Winters additive seasonal smoothing (round 11) --------------------
+#
+# hw1 tracks level + trend; the events table's daily counts also carry a
+# day-of-week cycle, and the additive seasonal member (Winters 1960)
+# adds a period-m seasonal ring the truncated-window trick can express
+# even less than hw1's trend: THREE coupled recurrences, one of which
+# rotates a 7-slot state vector.  Same execution contract as hw1 — the
+# recursion runs EXACTLY, as one integer fold per type over the
+# gap-filled daily series, with textually shared arithmetic between
+# Spark ``aggregate`` and DuckDB ``list_reduce`` and every div-1000 of
+# a possibly-negative numerator spelled as hw1's floor-division CASE.
+
+_HW2_ALPHA = 300  # level gain, permille
+_HW2_BETA = 200  # trend gain, permille
+_HW2_GAMMA = 250  # seasonal gain, permille
+_HW2_M = 7  # season period, days
+_HW2_H = 7  # forecast horizon, days
+
+
+def _hw2_level(l: str, b: str, s0: str, y: str) -> str:
+    return _hw1_fdiv(
+        f"{_HW2_ALPHA} * ({y} * 1000000 - {s0})"
+        f" + {1000 - _HW2_ALPHA} * ({l} + {b})"
+    )
+
+
+def _hw2_trend(l: str, b: str, s0: str, y: str) -> str:
+    lnew = _hw2_level(l, b, s0, y)
+    return _hw1_fdiv(f"{_HW2_BETA} * ({lnew} - {l}) + {1000 - _HW2_BETA} * {b}")
+
+
+def _hw2_season(l: str, b: str, s0: str, y: str) -> str:
+    lnew = _hw2_level(l, b, s0, y)
+    return _hw1_fdiv(
+        f"{_HW2_GAMMA} * ({y} * 1000000 - {lnew}) + {1000 - _HW2_GAMMA} * {s0}"
+    )
+
+
+def _hw2_lam_terms(ix, y: str) -> list[str]:
+    """acc' = [lnew, bnew, acc[4..9], snew]: the 9-slot state is
+    [level, trend, s(next day), ..., s(next day + 6)]; each step
+    consumes the ring's head and appends the refreshed factor."""
+    l, b, s0 = ix(1), ix(2), ix(3)
+    terms = [_hw2_level(l, b, s0, y), _hw2_trend(l, b, s0, y)]
+    terms += [ix(k) for k in range(4, 3 + _HW2_M)]
+    terms.append(_hw2_season(l, b, s0, y))
+    return terms
+
+
+def _hw2_init_terms(elem) -> list[str]:
+    """Zero state from the first m days: l0 = floor(mean)*1e6 (exact:
+    (sum*1e6) div m), b0 = 0, s_i = y_i*1e6 - l0."""
+    ssum = " + ".join(elem(i) for i in range(1, _HW2_M + 1))
+    l0 = f"((({ssum}) * 1000000) DIV {_HW2_M})"
+    terms = [l0, "CAST(0 AS BIGINT)"]
+    terms += [f"({elem(i)} * 1000000 - {l0})" for i in range(1, _HW2_M + 1)]
+    return terms
+
+
+def _hw2_oracle() -> str:
+    lam = ", ".join(_hw2_lam_terms(lambda k: f"acc[{k}]", "x[1]")).replace(
+        " DIV ", " // "
+    )
+    zero = (
+        "[" + ", ".join(_hw2_init_terms(lambda i: f"ys[{i}]")) + "]"
+    ).replace(" DIV ", " // ")
+    pad = ", ".join(["CAST(0 AS BIGINT)"] * (_HW2_M + 1))
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (
+        SELECT t.event_type, u.d
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN bounds
+        CROSS JOIN unnest(generate_series(bounds.d0, bounds.d1)) AS u(d)
+    ),
+    series AS (
+        SELECT g.event_type,
+               list(coalesce(daily.y, 0) ORDER BY g.d) AS ys
+        FROM grid g LEFT JOIN daily
+          ON daily.event_type = g.event_type AND daily.d = g.d
+        GROUP BY 1
+    ),
+    folded AS (
+        SELECT event_type,
+               CAST(len(ys) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_prepend(
+                       {zero},
+                       list_transform(list_slice(ys, {_HW2_M + 1}, len(ys)),
+                                      y -> [y, {pad}])
+                   ),
+                   (acc, x) -> [{lam}]
+               ) AS st
+        FROM series
+    )
+    SELECT event_type, n_days,
+           CAST(st[1] AS BIGINT) AS level_micro,
+           CAST(st[2] AS BIGINT) AS trend_micro,
+           CAST(st[3] AS BIGINT) AS s_next_micro,
+           CAST(st[1] + {_HW2_H} * st[2] + st[{2 + _HW2_H}] AS BIGINT)
+               AS forecast{_HW2_H}_micro
+    FROM folded ORDER BY event_type
+    """
+
+
+@query("hw2_holt_winters", oracle=_hw2_oracle())
+def hw2_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (Winters 1960; the
+    seasonal member of the ewma1/hw1 family): per event type, over the
+    gap-filled daily count series, the three coupled recurrences
+
+        l_t = (a·(y_t·1e6 − s_t−m) + (1000−a)·(l_t−1 + b_t−1)) div 1000
+        b_t = (b·(l_t − l_t−1) + (1000−b)·b_t−1)               div 1000
+        s_t = (g·(y_t·1e6 − l_t) + (1000−g)·s_t−m)             div 1000
+
+    with a = {a}‰, b = {b}‰, g = {g}‰, m = {m} (day-of-week), seeded
+    from the first {m} days (l_0 = floored week mean, b_0 = 0, s_i =
+    y_i·1e6 − l_0).  The state is a 9-slot BIGINT vector [l, b,
+    s(next), …, s(next+{m6})] whose seasonal ring rotates one slot per
+    day — a recursion class neither ewma1's truncated window nor hw1's
+    2-slot fold can express.  Reported: final level/trend, the next
+    day's seasonal factor, and the {h}-day-ahead forecast l + {h}·b +
+    s(next+{h1}), all exact micro-units.  Spark ``aggregate`` and
+    DuckDB ``list_reduce`` evaluate textually identical arithmetic
+    (shared builders `_hw2_*`; every div-1000 of a possibly-negative
+    numerator goes through hw1's explicit floor-division CASE).
+
+    Scale shape: identical to hw1 — ONE partial-aggregated groupBy
+    collapses the fact table to |types| × |days| rows; the fold runs
+    on |types| model-sized arrays.  Reference analog: the A4 trend
+    family (SURVEY §2.3) as an exactly-replayed seasonal forecaster."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+        # Three consumers (bounds, type list, the fill join): one scan.
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    series = (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(d, y))), p -> p.y)"
+            ).alias("ys")
+        )
+    )
+    lam = (
+        "(acc, y) -> array("
+        + ", ".join(_hw2_lam_terms(lambda k: f"element_at(acc, {k})", "y"))
+        + ")"
+    )
+    zero = (
+        "array("
+        + ", ".join(_hw2_init_terms(lambda i: f"element_at(ys, {i})"))
+        + ")"
+    )
+    fold = (
+        f"aggregate(slice(ys, {_HW2_M + 1}, size(ys) - {_HW2_M}),"
+        f" {zero}, {lam})"
+    )
+    return (
+        series.select(
+            "event_type",
+            F.size("ys").cast("long").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("element_at(st, 1)").cast("long").alias("level_micro"),
+            F.expr("element_at(st, 2)").cast("long").alias("trend_micro"),
+            F.expr("element_at(st, 3)").cast("long").alias("s_next_micro"),
+            F.expr(
+                f"element_at(st, 1) + {_HW2_H} * element_at(st, 2)"
+                f" + element_at(st, {2 + _HW2_H})"
+            )
+            .cast("long")
+            .alias(f"forecast{_HW2_H}_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+hw2_holt_winters.__doc__ = hw2_holt_winters.__doc__.format(
+    a=_HW2_ALPHA,
+    b=_HW2_BETA,
+    g=_HW2_GAMMA,
+    m=_HW2_M,
+    m6=_HW2_M - 1,
+    h=_HW2_H,
+    h1=(_HW2_H - 1) % _HW2_M,
+)

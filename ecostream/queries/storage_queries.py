@@ -1716,3 +1716,182 @@ def s16_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "nation", "priority", "n_orders", "revenue_cents"
     ).orderBy("nation", "priority")
+
+
+# --- ROLL4: CMS heavy-hitter rollup serve (round 11) ----------------------------
+#
+# The FREQUENCY member completing the rollup family (roll1 additive /
+# roll2 quantile / roll3 distinct / roll4 heavy-hitters): per (day) a
+# Count-Min grid (cms1's construction and hash family) plus that day's
+# top-K candidate list are written to parquet once; the weekly serve
+# SUMS the stored daily grids (CMS counters are linear — cell-wise
+# addition of per-day grids IS the weekly grid, exactly) and probes the
+# union of the daily candidate lists against the merged grid.  The
+# oracle builds the weekly grid STRAIGHT from raw events, so the hash
+# match proves merge-of-daily == direct-weekly bit for bit — roll1's
+# property, for a sketch instead of a plain sum.
+
+_ROLL4_D = 4  # CMS depth (rows)
+_ROLL4_TOPD = 25  # per-day candidate heap size
+_ROLL4_TOPW = 5  # served heavy hitters per week
+
+
+def _roll4_oracle() -> str:
+    from .sketches import _CMS1_W
+
+    return f"""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    daily_uc AS MATERIALIZED (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    wk_grid AS MATERIALIZED (
+        SELECT d // 7 AS week, j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT::BIGINT % {_CMS1_W} AS bucket,
+               CAST(sum(cnt) AS BIGINT) AS c
+        FROM daily_uc CROSS JOIN js
+        GROUP BY 1, 2, 3
+    ),
+    daily_top AS (
+        SELECT d, user_id
+        FROM (
+            SELECT d, user_id,
+                   row_number() OVER (PARTITION BY d
+                                      ORDER BY cnt DESC, user_id) AS rn
+            FROM daily_uc
+        ) WHERE rn <= {_ROLL4_TOPD}
+    ),
+    cands AS (
+        SELECT d // 7 AS week, user_id,
+               CAST(count(*) AS BIGINT) AS n_cand_days
+        FROM daily_top GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT c.week, c.user_id, c.n_cand_days,
+               CAST(min(g.c) AS BIGINT) AS est_count
+        FROM cands c
+        CROSS JOIN js
+        JOIN wk_grid g ON g.week = c.week AND g.j = js.j
+         AND g.bucket = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                 || CAST(c.user_id AS VARCHAR)), 1, 8))
+                 ::UBIGINT::BIGINT % {_CMS1_W}
+        GROUP BY 1, 2, 3
+    )
+    SELECT week, rank, user_id, est_count, n_cand_days
+    FROM (
+        SELECT week, user_id, est_count, n_cand_days,
+               CAST(row_number() OVER (PARTITION BY week
+                        ORDER BY est_count DESC, user_id) AS BIGINT) AS rank
+        FROM est
+    ) WHERE rank <= {_ROLL4_TOPW}
+    ORDER BY week, rank
+    """
+
+
+@query("roll4_cms_rollup_serve", oracle=_roll4_oracle())
+def roll4_cms_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly heavy hitters served from STORED daily Count-Min grids —
+    the frequency member completing the rollup family (roll1 additive /
+    roll2 quantile / roll3 distinct / roll4 heavy-hitters): per day,
+    cms1's {d}x{w} grid (same md5-prefix hash family, weighted by the
+    pre-aggregated per-(day, user) counts) and the day's top-{topd}
+    candidate list (the classic CMS + candidate-heap pairing — a CMS
+    alone cannot enumerate keys) are written to parquet once; the
+    weekly serve reads ONLY the two stores, SUMS the daily grids
+    cell-wise into the weekly grid, unions the daily candidates, and
+    ranks each week's top-{topw} by min-of-{d} estimate.  Counter
+    LINEARITY is the property under proof: the oracle builds the
+    weekly grid straight from raw events, so the driver's hash match
+    certifies merge-of-daily == direct-weekly to the last counter —
+    roll1's additivity, lifted to a sketch.  Ties fall to user_id at
+    both the daily heap and the weekly ranking, so the result is
+    deterministic in both engines.
+
+    Scale shape: ONE partial-aggregated (day, user) count shuffle
+    touches the fact table; the grid store holds <= |days|·{d}·{w}
+    rows and the candidate store |days|·{topd} — the weekly dashboard
+    reads kilobytes at any corpus size, and a new day appends one grid
+    + one heap without touching history.  Candidate recall follows the
+    heap bound: a user in a week's true top-{topw} must clear some
+    day's top-{topd} unless their traffic is uniformly thin — the
+    documented CMS+heap trade (Cormode & Muthukrishnan 2005, §4.2).
+    Reference analog: the K-family sketches (SURVEY §2.7) on the S6
+    serving story."""
+    from .sketches import _cms1_bucket_sql
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily_uc = (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+            "user_id",
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        # Two consumers (grid build + daily heap): one scan, one
+        # partial-aggregated shuffle.
+        .localCheckpoint(eager=False)
+    )
+    js = F.array(*[F.lit(j) for j in range(_ROLL4_D)])
+    grids = (
+        daily_uc.select("d", "user_id", "cnt", F.explode(js).alias("j"))
+        .select(
+            "d", "cnt", "j", F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket")
+        )
+        .groupBy("d", "j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    wd = Window.partitionBy("d").orderBy(F.desc("cnt"), "user_id")
+    daily_top = (
+        daily_uc.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _ROLL4_TOPD)
+        .select("d", "user_id")
+    )
+    root = _workdir("roll4_cms")
+    grid_store = os.path.join(root, "daily_grids")
+    top_store = os.path.join(root, "daily_top")
+    grids.write.mode("overwrite").parquet(grid_store)
+    daily_top.write.mode("overwrite").parquet(top_store)
+
+    # ---- serve: the two stores only — events are never rescanned ----
+    wk_grid = (
+        spark.read.parquet(grid_store)
+        .groupBy(F.expr("d div 7").cast("long").alias("week"), "j", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cands = (
+        spark.read.parquet(top_store)
+        .groupBy(F.expr("d div 7").cast("long").alias("week"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_cand_days"))
+    )
+    probes = cands.select(
+        "week", "user_id", "n_cand_days", F.explode(js).alias("j")
+    ).select(
+        "week",
+        "user_id",
+        "n_cand_days",
+        "j",
+        F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(wk_grid), ["week", "j", "bucket"])
+        .groupBy("week", "user_id", "n_cand_days")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    ww = Window.partitionBy("week").orderBy(F.desc("est_count"), "user_id")
+    return (
+        est.withColumn("rank", F.row_number().over(ww).cast("long"))
+        .where(F.col("rank") <= _ROLL4_TOPW)
+        .select("week", "rank", "user_id", "est_count", "n_cand_days")
+        .orderBy("week", "rank")
+    )
+
+
+from .sketches import _CMS1_W as _ROLL4_W  # noqa: E402  (shared grid width)
+
+roll4_cms_rollup_serve.__doc__ = roll4_cms_rollup_serve.__doc__.format(
+    d=_ROLL4_D, w=_ROLL4_W, topd=_ROLL4_TOPD, topw=_ROLL4_TOPW
+)

@@ -1,0 +1,206 @@
+"""Round-11 (late) operator tests: third-implementation replays and
+invariants for hw2 Holt-Winters, roll4 CMS rollup-serve, and the
+md5-sliced bootstrap1 draw.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from tests.conftest import SF_CORRECT
+
+
+def test_hw2_matches_pure_python(spark):
+    """Third implementation of the Holt-Winters seasonal fold: a plain
+    Python integer recursion over the same gap-filled daily series must
+    reproduce the engine's level/trend/season/forecast exactly (guards
+    the Spark aggregate() and DuckDB list_reduce() against a shared
+    misreading of the init week, the seasonal-ring rotation, or the
+    floor division)."""
+    from ecostream.queries.seriesops import (
+        _HW2_ALPHA,
+        _HW2_BETA,
+        _HW2_GAMMA,
+        _HW2_H,
+        _HW2_M,
+        hw2_holt_winters,
+    )
+    from ecostream.schema import load_table
+
+    from pyspark.sql import functions as F
+
+    daily = {
+        (r["event_type"], r["d"]): r["y"]
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.count("*").alias("y"))
+        .collect()
+    }
+    d0 = min(d for _, d in daily)
+    d1 = max(d for _, d in daily)
+    types = sorted({t for t, _ in daily})
+    m = _HW2_M
+
+    def fdiv(x):
+        return x // 1000 if x >= 0 else -((999 - x) // 1000)
+
+    expected = {}
+    for t in types:
+        ys = [daily.get((t, d), 0) for d in range(d0, d1 + 1)]
+        l = (sum(ys[:m]) * 1_000_000) // m
+        b = 0
+        season = [y * 1_000_000 - l for y in ys[:m]]
+        for y in ys[m:]:
+            s0 = season.pop(0)
+            lp = l
+            l = fdiv(
+                _HW2_ALPHA * (y * 1_000_000 - s0)
+                + (1000 - _HW2_ALPHA) * (l + b)
+            )
+            b = fdiv(_HW2_BETA * (l - lp) + (1000 - _HW2_BETA) * b)
+            season.append(
+                fdiv(
+                    _HW2_GAMMA * (y * 1_000_000 - l)
+                    + (1000 - _HW2_GAMMA) * s0
+                )
+            )
+        expected[t] = (
+            len(ys),
+            l,
+            b,
+            season[0],
+            l + _HW2_H * b + season[(_HW2_H - 1) % m],
+        )
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["level_micro"],
+            r["trend_micro"],
+            r["s_next_micro"],
+            r[f"forecast{_HW2_H}_micro"],
+        )
+        for r in hw2_holt_winters(spark, SF_CORRECT).collect()
+    }
+    assert got == expected
+
+
+def test_roll4_one_sided_and_dense_ranks(spark):
+    """CMS estimates are one-sided (est >= true weekly count, always),
+    every served week has dense ranks 1..k, and candidate-day counts
+    stay within the week's length."""
+    from ecostream.queries.storage_queries import (
+        _ROLL4_TOPW,
+        roll4_cms_rollup_serve,
+    )
+    from ecostream.schema import load_table
+
+    from pyspark.sql import functions as F
+
+    rows = roll4_cms_rollup_serve(spark, SF_CORRECT).collect()
+    assert rows, "serve produced no rows"
+
+    true_weekly = {
+        (r["week"], r["user_id"]): r["n"]
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy(
+            F.expr(
+                "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) div 7"
+            ).alias("week"),
+            "user_id",
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    by_week = {}
+    for r in rows:
+        assert r["est_count"] >= true_weekly[(r["week"], r["user_id"])]
+        assert 1 <= r["n_cand_days"] <= 7
+        by_week.setdefault(r["week"], []).append(r["rank"])
+    for wk, ranks in by_week.items():
+        assert sorted(ranks) == list(range(1, _ROLL4_TOPW + 1)), wk
+
+
+def test_bootstrap1_matches_pure_python(spark):
+    """Third implementation of the md5-sliced Poisson draw: hashlib
+    replays every (event, replicate-group) digest, slices the four
+    32-bit uniforms, applies the inverse-CDF cutoffs, and folds the
+    replicate means — the final CI row must match the engine exactly."""
+    import duckdb
+
+    from ecostream.queries.analytics import (
+        _B1_CUTS,
+        _B1_REPS,
+        bootstrap1_mean_ci,
+    )
+
+    ev = duckdb.sql(
+        "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents "
+        f"FROM '{SF_CORRECT}/events.parquet'"
+    ).fetchall()
+
+    sums = {b: [0, 0] for b in range(_B1_REPS)}  # b -> [sum_w, sum_wc]
+    for event_id, cents in ev:
+        for g in range(_B1_REPS // 4):
+            hx = hashlib.md5(f"{event_id}:{g}".encode()).hexdigest()
+            for r in range(4):
+                h = int(hx[8 * r : 8 * r + 8], 16)
+                w = sum(1 for c in _B1_CUTS if h >= c)
+                b = 4 * g + r
+                sums[b][0] += w
+                sums[b][1] += w * cents
+    means = sorted(
+        ((1000 * swc) // max(sw, 1), b) for b, (sw, swc) in sums.items()
+    )
+    n = len(ev)
+    total = sum(c for _, c in ev)
+    expected = (
+        n,
+        (1000 * total) // n,
+        means[1][0],
+        means[_B1_REPS - 2][0],
+        _B1_REPS,
+    )
+
+    row = bootstrap1_mean_ci(spark, SF_CORRECT).collect()[0]
+    got = (
+        row["n_events"],
+        row["mean_milli"],
+        row["boot_lo_milli"],
+        row["boot_hi_milli"],
+        row["n_replicates"],
+    )
+    assert got == expected
+
+
+def test_g16_bfs_hop_contiguity(spark):
+    """BFS structural invariants over the real graph: the source is
+    labeled 0; every vertex at hop h >= 1 has at least one neighbor at
+    hop h-1 and none at < h-1 (else its own label would be smaller);
+    hop levels are contiguous (no empty level below the max)."""
+    from ecostream.queries.graph import (
+        copresence_support_pairs,
+        g16_bfs_hops,
+    )
+
+    hops = {r["u"]: r["hop"] for r in g16_bfs_hops(spark, SF_CORRECT).collect()}
+    assert hops, "no reachable vertices at SF_CORRECT"
+    src = min(u for u, h in hops.items() if h == 0)
+    assert hops[src] == 0
+
+    adj = {}
+    for r in copresence_support_pairs(spark, SF_CORRECT).collect():
+        adj.setdefault(r["s"], set()).add(r["d"])
+        adj.setdefault(r["d"], set()).add(r["s"])
+
+    levels = sorted(set(hops.values()))
+    assert levels == list(range(len(levels))), "hop levels not contiguous"
+    for u, h in hops.items():
+        if h == 0:
+            continue
+        nbr_hops = {hops[v] for v in adj[u] if v in hops}
+        assert h - 1 in nbr_hops, (u, h)
+        assert min(nbr_hops) == h - 1, (u, h)

@@ -575,6 +575,32 @@ def stages():
             )
         )
 
+    from ecostream.queries.storage_queries import roll4_cms_rollup_serve
+
+    def roll4_full(spark, d):
+        return (
+            roll4_cms_rollup_serve(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.sum("est_count").alias("se"),
+                FF.sum("n_cand_days").alias("sc"),
+            )
+        )
+
+    from ecostream.queries.graph import g16_bfs_hops
+
+    def bfs_full(spark, d):
+        return (
+            g16_bfs_hops(spark, d)
+            .groupBy()
+            .agg(
+                FF.count("*").alias("n"),
+                FF.max("hop").alias("mh"),
+                FF.sum("hop").alias("sh"),
+            )
+        )
+
     def pca_full(spark, d):
         return (
             pca1_power_iteration(spark, d)
@@ -618,6 +644,8 @@ def stages():
         ("pca_power_iteration (pca1)", pca_full, "vecs"),
         ("distinct_sketch_rollup (roll3)", roll3_full, "events"),
         ("cms_topk (cms1)", cms_full, "events"),
+        ("cms_rollup_serve (roll4)", roll4_full, "events"),
+        ("bfs_hops (g16)", bfs_full, "users"),
     ]
 
 
