@@ -1967,7 +1967,10 @@ def g16_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bound below is a defensive impossibility guard.
     for h in range(1, n_edges + 2):
         nxt = (
-            frontier.join(sym, frontier["u"] == sym["a"])
+            # Broadcast the FRONTIER leg (sim13's serving property):
+            # sym is the corpus-sized table, the frontier is one BFS
+            # level — the edge list is scanned, never shuffled.
+            F.broadcast(frontier).join(sym, frontier["u"] == sym["a"])
             .select(F.col("b").alias("u"))
             .distinct()
             .join(dist, "u", "left_anti")

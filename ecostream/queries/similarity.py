@@ -1526,23 +1526,34 @@ def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     mdist = member.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("mv"))
+    # The FRONTIER side of every per-round join carries the broadcast
+    # hint: mdist and edges are corpus-sized (n and n*nb rows), the
+    # frontier is |queries|*beam — without the hint the checkpointed
+    # lineage hides size stats and each round sort-merge-joined BOTH
+    # legs.  Measured at sf0.1: stages per run fall ~150 -> ~95 and
+    # the per-round exchanges of the corpus-sized legs disappear from
+    # the plan; WALL is unchanged (~11 s warm) because at this scale
+    # the fixed cost is codegen compilation of the dim-wide l2sq
+    # expressions, not the exchanges — the hint is for the 100 TB
+    # regime, where shuffling n*nb edge rows per beam round is the
+    # difference between a serving query and a batch job.
     for _ in range(_NSW_ROUNDS):
         wb = W.partitionBy("query_id").orderBy("d", "vec_id")
         beam = (
-            cand.join(mdist, "vec_id")
+            F.broadcast(cand).join(mdist, "vec_id")
             .join(F.broadcast(qv5), "query_id")
             .select("query_id", "vec_id", l2sq("mv", "qqv").alias("d"))
             .withColumn("rn", F.row_number().over(wb))
             .where(F.col("rn") <= _NSW_BEAM)
             .select("query_id", "vec_id")
         )
-        nbrs = beam.join(
+        nbrs = F.broadcast(beam).join(
             edges, beam["vec_id"] == edges["src"]
         ).select("query_id", F.col("dst").alias("vec_id"))
         cand = cand.union(nbrs).distinct().localCheckpoint(eager=False)
     wr = W.partitionBy("query_id").orderBy("d", "vec_id")
     return (
-        cand.where(F.col("vec_id") != F.col("query_id"))
+        F.broadcast(cand.where(F.col("vec_id") != F.col("query_id")))
         .join(mdist, "vec_id")
         .join(F.broadcast(qv5), "query_id")
         .select("query_id", "vec_id", l2sq("mv", "qqv").alias("d"))

@@ -1731,6 +1731,8 @@ def s16_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match proves merge-of-daily == direct-weekly bit for bit — roll1's
 # property, for a sketch instead of a plain sum.
 
+from .sketches import _cms1_bucket_sql  # noqa: E402  (shared hash family)
+
 _ROLL4_D = 4  # CMS depth (rows)
 _ROLL4_TOPD = 25  # per-day candidate heap size
 _ROLL4_TOPW = 5  # served heavy hitters per week
@@ -1791,6 +1793,84 @@ def _roll4_oracle() -> str:
     """
 
 
+
+def roll4_daily_counts(ev: DataFrame) -> DataFrame:
+    """events -> exact per-(day, user) counts — the additive candidate
+    tier the CMS + heap pairing requires (a grid alone cannot
+    enumerate keys).  Additive: partial-slice counts SUM to the total,
+    so st22 maintains this table under micro-batch slicing."""
+    return ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+        "user_id",
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def roll4_daily_grid(daily_uc: DataFrame) -> DataFrame:
+    """(d, user_id, cnt) -> per-day CMS grid rows (d, j, bucket, c).
+    LINEAR: grids of partial slices sum, cell-wise, to the grid of the
+    whole — the property both the weekly serve (merge across days) and
+    st22 (merge across micro-batches) rely on."""
+    js = F.array(*[F.lit(j) for j in range(_ROLL4_D)])
+    return (
+        daily_uc.select("d", "user_id", "cnt", F.explode(js).alias("j"))
+        .select(
+            "d", "cnt", "j", F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket")
+        )
+        .groupBy("d", "j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def roll4_daily_top(daily_uc: DataFrame) -> DataFrame:
+    """Per-day top-{k} candidate heap (ties to user_id)."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("d").orderBy(F.desc("cnt"), "user_id")
+    return (
+        daily_uc.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _ROLL4_TOPD)
+        .select("d", "user_id")
+    )
+
+
+def roll4_serve_weekly(grid: DataFrame, daily_top: DataFrame) -> DataFrame:
+    """Weekly top-{k} heavy hitters from the two stores alone."""
+    from pyspark.sql import Window
+
+    js = F.array(*[F.lit(j) for j in range(_ROLL4_D)])
+    wk_grid = grid.groupBy(
+        F.expr("d div 7").cast("long").alias("week"), "j", "bucket"
+    ).agg(F.sum("c").cast("long").alias("c"))
+    cands = daily_top.groupBy(
+        F.expr("d div 7").cast("long").alias("week"), "user_id"
+    ).agg(F.count("*").cast("long").alias("n_cand_days"))
+    probes = cands.select(
+        "week", "user_id", "n_cand_days", F.explode(js).alias("j")
+    ).select(
+        "week",
+        "user_id",
+        "n_cand_days",
+        "j",
+        F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(wk_grid), ["week", "j", "bucket"])
+        .groupBy("week", "user_id", "n_cand_days")
+        .agg(F.min("c").cast("long").alias("est_count"))
+    )
+    ww = Window.partitionBy("week").orderBy(F.desc("est_count"), "user_id")
+    return (
+        est.withColumn("rank", F.row_number().over(ww).cast("long"))
+        .where(F.col("rank") <= _ROLL4_TOPW)
+        .select("week", "rank", "user_id", "est_count", "n_cand_days")
+        .orderBy("week", "rank")
+    )
+
+
+roll4_daily_top.__doc__ = roll4_daily_top.__doc__.format(k=_ROLL4_TOPD)
+roll4_serve_weekly.__doc__ = roll4_serve_weekly.__doc__.format(k=_ROLL4_TOPW)
+
+
 @query("roll4_cms_rollup_serve", oracle=_roll4_oracle())
 def roll4_cms_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly heavy hitters served from STORED daily Count-Min grids —
@@ -1820,36 +1900,12 @@ def roll4_cms_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented CMS+heap trade (Cormode & Muthukrishnan 2005, §4.2).
     Reference analog: the K-family sketches (SURVEY §2.7) on the S6
     serving story."""
-    from .sketches import _cms1_bucket_sql
-
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
-    daily_uc = (
-        ev.groupBy(
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
-            "user_id",
-        )
-        .agg(F.count("*").cast("long").alias("cnt"))
-        # Two consumers (grid build + daily heap): one scan, one
-        # partial-aggregated shuffle.
-        .localCheckpoint(eager=False)
-    )
-    js = F.array(*[F.lit(j) for j in range(_ROLL4_D)])
-    grids = (
-        daily_uc.select("d", "user_id", "cnt", F.explode(js).alias("j"))
-        .select(
-            "d", "cnt", "j", F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket")
-        )
-        .groupBy("d", "j", "bucket")
-        .agg(F.sum("cnt").cast("long").alias("c"))
-    )
-    wd = Window.partitionBy("d").orderBy(F.desc("cnt"), "user_id")
-    daily_top = (
-        daily_uc.withColumn("rn", F.row_number().over(wd))
-        .where(F.col("rn") <= _ROLL4_TOPD)
-        .select("d", "user_id")
-    )
+    daily_uc = roll4_daily_counts(ev).localCheckpoint(eager=False)
+    # (two consumers below — grid build + daily heap: one scan, one
+    # partial-aggregated shuffle behind the checkpoint)
+    grids = roll4_daily_grid(daily_uc)
+    daily_top = roll4_daily_top(daily_uc)
     root = _workdir("roll4_cms")
     grid_store = os.path.join(root, "daily_grids")
     top_store = os.path.join(root, "daily_top")
@@ -1857,36 +1913,8 @@ def roll4_cms_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_top.write.mode("overwrite").parquet(top_store)
 
     # ---- serve: the two stores only — events are never rescanned ----
-    wk_grid = (
-        spark.read.parquet(grid_store)
-        .groupBy(F.expr("d div 7").cast("long").alias("week"), "j", "bucket")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
-    cands = (
-        spark.read.parquet(top_store)
-        .groupBy(F.expr("d div 7").cast("long").alias("week"), "user_id")
-        .agg(F.count("*").cast("long").alias("n_cand_days"))
-    )
-    probes = cands.select(
-        "week", "user_id", "n_cand_days", F.explode(js).alias("j")
-    ).select(
-        "week",
-        "user_id",
-        "n_cand_days",
-        "j",
-        F.expr(_cms1_bucket_sql("j", "user_id")).alias("bucket"),
-    )
-    est = (
-        probes.join(F.broadcast(wk_grid), ["week", "j", "bucket"])
-        .groupBy("week", "user_id", "n_cand_days")
-        .agg(F.min("c").cast("long").alias("est_count"))
-    )
-    ww = Window.partitionBy("week").orderBy(F.desc("est_count"), "user_id")
-    return (
-        est.withColumn("rank", F.row_number().over(ww).cast("long"))
-        .where(F.col("rank") <= _ROLL4_TOPW)
-        .select("week", "rank", "user_id", "est_count", "n_cand_days")
-        .orderBy("week", "rank")
+    return roll4_serve_weekly(
+        spark.read.parquet(grid_store), spark.read.parquet(top_store)
     )
 
 

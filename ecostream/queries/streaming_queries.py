@@ -1595,3 +1595,119 @@ def st21_tws_daily_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# --- ST22: streaming CMS-store maintenance (round 11) ---------------------------
+
+from .storage_queries import (  # noqa: E402
+    _roll4_oracle,
+    roll4_daily_counts,
+    roll4_daily_grid,
+    roll4_daily_top,
+    roll4_serve_weekly,
+)
+
+
+@query("st22_stream_cms_maintenance", oracle=_roll4_oracle())
+def st22_stream_cms_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING maintenance of roll4's heavy-hitter store — the
+    st12/st15/st17 slicing-invariance story for the FREQUENCY sketch,
+    completing the rollup <-> streaming symmetry (roll1<->st12,
+    roll2<->st15, roll3<->st17, roll4<->st22): the events table
+    replays as a 4-file feed (maxFilesPerTrigger=1 -> 4 micro-batches);
+    each batch INCREMENTS both store tiers without ever rebuilding
+    them —
+
+    * grid tier: CMS counters are LINEAR, so grid' = cell-wise sum of
+      the stored grid and the BATCH's own grid (hashed from the
+      batch's per-(day, user) partials alone) — bit-identical to the
+      grid a full rebuild would produce, for ANY slicing;
+    * candidate tier: the per-(day, user) counts are ADDITIVE partials
+      (a bounded per-batch heap would NOT be slicing-invariant — a
+      user can cross the day's top-{topd} only in aggregate, which is
+      exactly the heap-merge counterexample), so the store keeps exact
+      daily counts and derives the day's heap at serve time.
+
+    The final weekly serve runs roll4's exact code path
+    (roll4_serve_weekly over the streamed stores) against roll4's
+    direct-from-raw oracle, so the driver hash certifies streamed
+    merge == batch build == direct — s16's increment-equals-recompute
+    proof, lifted to a sketch store.
+
+    Scale shape: each micro-batch shuffles only its own (day, user)
+    partials plus grid-sized rows; the stores stay
+    |days|x{d}x{w} + |daily active users| and raw events are never
+    rescanned."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+
+    work = Path(tempfile.gettempdir()) / f"ecostream_st22_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    ev.repartition(4).write.parquet(str(work / "feed"))
+
+    grid0 = work / "grid_v0"
+    cnt0 = work / "cnt_v0"
+    roll4_daily_grid(roll4_daily_counts(ev.limit(0))).write.parquet(str(grid0))
+    roll4_daily_counts(ev.limit(0)).write.parquet(str(cnt0))
+
+    schema = spark.read.parquet(str(work / "feed")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(work / "feed"))
+    )
+    state = {"grid": str(grid0), "cnt": str(cnt0), "v": 0}
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        bc = roll4_daily_counts(batch).localCheckpoint(eager=False)
+        grid = (
+            spark.read.parquet(state["grid"])
+            .unionByName(roll4_daily_grid(bc))
+            .groupBy("d", "j", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        cnt = (
+            spark.read.parquet(state["cnt"])
+            .unionByName(bc)
+            .groupBy("d", "user_id")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        state["v"] += 1
+        ng, nc = str(work / f"grid_v{state['v']}"), str(work / f"cnt_v{state['v']}")
+        grid.write.mode("overwrite").parquet(ng)
+        cnt.write.mode("overwrite").parquet(nc)
+        state["grid"], state["cnt"] = ng, nc
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", str(work / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return roll4_serve_weekly(
+        spark.read.parquet(state["grid"]),
+        roll4_daily_top(spark.read.parquet(state["cnt"])),
+    )
+
+
+from .storage_queries import (  # noqa: E402
+    _ROLL4_D as _ST22_D,
+    _ROLL4_TOPD as _ST22_TOPD,
+    _ROLL4_W as _ST22_W,
+)
+
+st22_stream_cms_maintenance.__doc__ = st22_stream_cms_maintenance.__doc__.format(
+    topd=_ST22_TOPD, d=_ST22_D, w=_ST22_W
+)

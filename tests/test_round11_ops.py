@@ -204,3 +204,19 @@ def test_g16_bfs_hop_contiguity(spark):
         nbr_hops = {hops[v] for v in adj[u] if v in hops}
         assert h - 1 in nbr_hops, (u, h)
         assert min(nbr_hops) == h - 1, (u, h)
+
+
+def test_st22_streamed_store_equals_batch(spark):
+    """Slicing invariance: the streamed CMS store must serve the SAME
+    rows as roll4's batch-built one (grid linearity + candidate
+    additivity make the merge exact for any micro-batch slicing)."""
+    from ecostream.queries.storage_queries import roll4_cms_rollup_serve
+    from ecostream.queries.streaming_queries import (
+        st22_stream_cms_maintenance,
+    )
+
+    batch = [r.asDict() for r in roll4_cms_rollup_serve(spark, SF_CORRECT).collect()]
+    streamed = [
+        r.asDict() for r in st22_stream_cms_maintenance(spark, SF_CORRECT).collect()
+    ]
+    assert batch == streamed
