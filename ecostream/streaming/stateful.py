@@ -134,20 +134,20 @@ def batch_sketch(
 TWS_OUTPUT_SCHEMA = "event_type string, n bigint, total double"
 
 
-def _install_pth_shim(vendor) -> bool:
-    """Write ``ecostream_protobuf_vendor.pth`` → ``str(vendor)`` into the
-    first writable site-packages dir.
+def _install_pth_shim(target, name="ecostream_protobuf_vendor") -> bool:
+    """Write ``<name>.pth`` → ``str(target)`` into the first writable
+    site-packages dir.
 
     ``site`` reads ``.pth`` files at every CPython start, so any process
     spawned later — including the transformWithState driver worker the
-    JVM forks with its OWN (pre-existing) environment — gets the vendor
-    tree on ``sys.path`` without depending on who exported PYTHONPATH
-    first.  Idempotent: rewritten only when missing or stale.  Returns
-    True when a current shim exists after the call.
+    JVM forks with its OWN (pre-existing) environment — gets ``target``
+    on ``sys.path`` without depending on who exported PYTHONPATH first.
+    Idempotent: rewritten only when missing or stale.  Returns True when
+    a current shim exists after the call.
     """
     import site
 
-    target = str(vendor)
+    target = str(target)
     candidates = []
     try:
         candidates.extend(site.getsitepackages())
@@ -157,7 +157,7 @@ def _install_pth_shim(vendor) -> bool:
     if usersite:
         candidates.append(usersite)
     for sp in candidates:
-        pth = os.path.join(sp, "ecostream_protobuf_vendor.pth")
+        pth = os.path.join(sp, f"{name}.pth")
         try:
             if os.path.exists(pth):
                 with open(pth, "r", encoding="utf-8") as fh:
@@ -202,6 +202,25 @@ def ensure_protobuf(spark=None) -> bool:
     import sys
     import tempfile
     from pathlib import Path
+
+    # The TWS driver worker unpickles the StatefulProcessor BY MODULE
+    # REFERENCE, so ``ecostream`` itself must be importable in a fresh
+    # interpreter no matter what the worker's cwd is.  Under the
+    # builder/driver harnesses cwd happens to be the repo root, which
+    # masks the hole; a session started from any other directory hits
+    # ModuleNotFoundError inside the forked worker (reproduced from
+    # /tmp, round 11).  Same remedy as the vendor tree: PYTHONPATH for
+    # JVMs launched after us, a .pth shim for JVMs that already exist —
+    # the shim substitutes for the pip install a real deployment would
+    # do.  Independent of protobuf, so it runs before the vendor logic.
+    pkg_root = Path(__file__).resolve().parent.parent.parent
+    if (pkg_root / "ecostream" / "__init__.py").is_file():
+        existing = os.environ.get("PYTHONPATH", "")
+        if str(pkg_root) not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                str(pkg_root) + (os.pathsep + existing if existing else "")
+            )
+        _install_pth_shim(pkg_root, name="ecostream_pkg_root")
 
     vendored = False
     try:

@@ -68,9 +68,10 @@ def test_st18_under_plain_driver_session():
     import site
 
     for sp in site.getsitepackages():
-        shim = os.path.join(sp, "ecostream_protobuf_vendor.pth")
-        if os.path.exists(shim):
-            os.remove(shim)
+        for name in ("ecostream_protobuf_vendor.pth", "ecostream_pkg_root.pth"):
+            shim = os.path.join(sp, name)
+            if os.path.exists(shim):
+                os.remove(shim)
     proc = subprocess.run(
         [sys.executable, "-c", _DRIVER_SCRIPT, sf_dir],
         cwd=REPO,
@@ -81,6 +82,39 @@ def test_st18_under_plain_driver_session():
     )
     assert proc.returncode == 0, (
         f"driver-style st18 run failed\nstdout:\n{proc.stdout[-3000:]}"
+        f"\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "SMOKE_OK" in proc.stdout
+
+
+def test_st18_from_foreign_cwd(tmp_path):
+    """Same driver-style flow, but launched from OUTSIDE the repo: the
+    TWS driver worker unpickles the processor by module reference, so
+    ``ecostream`` must resolve in a fresh interpreter whose cwd is NOT
+    the repo root (the pkg-root .pth shim's job — round 11 reproduced
+    the ModuleNotFoundError from /tmp before it existed)."""
+    sf_dir = "/root/testdata/sf0.001"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYTHONDONTWRITEBYTECODE"] = "1"
+    import site
+
+    for sp in site.getsitepackages():
+        for name in ("ecostream_protobuf_vendor.pth", "ecostream_pkg_root.pth"):
+            shim = os.path.join(sp, name)
+            if os.path.exists(shim):
+                os.remove(shim)
+    script = f"import sys; sys.path.insert(0, {REPO!r})\n" + _DRIVER_SCRIPT
+    proc = subprocess.run(
+        [sys.executable, "-c", script, sf_dir],
+        cwd=str(tmp_path),  # NOT the repo
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"foreign-cwd st18 run failed\nstdout:\n{proc.stdout[-3000:]}"
         f"\nstderr:\n{proc.stderr[-3000:]}"
     )
     assert "SMOKE_OK" in proc.stdout
