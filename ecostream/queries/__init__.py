@@ -120,6 +120,7 @@ _ROUND_HEAD = [
     "roll4_cms_rollup_serve",    # CMS heavy-hitter rollup serve (merge==direct)
     "g16_bfs_hops",              # BFS/SSSP hop labels, recursive-CTE oracle
     "st22_stream_cms_maintenance",  # streaming CMS-store maintenance (roll4 twin)
+    "st23_tws_session_windows",  # TWS session windows: one timer per open session
     # ROUND 11 re-signs — the round-10 red row (protobuf .pth shim fix)
     # and the queries whose source changes this round:
     "st18_tws_running_counts",   # RE-SIGN: failed r10 under the driver's
@@ -148,11 +149,11 @@ _ROUND_HEAD = [
     "sk1_salted_cohort_revenue",
     "t4_session_windows",
     # ROUND 11 oldest-signed rotation, part 2: the oldest round-3 cohort
-    # (50 keys were last signed in round 3; the first 24 alphabetically
-    # re-sign now, the remaining 26 rotate in round 12 — five slots
-    # went to the late-round-11 additions hw2/roll4/g16/st22 and the
-    # bootstrap1 re-sign, which take precedence because new/changed
-    # definitions have no valid signature at all).
+    # (50 keys were last signed in round 3; the first 23 alphabetically
+    # re-sign now, the remaining 27 rotate in round 12 — six slots
+    # went to the late-round-11 additions hw2/roll4/g16/st22/st23 and
+    # the bootstrap1 re-sign, which take precedence because
+    # new/changed definitions have no valid signature at all).
     "chunk1_token_windows",
     "d1_exact_dedup",
     "d2_ngram_jaccard_pairs",
@@ -176,7 +177,6 @@ _ROUND_HEAD = [
     "pack1_sequence_packing",
     "pii1_entity_redaction",
     "pipeline1_clean_corpus",
-    "pipeline2_training_manifest",
 ]
 # Retired heads (rounds 3-10) live in git history of this file; each
 # retired key keeps full coverage via tools/parity_sweep.py and

@@ -1711,3 +1711,107 @@ from .storage_queries import (  # noqa: E402
 st22_stream_cms_maintenance.__doc__ = st22_stream_cms_maintenance.__doc__.format(
     topd=_ST22_TOPD, d=_ST22_D, w=_ST22_W
 )
+
+
+# --- ST23: transformWithState session windows (round 11) ------------------------
+
+
+@query(
+    "st23_tws_session_windows",
+    oracle="""
+    WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+    flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    ), agg AS (
+        SELECT user_id, session_id,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               count(*) AS n_events
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT user_id, start_us, end_us, n_events
+    FROM agg, mx
+    WHERE end_us // 1000 + 1800000 <= m - 1800000
+    """,
+)
+def st23_tws_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 + T5 composed through the flagship API: gap sessionization
+    (t4's 30-minute rule, exact integer microseconds) where the ENGINE
+    closes each session by event-time timer — one registered timer per
+    OPEN session per key, the multi-timer surface st19's single sliding
+    timer does not exercise.  The per-key state is a ListState of open
+    (start, end, n) intervals maintained as an interval-union fold, so
+    micro-batch slicing cannot change the final session set; when the
+    watermark passes ``end + gap`` no in-gap event can still arrive, so
+    ``handleExpiredTimer`` emits that session as FINAL and drops it —
+    the reference's batch-side sessionization (SURVEY T4) as
+    incremental typed state with engine-owned lifecycle.
+
+    Determinism: the file stream delivers one data micro-batch, so the
+    final watermark is exactly ``max(ts) - 30min`` and the closed set
+    is the pure SQL predicate the oracle appends to t4's sessionization
+    (st19's millisecond-timer convention; sessions still open at the
+    final watermark are correctly absent from BOTH engines).
+
+    Scale shape: state is O(open sessions) per user, timers live in the
+    RocksDB index, and closing cost is per FIRED timer — never a scan
+    of live keys (the property that makes engine-owned session windows
+    viable at 100 TB key cardinality)."""
+    import tempfile
+
+    from ..streaming.stateful import ensure_protobuf, session_windows_tws
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "st23 needs google.protobuf (installed or vendored under "
+            "ecostream/_vendor) for the transformWithStateInPandas "
+            "driver worker"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    name = f"st23_{uuid.uuid4().hex[:12]}"
+    try:
+        stream = (
+            events_stream(spark, sf_dir)
+            .select("user_id", "ts")
+            .withWatermark("ts", "30 minutes")
+        )
+        with tempfile.TemporaryDirectory(prefix="st23_ckpt_") as ckpt:
+            q = (
+                session_windows_tws(stream, gap_ms=30 * 60 * 1000)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        return spark.table(name).select(
+            "user_id", "start_us", "end_us", "n_events"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

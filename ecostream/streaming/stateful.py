@@ -540,3 +540,127 @@ def running_totals_tws(keyed_events: DataFrame, ttl_ms: int | None = None) -> Da
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_WINDOW_OUTPUT_SCHEMA = (
+    "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+)
+
+
+def merge_session_intervals(intervals, points, gap_us):
+    """Interval-union fold for gap sessionization: merge stored open
+    sessions (start_us, end_us, n) with new event times, coalescing
+    anything within ``gap_us``.  Strict > splits, matching t4's "gap >
+    30min starts a new session" (an exactly-30min gap stays
+    in-session there too).  ASSOCIATIVE over slicings: folding points
+    in any batch partition and order yields the same final interval
+    set as one fold over all points — the property that makes st23's
+    state correct under arbitrary micro-batching (pinned by
+    tests/test_round11_ops.py's randomized replay)."""
+    items = sorted(intervals + [(t, t, 1) for t in points])
+    merged = [items[0]]
+    for start, end, n in items[1:]:
+        ps, pe, pn = merged[-1]
+        if start - pe > gap_us:
+            merged.append((start, end, n))
+        else:
+            merged[-1] = (ps, max(pe, end), pn + n)
+    return merged
+
+
+class SessionWindowProcessor:
+    """TWS SESSION WINDOWS with per-session event-time timers — the T4
+    gap-sessionization the reference derives batch-side, run as typed
+    state the engine closes: per user a ``ListState`` of open sessions
+    (start_us, end_us, n) plus ONE registered timer per open session at
+    ``end_ms + gap`` (st19 keeps one timer per key; this is the
+    multi-timer surface).  Each batch merges its event times into the
+    interval list (points coalesce with intervals when within the gap —
+    the standard interval-union fold, so micro-batch slicing cannot
+    change the final session set), re-registers the affected timers,
+    and emits nothing.  When the watermark passes a session's
+    ``end + gap``, no in-gap event can ever arrive (it would be late by
+    definition), so ``handleExpiredTimer`` emits that session as FINAL
+    and drops it from the list — sessions close one timer at a time,
+    with no per-key scan.
+
+    Determinism: session boundaries compare event gaps in exact integer
+    MICROSECONDS (t4's rule, strict >); the close predicate uses the
+    st19 millisecond-timer convention (``end_ms + gap_ms <= wm_ms``),
+    replayed by the oracle as a pure SQL filter over the batch
+    sessionization."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sessions = handle.getListState(
+            "sessions", "start_us BIGINT, end_us BIGINT, n BIGINT"
+        )
+
+    def _timer_ts(self, end_us: int) -> int:
+        return end_us // 1000 + self._gap_ms
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = [(int(s[0]), int(s[1]), int(s[2])) for s in self._sessions.get()]
+        pts = []
+        for pdf in rows:
+            if len(pdf):
+                pts.extend(
+                    int(x)
+                    for x in pdf["ts"].astype("datetime64[us]").astype("int64")
+                )
+        if not pts:
+            return iter(())
+        for start, end, _ in cur:
+            self._handle.deleteTimer(self._timer_ts(end))
+        merged = merge_session_intervals(cur, pts, self._gap_ms * 1000)
+        self._sessions.put(merged)
+        for start, end, _ in merged:
+            self._handle.registerTimer(self._timer_ts(end))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        expiry = int(expiredTimerInfo.getExpiryTimeInMs())
+        cur = [(int(s[0]), int(s[1]), int(s[2])) for s in self._sessions.get()]
+        closed = [s for s in cur if self._timer_ts(s[1]) <= expiry]
+        live = [s for s in cur if self._timer_ts(s[1]) > expiry]
+        if live:
+            self._sessions.put(live)
+        else:
+            self._sessions.clear()
+        for start, end, n in closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start],
+                    "end_us": [end],
+                    "n_events": [n],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def session_windows_tws(keyed_events: DataFrame, gap_ms: int) -> DataFrame:
+    """Streaming gap-sessionization via ``transformWithStateInPandas``
+    with one event-time timer per open session.
+
+    ``keyed_events``: streaming DataFrame with (user_id, ts) and a
+    watermark on ``ts``.  Emits one (user_id, start_us, end_us,
+    n_events) row per CLOSED session."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "_SessionWindowTWS",
+        (StatefulProcessor,),
+        dict(SessionWindowProcessor.__dict__),
+    )
+    return keyed_events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(gap_ms),
+        outputStructType=SESSION_WINDOW_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime",
+    )

@@ -50,6 +50,7 @@ assert rows, "st18 empty"
 assert qs["st19_tws_ttl_expiry"](spark, sys.argv[1]).count() >= 0
 assert qs["st20_tws_recent_events"](spark, sys.argv[1]).count() > 0
 assert qs["st21_tws_daily_map"](spark, sys.argv[1]).count() > 0
+assert qs["st23_tws_session_windows"](spark, sys.argv[1]).count() > 0
 print("SMOKE_OK", rows)
 spark.stop()
 """
