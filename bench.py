@@ -77,6 +77,7 @@ HEADLINE = [
     "hw2_holt_winters",           # Holt-Winters seasonal integer fold (round 11)
     "roll4_cms_rollup_serve",     # CMS rollup serve, merge==direct (round 11)
     "g16_bfs_hops",               # BFS hop labels, frontier-sized rounds (round 11)
+    "var1_variant_typed_serve",   # VARIANT persist + typed access (round 12)
 ]
 
 
@@ -110,6 +111,29 @@ def main() -> None:
         ).collect()
         return time.perf_counter() - t
 
+    # Second probe, SHUFFLE-side (VERDICT r11 #2): the pure-JVM ALU
+    # probe above is provably blind to shuffle/IPC host weather — r11
+    # measured two same-session runs of identical code differing 1.13x
+    # on the suite while the ALU medians were flat, because this
+    # suite's time goes to exchanges, Arrow IPC, and task scheduling,
+    # none of which the ALU loop touches.  This probe is a FIXED small
+    # groupBy-count (5M rows -> 100k keys -> 32 shuffle partitions,
+    # ~0.3-0.5 s): one real hash-exchange write+read per sample, same
+    # shuffle machinery the headline queries pay for.  Cross-round
+    # suite claims are decidable only when BOTH probes are flat; if
+    # either moved more than the claimed effect, the claim is weather.
+    def _calib_shuffle_once() -> float:
+        t = time.perf_counter()
+        (
+            spark.range(0, 5_000_000, 1, 32)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("count(*) AS n", "sum(`sum(v)`) AS s")
+            .collect()
+        )
+        return time.perf_counter() - t
+
     # VERDICT r8 #2: a single pre-suite probe scattered ±20% across
     # same-machine runs while per-query medians reproduced within 1% —
     # single-probe normalization can flip the sign of a small
@@ -119,8 +143,11 @@ def main() -> None:
     # and the relative spread so normalized cross-round claims carry an
     # uncertainty band (and are dropped when spread exceeds the effect).
     calib_samples: list[float] = []
+    calib_sh_samples: list[float] = []
     _calib_once()  # untimed warm-up
+    _calib_shuffle_once()  # untimed warm-up
     calib_samples.extend(_calib_once() for _ in range(3))
+    calib_sh_samples.extend(_calib_shuffle_once() for _ in range(3))
 
     # Five timed runs per query, report the MEDIAN: the first run pays
     # one-off codegen/planning, and transient machine contention has
@@ -153,6 +180,7 @@ def main() -> None:
     for qi, name in enumerate(HEADLINE):
         if qi in _probe_at:
             calib_samples.append(_calib_once())
+            calib_sh_samples.append(_calib_shuffle_once())
         fn = qs[name]
         # The previous query's cold loop ends with the CacheManager
         # cleared, so one UNTIMED priming execution re-populates any
@@ -174,9 +202,14 @@ def main() -> None:
         per_query_cold[name] = round(median(cold_times), 4)
     spark.catalog.clearCache()
     calib_samples.extend(_calib_once() for _ in range(3))
+    calib_sh_samples.extend(_calib_shuffle_once() for _ in range(3))
     calib = round(median(calib_samples), 4)
     calib_spread = round(
         (max(calib_samples) - min(calib_samples)) / calib, 3
+    )
+    calib_sh = round(median(calib_sh_samples), 4)
+    calib_sh_spread = round(
+        (max(calib_sh_samples) - min(calib_sh_samples)) / calib_sh, 3
     )
 
     total = round(sum(per_query.values()), 4)
@@ -206,6 +239,9 @@ def main() -> None:
         "calib_sec": calib,
         "calib_runs": [round(c, 4) for c in calib_samples],
         "calib_spread": calib_spread,
+        "calib_shuffle_sec": calib_sh,
+        "calib_shuffle_runs": [round(c, 4) for c in calib_sh_samples],
+        "calib_shuffle_spread": calib_sh_spread,
         "n_queries": len(per_query),
         "runs_per_query": n_runs,
         "cold_runs_per_query": n_cold,
@@ -225,6 +261,8 @@ def main() -> None:
             "value_cold": full["value_cold"],
             "calib": calib,
             "calib_spread": calib_spread,
+            "calib_sh": calib_sh,
+            "calib_sh_spread": calib_sh_spread,
             "sf": sf,
             "n_queries": len(per_query),
             "runs_per_query": n_runs,

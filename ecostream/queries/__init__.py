@@ -108,75 +108,73 @@ except ImportError:  # pragma: no cover
 # driver-signed coverage of the whole oracle-bearing registry.
 # ---------------------------------------------------------------------------
 _ROUND_HEAD = [
-    # ROUND 11 additions (oracle-bearing, entering the head the round
+    # ROUND 12 additions (oracle-bearing, entering the head the round
     # they land):
-    "st19_tws_ttl_expiry",       # TWS event-time timers: purge-as-timer TTL
-    "st20_tws_recent_events",    # TWS ListState: bounded per-key recency buffer
-    "cms1_heavy_hitters",        # Count-Min sketch grid + min-of-d estimates
-    "g15_k_truss",               # 4-truss backbone by bulk edge-peeling
-    "st21_tws_daily_map",        # TWS MapState: day->count per event type
-    "hw1_holt_trend",            # Holt level+trend integer fold + 7-day forecast
-    "hw2_holt_winters",          # Holt-Winters seasonal: 9-slot ring fold
-    "roll4_cms_rollup_serve",    # CMS heavy-hitter rollup serve (merge==direct)
-    "g16_bfs_hops",              # BFS/SSSP hop labels, recursive-CTE oracle
-    "st22_stream_cms_maintenance",  # streaming CMS-store maintenance (roll4 twin)
-    "st23_tws_session_windows",  # TWS session windows: one timer per open session
-    # ROUND 11 re-signs — the round-10 red row (protobuf .pth shim fix)
-    # and the queries whose source changes this round:
-    "st18_tws_running_counts",   # RE-SIGN: failed r10 under the driver's
-                                 # pre-existing JVM; ensure_protobuf now
-                                 # installs a site-packages .pth shim
-    "sim13_nsw_greedy_ann",      # RE-SIGN: scale-safe sqrt(n)-capped centroid
-                                 # seeding (VERDICT r10 #3)
-    "decon2_semantic_overlap",   # RE-SIGN: same centroid-seeding change
-    "d14_winnowing_pairs",       # RE-SIGN: per-stage funnel counters pass
-                                 # (VERDICT r10 #4)
-    "bootstrap1_mean_ci",        # RE-SIGN: the Poisson draw now slices four
-                                 # 32-bit uniforms per md5 digest (4x less
-                                 # hashing; 13.9 -> 9.1 s at a 10x slice)
-    # ROUND 11 oldest-signed rotation, part 1 (VERDICT r10 #2): the 11
-    # keys never driver-hash-signed since round 2 — this closes the
-    # round-2 rotation debt entirely.
-    "k2_distinct_exact",
-    "k3_conditional_windowed_count",
-    "k4_jaccard_exact",
-    "m1_global_transition_pairs",
-    "m1_transition_pairs",
-    "m2_markov_probabilities",
-    "m3_transition_matrix",
-    "o1_sort_by_event_time",
-    "o2_topk_users_by_value",
-    "sk1_salted_cohort_revenue",
-    "t4_session_windows",
-    # ROUND 11 oldest-signed rotation, part 2: the oldest round-3 cohort
-    # (50 keys were last signed in round 3; the first 23 alphabetically
-    # re-sign now, the remaining 27 rotate in round 12 — six slots
-    # went to the late-round-11 additions hw2/roll4/g16/st22/st23 and
-    # the bootstrap1 re-sign, which take precedence because
-    # new/changed definitions have no valid signature at all).
-    "chunk1_token_windows",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d3b_minhash_lsh_md5",
-    "d4_simhash",
-    "g5_pagerank_habitats",
-    "j16_volume_shipping",
-    "j17_market_share",
-    "j18_product_profit",
-    "j19_returned_revenue",
-    "j20_customer_distribution",
-    "j21_parts_supplier_count",
-    "j22_disjunctive_revenue",
-    "j23_waiting_orders",
-    "j24_global_sales_opportunity",
-    "j25_important_parts",
-    "j26_top_supplier",
-    "j27_excess_shippers",
-    "m4_dtmc_classification",
-    "mm4_png_roundtrip",
-    "pack1_sequence_packing",
-    "pii1_entity_redaction",
-    "pipeline1_clean_corpus",
+    "st24_tws_native_ttl",       # declarative TTLConfig state expiry
+                                 # (keep + expire legs, one exact oracle)
+    "var1_variant_typed_serve",  # VARIANT parse/persist/typed-access for
+                                 # events.props (S6 semi-structured leg)
+    # ROUND 12 re-signs — queries whose DEFINITION changed this round
+    # (ADVICE r11 fixes):
+    "hw1_holt_trend",            # RE-SIGN: sub-seed series excluded in both
+                                 # engines + greatest() slice-length clamp
+    "hw2_holt_winters",          # RE-SIGN: same sub-week guard (ADVICE r11)
+    "st22_stream_cms_maintenance",  # RE-SIGN: batch-id-keyed store versions
+                                 # (idempotent foreachBatch) + workdir cleanup
+    "g16_bfs_hops",              # RE-SIGN: frontier broadcast hint gated on
+                                 # row count, shuffled-join fallback
+    # ROUND 12 oldest-signed rotation, part 1: the 27 remaining
+    # round-3-signed keys (VERDICT r11 "Next round" #1) — after these,
+    # every key's newest signature is round >= 4 and the round-2/3
+    # rotation debt is fully retired.
+    "pipeline2_training_manifest",
+    "s6_cluster_roundtrip",
+    "s6_compact_roundtrip",
+    "s7_bucketed_join",
+    "samp1_stratified_sample",
+    "shuffle1_training_order",
+    "sim1_cosine_topk",
+    "sim2_signlsh_ann",
+    "sim2_signlsh_buckets",
+    "sim3_embedding_near_dup",
+    "sim4_ivf_ann",
+    "sim5b_ivf_kmeans_md5",
+    "split1_train_val_test",
+    "st1_stream_tumbling_counts",
+    "st2_stateful_running_counts",
+    "st3_stream_sliding_counts",
+    "st4_stream_session_windows",
+    "st5_stream_stream_join",
+    "st6_stream_dedup",
+    "st7_stream_static_enrichment",
+    "st8_stream_signature_index",
+    "t10_winnowing_fingerprints",
+    "t5_lang_id",
+    "t6_quality_score",
+    "t7_token_counts",
+    "t8_fingerprint_dedup",
+    "t9_contamination_overlap",
+    # ROUND 12 oldest-signed rotation, part 2: the round-4 cohort is
+    # next-oldest (49 keys last signed in round 4); the first 17
+    # alphabetically fill the remaining slots — the other 32 rotate in
+    # round 13.
+    "aj1_asof_last_view",
+    "d8_repeated_spans",
+    "d9_simhash_pairs",
+    "dq2_zscore_outliers",
+    "drift1_tvd_halves",
+    "eval1_ann_recall",
+    "eval2_ann_recall_ivf",
+    "eval3_ann_recall_pq",
+    "fh1_feature_hash",
+    "g1_habitat_edges",
+    "g1b_first_seen_nodes",
+    "g2_hash_walk",
+    "g3_walk_frequencies",
+    "g6_cooccurrence_triangles",
+    "hist1_value_histogram",
+    "j28_banded_interval_join",
+    "k2_hll_sketch_mergeable",
 ]
 # Retired heads (rounds 3-10) live in git history of this file; each
 # retired key keeps full coverage via tools/parity_sweep.py and

@@ -1881,6 +1881,11 @@ g15_k_truss.__doc__ = g15_k_truss.__doc__.format(
 # --- G16: BFS hop distances (single-source shortest path) --------------------
 
 _G16_MAX_HOPS = 16  # oracle recursion cap; parity fails LOUDLY if exceeded
+# Frontier rows above which the per-round broadcast hint is dropped in
+# favor of a shuffled hash join: 4M bigint keys ~ 32 MB serialized,
+# comfortably inside any sane driver/broadcast budget; a BFS level
+# bigger than that must shuffle.
+_G16_BCAST_FRONTIER_MAX = 4_000_000
 
 
 def _g16_oracle() -> str:
@@ -1962,22 +1967,34 @@ def g16_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "u long, hop long")
     dist = spark.createDataFrame([(row["v"], 0)], "u long, hop long")
     frontier = dist
+    frontier_rows = 1
     n_edges = sym.count()
     # Each round labels >= 1 new vertex or stops, so <= |V| + 1 rounds;
     # the bound below is a defensive impossibility guard.
     for h in range(1, n_edges + 2):
+        # Broadcast the FRONTIER leg (sim13's serving property): sym is
+        # the corpus-sized table, one BFS level is usually tiny — the
+        # edge list is scanned, never shuffled.  BUT a middle BFS level
+        # on a co-presence graph can be a large fraction of |V|, and an
+        # unconditional hint above the broadcast limit fails the job at
+        # the 100 TB regime — so the hint is gated on the frontier's
+        # known row count (free: each level was count()ed last round)
+        # and an oversized level falls back to a shuffled hash join.
+        fr = (
+            F.broadcast(frontier)
+            if frontier_rows <= _G16_BCAST_FRONTIER_MAX
+            else frontier
+        )
         nxt = (
-            # Broadcast the FRONTIER leg (sim13's serving property):
-            # sym is the corpus-sized table, the frontier is one BFS
-            # level — the edge list is scanned, never shuffled.
-            F.broadcast(frontier).join(sym, frontier["u"] == sym["a"])
+            fr.join(sym, fr["u"] == sym["a"])
             .select(F.col("b").alias("u"))
             .distinct()
             .join(dist, "u", "left_anti")
             .select("u", F.lit(h).cast("long").alias("hop"))
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt

@@ -869,6 +869,7 @@ def _hw1_oracle() -> str:
                    (acc, x) -> {lam}
                ) AS st
         FROM series
+        WHERE len(ys) >= 2
     )
     SELECT event_type, n_days,
            CAST(st[1] AS BIGINT) AS level_micro,
@@ -940,14 +941,20 @@ def hw1_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(acc, y) -> array({_hw1_level('element_at(acc, 1)', 'element_at(acc, 2)', 'y')},"
         f" {_hw1_trend('element_at(acc, 1)', 'element_at(acc, 2)', 'y')})"
     )
+    # Sub-seed series (n_days < 2) can't seed l0/b0: Spark's ANSI
+    # element_at would raise while DuckDB's ys[i] degrades to NULL rows
+    # — exclude them identically in both engines (oracle: HAVING), and
+    # clamp the slice length so the engines can never diverge on the
+    # boundary (Spark raises on negative slice lengths, DuckDB doesn't).
     fold = (
-        f"aggregate(slice(ys, 3, size(ys) - 2),"
+        f"aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),"
         f" array(element_at(ys, 1) * 1000000L,"
         f" (element_at(ys, 2) - element_at(ys, 1)) * 1000000L),"
         f" {lam})"
     )
     return (
-        series.select(
+        series.filter(F.size("ys") >= 2)
+        .select(
             "event_type",
             F.size("ys").cast("long").alias("n_days"),
             F.expr(fold).alias("st"),
@@ -1069,6 +1076,7 @@ def _hw2_oracle() -> str:
                    (acc, x) -> [{lam}]
                ) AS st
         FROM series
+        WHERE len(ys) >= {_HW2_M}
     )
     SELECT event_type, n_days,
            CAST(st[1] AS BIGINT) AS level_micro,
@@ -1145,12 +1153,20 @@ def hw2_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(_hw2_init_terms(lambda i: f"element_at(ys, {i})"))
         + ")"
     )
+    # Sub-week series (n_days < m) can't seed the seasonal ring:
+    # Spark's ANSI element_at would raise while DuckDB's ys[i]
+    # degrades to NULL rows — exclude them identically in both engines
+    # (oracle: WHERE len(ys) >= m), and clamp the slice length so the
+    # engines can never diverge on the boundary (Spark raises on
+    # negative slice lengths, DuckDB doesn't).
     fold = (
-        f"aggregate(slice(ys, {_HW2_M + 1}, size(ys) - {_HW2_M}),"
+        f"aggregate(slice(ys, {_HW2_M + 1},"
+        f" greatest(size(ys) - {_HW2_M}, 0)),"
         f" {zero}, {lam})"
     )
     return (
-        series.select(
+        series.filter(F.size("ys") >= _HW2_M)
+        .select(
             "event_type",
             F.size("ys").cast("long").alias("n_days"),
             F.expr(fold).alias("st"),

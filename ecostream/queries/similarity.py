@@ -1537,6 +1537,12 @@ def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions, not the exchanges — the hint is for the 100 TB
     # regime, where shuffling n*nb edge rows per beam round is the
     # difference between a serving query and a batch job.
+    # Broadcast-size bound (why the hint is safe at ANY corpus size,
+    # unlike a BFS frontier): cand grows monotonically but is capped
+    # at |queries| * (nprobe + rounds * beam * 2*nb) rows — the
+    # visited set of a width-capped beam search over a degree-capped
+    # graph, = 5 * (2 + 3*8*12) = 1450 rows with today's constants, a
+    # compile-time model-sized bound independent of n.
     for _ in range(_NSW_ROUNDS):
         wb = W.partitionBy("query_id").orderBy("d", "vec_id")
         beam = (

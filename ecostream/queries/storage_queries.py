@@ -1923,3 +1923,80 @@ from .sketches import _CMS1_W as _ROLL4_W  # noqa: E402  (shared grid width)
 roll4_cms_rollup_serve.__doc__ = roll4_cms_rollup_serve.__doc__.format(
     d=_ROLL4_D, w=_ROLL4_W, topd=_ROLL4_TOPD, topw=_ROLL4_TOPW
 )
+
+
+# --- VAR1: VariantType storage + typed access for events.props (round 12) -------
+
+
+@query(
+    "var1_variant_typed_serve",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT CAST(props ->> '$.k' AS INT)) AS BIGINT)
+               AS n_k,
+           CAST(sum(CASE WHEN CAST(props ->> '$.k' AS INT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           CAST(count(CASE WHEN 1 = 0 THEN 1 END) AS BIGINT) AS n_miss,
+           'OBJECT<k: BIGINT>' AS var_schema
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def var1_variant_typed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6's modern semi-structured surface: ``events.props`` parsed to
+    Spark 4 VARIANT (``parse_json``), PERSISTED as a variant parquet
+    column, read back, and served through typed access — the
+    public-engine answer to JSON columns at 100 TB (binary-encoded
+    values + shredded statistics instead of per-query string parsing,
+    the path f3/a2's ``get_json_object`` cannot take).
+
+    Exercised surface, all JVM expressions (no Python in the plan):
+    ``parse_json`` (ingest), a parquet write/read ROUNDTRIP of the
+    variant column (the storage leg — the reader must reassemble
+    binary variant, not re-parse text), ``variant_get`` with a typed
+    path (``'$.k'`` as int, feeding sum/distinct/range predicates),
+    ``try_variant_get`` on a MISSING path (must be NULL for every row:
+    ``n_miss`` = 0), and ``schema_of_variant`` (every row must infer
+    ``OBJECT<k: BIGINT>`` — the type the shredding planner would use;
+    min() over rows pins uniformity).  The oracle replays every
+    aggregate from the raw JSON text with DuckDB's JSON operators, so
+    the hash certifies text-parse == binary-variant end to end.
+
+    Scale shape: one events scan + variant encode + columnar write,
+    one store scan with a partial-aggregated groupBy to |types| rows.
+    Variant decode is vectorized JVM code; no UDF, no re-tokenizing
+    JSON per access at serve time.
+
+    Reference analog: the nested-document event payload
+    (producer.py:13-32, X12/SURVEY §2.11) — the reference stores parsed
+    dicts; the Spark-first form stores typed binary variant."""
+    ev = load_table(spark, sf_dir, "events")
+    root = _workdir("var1_variant")
+    store = os.path.join(root, "variant_store")
+    (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .write.mode("overwrite")
+        .parquet(store)
+    )
+    back = spark.read.parquet(store)
+    typed = back.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'int')").alias("miss"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hi"),
+            F.count("miss").cast("long").alias("n_miss"),
+            F.min("sch").alias("var_schema"),
+        )
+        .orderBy("event_type")
+    )

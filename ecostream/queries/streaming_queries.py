@@ -1608,6 +1608,38 @@ from .storage_queries import (  # noqa: E402
 )
 
 
+def st22_apply_batch(
+    spark: SparkSession,
+    prev_paths: tuple[str, str],
+    out_paths: tuple[str, str],
+    batch: DataFrame,
+) -> None:
+    """Fold one micro-batch into the (grid, counts) store: read version
+    b-1, cell-wise/key-wise sum with the batch's own partials, OVERWRITE
+    version b.  Deterministic in (prev store, batch): a retried
+    micro-batch re-derives the identical version from the untouched
+    prior one instead of double-summing into a mutable head — the
+    foreachBatch idempotence contract (tests/test_round12_ops.py pins
+    apply-twice == apply-once)."""
+    pg, pc = prev_paths
+    bc = roll4_daily_counts(batch).localCheckpoint(eager=False)
+    grid = (
+        spark.read.parquet(pg)
+        .unionByName(roll4_daily_grid(bc))
+        .groupBy("d", "j", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cnt = (
+        spark.read.parquet(pc)
+        .unionByName(bc)
+        .groupBy("d", "user_id")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    ng, nc = out_paths
+    grid.write.mode("overwrite").parquet(ng)
+    cnt.write.mode("overwrite").parquet(nc)
+
+
 @query("st22_stream_cms_maintenance", oracle=_roll4_oracle())
 def st22_stream_cms_maintenance(
     spark: SparkSession, sf_dir: str
@@ -1665,41 +1697,44 @@ def st22_stream_cms_maintenance(
         .option("maxFilesPerTrigger", 1)
         .parquet(str(work / "feed"))
     )
-    state = {"grid": str(grid0), "cnt": str(cnt0), "v": 0}
+    # Store versions are keyed by BATCH ID, and version b is always
+    # derived from version b-1 (never from a mutable "latest" pointer):
+    # a retried micro-batch (task/epoch failure) re-reads the untouched
+    # prior version and OVERWRITES its own output — the standard
+    # foreachBatch idempotence pattern — so a replay can never be
+    # summed into the store twice and the merge==direct hash proof
+    # survives retries.  foreachBatch batches commit serially, so
+    # version b is final before b+1 reads it.
+    state = {"last": -1}
 
-    def _merge(batch: DataFrame, _batch_id: int) -> None:
-        bc = roll4_daily_counts(batch).localCheckpoint(eager=False)
-        grid = (
-            spark.read.parquet(state["grid"])
-            .unionByName(roll4_daily_grid(bc))
-            .groupBy("d", "j", "bucket")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        cnt = (
-            spark.read.parquet(state["cnt"])
-            .unionByName(bc)
-            .groupBy("d", "user_id")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-        )
-        state["v"] += 1
-        ng, nc = str(work / f"grid_v{state['v']}"), str(work / f"cnt_v{state['v']}")
-        grid.write.mode("overwrite").parquet(ng)
-        cnt.write.mode("overwrite").parquet(nc)
-        state["grid"], state["cnt"] = ng, nc
+    def _vpaths(b: int) -> tuple[str, str]:
+        if b < 0:
+            return str(grid0), str(cnt0)
+        return str(work / f"grid_b{b}"), str(work / f"cnt_b{b}")
 
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", str(work / "ckpt"))
-        .start()
-    )
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        st22_apply_batch(spark, _vpaths(batch_id - 1), _vpaths(batch_id), batch)
+        state["last"] = max(state["last"], batch_id)
+
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        fg, fc = _vpaths(state["last"])
+        # Materialize the (store-sized) serve before the workdir is
+        # deleted — the caller collects lazily, after the finally runs.
+        return roll4_serve_weekly(
+            spark.read.parquet(fg),
+            roll4_daily_top(spark.read.parquet(fc)),
+        ).localCheckpoint()
     finally:
-        q.stop()
-    return roll4_serve_weekly(
-        spark.read.parquet(state["grid"]),
-        roll4_daily_top(spark.read.parquet(state["cnt"])),
-    )
+        shutil.rmtree(work, ignore_errors=True)
 
 
 from .storage_queries import (  # noqa: E402
@@ -1809,6 +1844,161 @@ def st23_tws_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "start_us", "end_us", "n_events"
         )
     finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+# --- ST24: transformWithState NATIVE (declarative) state TTL (round 12) ---------
+
+
+@query(
+    "st24_tws_native_ttl",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_live,
+           count(*) AS n_relapsed
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st24_tws_native_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 completed on the ENGINE-DECLARED side: st19 implements the
+    reference's keyed-store TTL (consumer.py:119-148) with explicit
+    event-time timers; this twin delegates expiry to Spark 4's
+    declarative state TTL (``getValueState(..., ttlDurationMs=...)``,
+    the TTLConfig surface) and proves both the KEEP and the EXPIRE
+    behavior against one exact oracle.  Native TTL is clocked by
+    PROCESSING time, which no deterministic oracle can replay directly
+    — so instead of racing the clock the query drives the two regimes
+    where wall time provably cannot matter, over the same 4-batch
+    file-replay feed st22 uses (maxFilesPerTrigger=1):
+
+    * KEEP leg (ttl = 24 h): no state can lapse inside a seconds-long
+      run, so per-key emitted counts are RUNNING totals and their max
+      equals the exact per-user count (``n_live``) iff state SURVIVED
+      every batch boundary;
+    * EXPIRE leg (ttl = 1 ms): every micro-batch boundary takes far
+      longer than 1 ms of processing time, so the TTL lapses between
+      ANY two batches and each emitted count restarts from zero —
+      per-key SUM of emitted counts equals the exact count
+      (``n_relapsed``) iff state EXPIRED at every boundary.  Had the
+      engine kept state alive, re-summed running totals would
+      overcount every user spanning two batches and the driver hash
+      would fail loudly — the leg certifies expiry without trusting
+      timing beyond "a Spark micro-batch takes longer than 1 ms".
+
+    Both legs are slicing-invariant (running-max and restart-sum are
+    both independent of HOW rows split across batches), which is the
+    st9/st22 discipline for streaming oracles.
+
+    Scale shape: state is one TTL'd BIGINT per key; expiry bookkeeping
+    lives in the RocksDB TTL column family, so at 100 TB of keys the
+    purge cost is the engine's compaction — never a live-key scan and,
+    unlike st19, not even a timer registration per batch.
+
+    Reference analog: consumer.py:119-148 (TTL purge loop), SURVEY §2.10
+    T3/T5."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..schema import load_table
+    from ..streaming.stateful import ensure_protobuf, native_ttl_counts_tws
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "st24 needs google.protobuf (installed or vendored under "
+            "ecostream/_vendor) for the transformWithStateInPandas "
+            "driver worker"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    work = Path(tempfile.gettempdir()) / f"ecostream_st24_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        ev.repartition(4).write.parquet(str(work / "feed"))
+        n_feed = spark.read.parquet(str(work / "feed")).count()
+        schema = spark.read.parquet(str(work / "feed")).schema
+
+        def _run(leg: str, ttl_ms: int) -> DataFrame:
+            import time
+
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(work / "feed"))
+            )
+            name = f"st24_{leg}_{uuid.uuid4().hex[:12]}"
+            q = (
+                native_ttl_counts_tws(stream, ttl_ms=ttl_ms)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", str(work / f"ckpt_{leg}"))
+                .start()
+            )
+            try:
+                # ProcessingTime time mode keeps scheduling (empty)
+                # micro-batches to service potential timers, so neither
+                # processAllAvailable() nor availableNow ever drains —
+                # instead poll the ingested-row total and stop once the
+                # whole feed has been processed (empty batches touch no
+                # keys, so stopping after the 4th data batch is exact).
+                deadline = time.time() + 600
+                rows_by_batch: dict[int, int] = {}
+                while time.time() < deadline:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    # recentProgress is a bounded ring the empty batches
+                    # flood — accumulate per batchId across polls so a
+                    # data batch can never scroll out uncounted.
+                    for p in q.recentProgress:
+                        rows_by_batch[int(p["batchId"])] = int(
+                            p["numInputRows"]
+                        )
+                    if sum(rows_by_batch.values()) >= n_feed:
+                        break
+                    time.sleep(0.25)
+                else:
+                    raise RuntimeError(
+                        f"st24 {leg} leg failed to drain the feed "
+                        f"within 600s"
+                    )
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+            return spark.table(name)
+
+        live = (
+            _run("keep", 24 * 3600 * 1000)
+            .groupBy("user_id")
+            .agg(F.max("n").cast("long").alias("n_live"))
+        )
+        relapsed = (
+            _run("expire", 1)
+            .groupBy("user_id")
+            .agg(F.sum("n").cast("long").alias("n_relapsed"))
+        )
+        # Materialize (per-user rows) before the workdir is deleted —
+        # the caller collects lazily, after the finally runs.
+        return (
+            live.join(relapsed, "user_id")
+            .select("user_id", "n_live", "n_relapsed")
+            .orderBy("user_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:

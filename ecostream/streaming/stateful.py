@@ -214,13 +214,36 @@ def ensure_protobuf(spark=None) -> bool:
     # the shim substitutes for the pip install a real deployment would
     # do.  Independent of protobuf, so it runs before the vendor logic.
     pkg_root = Path(__file__).resolve().parent.parent.parent
-    if (pkg_root / "ecostream" / "__init__.py").is_file():
+    pkg_dir = pkg_root / "ecostream"
+    if (pkg_dir / "__init__.py").is_file():
+        # Scope the shim: a .pth pointing at the repo ROOT would put
+        # every top-level name there (tests/, tools/, bench.py) on
+        # sys.path of EVERY future interpreter on the machine —
+        # persistent global state that can shadow identically-named
+        # installed packages in unrelated processes.  Point it instead
+        # at a dir whose only entry is a symlink to the package, so the
+        # shim exposes exactly one importable name: ``ecostream``.
+        scoped = pkg_root / ".ecostream_syspath"
+        shim_target = pkg_root  # fallback: filesystems without symlinks
+        try:
+            scoped.mkdir(exist_ok=True)
+            link = scoped / "ecostream"
+            if not (link / "__init__.py").is_file():
+                if link.is_symlink():
+                    link.unlink()
+                link.symlink_to(pkg_dir, target_is_directory=True)
+            if (link / "__init__.py").is_file():
+                shim_target = scoped
+        except OSError:
+            pass
         existing = os.environ.get("PYTHONPATH", "")
-        if str(pkg_root) not in existing.split(os.pathsep):
+        if str(shim_target) not in existing.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                str(pkg_root) + (os.pathsep + existing if existing else "")
+                str(shim_target) + (os.pathsep + existing if existing else "")
             )
-        _install_pth_shim(pkg_root, name="ecostream_pkg_root")
+        # _install_pth_shim rewrites on content mismatch, so a stale
+        # shim from the repo-root era is re-scoped on first use.
+        _install_pth_shim(shim_target, name="ecostream_pkg_root")
 
     vendored = False
     try:
@@ -663,4 +686,71 @@ def session_windows_tws(keyed_events: DataFrame, gap_ms: int) -> DataFrame:
         outputStructType=SESSION_WINDOW_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="EventTime",
+    )
+
+
+NATIVE_TTL_OUTPUT_SCHEMA = "user_id bigint, n bigint"
+
+
+class NativeTtlCountProcessor:
+    """DECLARATIVE state TTL (the Spark-4 TTLConfig surface): the same
+    keyed-store expiry st19's TtlExpiryProcessor hand-rolls with
+    event-time timers, delegated to the engine via
+    ``getValueState(..., ttlDurationMs=...)`` — every update resets the
+    state's expiration to now + ttl, and an expired value simply stops
+    existing at the next read.  This completes the TWS surface the
+    reference's TTL'd keyed dicts (consumer.py:119-148) map onto:
+    ValueState (st18) / ListState (st20) / MapState (st21) / timers
+    (st19) / sessions (st23) / declarative TTL (here).
+
+    Per key: a single TTL'd BIGINT running count; each batch reads the
+    surviving count (0 if the TTL lapsed), adds the batch's rows, and
+    emits the new total.  Native TTL is PROCESSING-time based (the
+    API contract: "state update resets the expiration time to current
+    processing time plus ttlDuration"), so st24 drives the two
+    deterministic regimes instead of racing the clock — see the query
+    docstring for how the emitted rows certify expiry."""
+
+    def __init__(self, ttl_ms: int):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState(
+            "n", "n BIGINT", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = int(self._n.get()[0]) if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._n.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def native_ttl_counts_tws(keyed_events: DataFrame, ttl_ms: int) -> DataFrame:
+    """Streaming per-user running counts whose state carries a NATIVE
+    (declarative) TTL.  ``keyed_events``: streaming DataFrame with
+    (user_id, ...) rows.  Emits one (user_id, n) row per key per batch
+    containing the key; ``n`` is the count accumulated since the
+    state's last TTL lapse.  timeMode is ProcessingTime because the
+    engine rejects TTL'd state under NoTime (TTL is clocked by
+    processing time)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "_NativeTtlTWS",
+        (StatefulProcessor,),
+        dict(NativeTtlCountProcessor.__dict__),
+    )
+    return keyed_events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(ttl_ms),
+        outputStructType=NATIVE_TTL_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
     )
