@@ -1490,16 +1490,48 @@ def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("dst"), F.col("cell").alias("cell"), F.col("qv").alias("yv")
     )
     wk = W.partitionBy("src").orderBy("d", "dst")
+    # The in-cell all-pairs l2sq is the CPU-heavy leg of the build
+    # (~8 core-seconds at sf0.1) but only ~15 distinct join keys, so
+    # the cell exchange is SKEWED and AQE coalesces it by bytes — the
+    # distance fold ran in one straggler task (guide §2.2/§2.4:
+    # partition count must track compute, not bytes; split hot keys).
+    # Fix: form the (cheap) pairs on the cell key, then repartition by
+    # src BEFORE evaluating the distance — src is ~n-distinct, so the
+    # fold spreads evenly across the session's cores, and the window
+    # over src reuses the same hash partitioning (no extra exchange).
+    # REPARTITION_BY_NUM is never coalesced by AQE; the count is
+    # derived from defaultParallelism, so it scales with the cluster.
+    # Measured warm at sf0.1/local[32]: knn+edges 4.3 s -> ~2.0 s.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     knn = (
         mx.join(my, "cell")
         .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "xv", "yv")
+        .repartition(par, "src")
         .select("src", "dst", l2sq("xv", "yv").alias("d"))
         .withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= _NSW_NB)
         .select("src", "dst")
     )
     edges = (
-        knn.union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        # Both edge orientations in ONE pass over knn (explode of a
+        # 2-struct array): the previous union re-evaluated the whole
+        # kNN build for the mirrored leg — a second ~4.5 s
+        # materialization at sf0.1.  Same bag of rows, so the set
+        # after distinct is identical.
+        knn.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         # Re-read every beam round: materialize the graph once (this
         # IS the index build; a deployment persists it like sim11).
