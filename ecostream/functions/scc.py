@@ -96,7 +96,11 @@ def distributed_scc(
                 .select("v", "scc")
             )
             frontier = _ckpt(preds.join(members, "v", "left_anti"))
-            members = _ckpt(members.unionByName(frontier))
+            # Lazy union of already-checkpointed legs: re-checkpointing
+            # the WHOLE member set per round copies O(rounds x |V|)
+            # rows (the g16 BFS lesson); the anti-join scans the
+            # materialized legs without recomputation.
+            members = members.unionByName(frontier)
         # 3. extract and recurse on the remainder.
         assigned = _ckpt(
             assigned.unionByName(
@@ -146,5 +150,6 @@ def scc_bfs_levels(
             .agg((F.min("level") + 1).alias("level"))
         )
         frontier = _ckpt(nxt.join(levels, ["v", "scc"], "left_anti"))
-        levels = _ckpt(levels.unionByName(frontier))
+        # Lazy union of checkpointed legs (same rationale as above).
+        levels = levels.unionByName(frontier)
     raise RuntimeError(f"BFS did not converge in {max_iter} iterations")

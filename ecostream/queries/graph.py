@@ -846,11 +846,27 @@ def copresence_support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Factored out of g9 (round 8) so g10's link prediction runs on the
     identical edge set; g9's declared result is unchanged."""
     ev = load_table(spark, sf_dir, "events")
-    buckets = ev.select(
-        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
-        "event_type",
-        "user_id",
-    ).distinct()
+    # The pair join's shuffle keys (h, event_type) carry tiny BYTES but
+    # the join output is quadratic per bucket, so AQE coalesces the
+    # exchange by size and the pair generation + partial aggregation
+    # ran in ONE task (~1.3 s serial at sf0.1 — guide §2.2/§2.5:
+    # partition count must track compute, not bytes).  A keyed
+    # REPARTITION_BY_NUM is never coalesced by AQE; (h, event_type) is
+    # ~3600-distinct here and grows with the time span, so it spreads
+    # over any core count.  Bonus: the distinct's grouping keys are a
+    # superset of the partitioning keys and the self-join's equi-keys
+    # ARE the partitioning keys, so both reuse this single exchange
+    # (guide §2.4: operations keyed the same way share one exchange).
+    par = spark.sparkContext.defaultParallelism
+    buckets = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+            "event_type",
+            "user_id",
+        )
+        .repartition(par, "h", "event_type")
+        .distinct()
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -871,6 +887,23 @@ def copresence_support_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 copresence_support_pairs.__doc__ = copresence_support_pairs.__doc__.format(
     s=_G9_SUPPORT
 )
+
+
+def _symmetrize(pairs: DataFrame, a: str = "u", b: str = "w") -> DataFrame:
+    """Both edge orientations of an (s, d) pair table in ONE pass —
+    ``explode`` of a 2-struct array.  The previous idiom,
+    ``pairs.select(s,d).unionByName(pairs.select(d,s))``, re-evaluates
+    the whole pairs lineage once per union leg (the sim13 edges
+    lesson); this emits the identical bag of rows from a single
+    evaluation."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias(a), F.col("d").alias(b)),
+                F.struct(F.col("d").alias(a), F.col("s").alias(b)),
+            )
+        ).alias("e")
+    ).select(f"e.{a}", f"e.{b}")
 _G9_MAX_PEELS = 12  # oracle unroll depth; parity fails LOUDLY if exceeded
 
 
@@ -961,11 +994,7 @@ def g9_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint needed more than {n}, the oracle's truncated core would
     mismatch and parity fails loudly."""
     pairs = copresence_support_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
-        .unionByName(pairs.select(F.col("d").alias("u"), F.col("s").alias("w")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetrize(pairs).localCheckpoint(eager=True)
     n_e = edges.count() // 2
     alive = edges.select("u").distinct().localCheckpoint(eager=True)
     n_v = alive.count()
@@ -1095,9 +1124,7 @@ def g10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = copresence_support_pairs(spark, sf_dir).localCheckpoint(
         eager=True
     )
-    edges = pairs.select(F.col("s").alias("u"), F.col("d").alias("w")).unionByName(
-        pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
-    )
+    edges = _symmetrize(pairs)
     from pyspark.sql import Window as W
 
     wr = W.partitionBy("w").orderBy(
@@ -1171,13 +1198,7 @@ def lpa_labels(
     from pyspark.sql import Window as W
 
     pairs = copresence_support_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("s").alias("u"), F.col("d").alias("w"))
-        .unionByName(
-            pairs.select(F.col("d").alias("u"), F.col("s").alias("w"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetrize(pairs).localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("lab", F.col("u"))
     for _ in range(_G11_ROUNDS):
         cnt = (
@@ -1955,20 +1976,16 @@ def g16_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: extends the G-family (SURVEY §2.9) with the
     textbook BSP graph primitive (Pregel's hello-world)."""
     pairs = copresence_support_pairs(spark, sf_dir)
-    sym = (
-        pairs.select(F.col("s").alias("a"), F.col("d").alias("b"))
-        .unionByName(
-            pairs.select(F.col("d").alias("a"), F.col("s").alias("b"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    row = sym.agg(F.min("a").alias("v")).collect()[0]
+    sym = _symmetrize(pairs, "a", "b").localCheckpoint(eager=True)
+    # One job for both scalars (source vertex + the loop bound) instead
+    # of a min-collect followed by a count.
+    row = sym.agg(F.min("a").alias("v"), F.count("*").alias("n")).collect()[0]
     if row["v"] is None:  # no edges at this scale: empty labeled set
         return spark.createDataFrame([], "u long, hop long")
     dist = spark.createDataFrame([(row["v"], 0)], "u long, hop long")
     frontier = dist
     frontier_rows = 1
-    n_edges = sym.count()
+    n_edges = int(row["n"])
     # Each round labels >= 1 new vertex or stops, so <= |V| + 1 rounds;
     # the bound below is a defensive impossibility guard.
     for h in range(1, n_edges + 2):
@@ -1996,7 +2013,15 @@ def g16_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier_rows = nxt.count()
         if frontier_rows == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        # The labeled set is a lazy union of the already-checkpointed
+        # per-round frontiers: each leg is a materialized RDD, so the
+        # anti-join scans them without recomputation and no job (or
+        # O(|labeled|) copy) is paid per round — the previous eager
+        # re-checkpoint of the WHOLE set wrote O(diameter x |V|) rows
+        # over the BFS instead of O(|V|) (guide §1.2: don't compute
+        # things you throw away).  The union depth is bounded by the
+        # graph diameter, so the plan stays small.
+        dist = dist.unionByName(nxt)
         frontier = nxt
     else:  # pragma: no cover - mathematically unreachable
         raise RuntimeError("g16 BFS failed to exhaust the frontier")

@@ -1881,10 +1881,10 @@ def semdedup1_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
     )
-    return _cluster_prune(ivf_assign(emb, centroids))
+    return _cluster_prune(ivf_assign(emb, centroids), n_cells=k)
 
 
-def _cluster_prune(assigned: DataFrame) -> DataFrame:
+def _cluster_prune(assigned: DataFrame, n_cells: int | None = None) -> DataFrame:
     """In-cell cosine prune shared by semdedup1/semdedup2: drop the
     higher id of every same-cell pair with rounded cosine >= theta.
 
@@ -1895,7 +1895,23 @@ def _cluster_prune(assigned: DataFrame) -> DataFrame:
     then evaluates one dot per pair instead of three array aggregates
     (norm(v) is the identical expression on identical data, so
     dot/(na*nb) is bit-equal to the per-pair form and the round(6)
-    oracle boundary cannot move)."""
+    oracle boundary cannot move).
+
+    Drop-set shape: ``b_id`` is dropped iff SOME qualifying pair
+    reaches theta, i.e. iff ``max(cos) >= theta`` — an aggregation, not
+    a filter + distinct.  The aggregate form matters physically: the
+    pair join is keyed on ``cell``, whose distinct count at bench
+    scales is far below the core count, so AQE coalesces the exchange
+    by bytes and the quadratic cosine work ran in ONE task (guide
+    §2.2/§2.5 — the sim13 kNN-build lesson).  When cells are scarce
+    (n_cells < 4·parallelism) the cheap pair rows are re-partitioned
+    by ``b_id`` (~n-distinct) so the dot folds spread over every core
+    and the groupBy reuses that exchange; max() is order-independent,
+    so the result is bit-identical.  At 100 TB cells outnumber cores
+    (k = ceil(n/64) grows linearly) and the gate turns the extra
+    pair-payload shuffle OFF — the join's natural cell parallelism
+    suffices and only partial-aggregated (b_id, max) rows cross the
+    wire."""
     assigned = assigned.localCheckpoint(eager=False)
     with_norm = assigned.withColumn("nv", norm(F.col("v")))
     a = with_norm.select(
@@ -1910,14 +1926,20 @@ def _cluster_prune(assigned: DataFrame) -> DataFrame:
         F.col("nv").alias("nb"),
         "cell",
     )
+    pairs = a.join(
+        b, (a["cell"] == b["cell"]) & (F.col("a_id") < F.col("b_id"))
+    ).select("b_id", "av", "bv", "na", "nb")
+    par = assigned.sparkSession.sparkContext.defaultParallelism
+    if n_cells is None or n_cells < 4 * par:
+        pairs = pairs.repartition(par, "b_id")
     cos = F.round(
         dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6
     )
     dropped = (
-        a.join(b, (a["cell"] == b["cell"]) & (F.col("a_id") < F.col("b_id")))
-        .where(cos >= _SEMDEDUP_THETA)
+        pairs.groupBy("b_id")
+        .agg(F.max(cos).alias("_mx"))
+        .where(F.col("_mx") >= _SEMDEDUP_THETA)
         .select(F.col("b_id").alias("vec_id"))
-        .distinct()
     )
     return (
         assigned.select("vec_id", "cell")
@@ -1983,10 +2005,9 @@ def semdedup2_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).where(
         F.col("vec_id") < _SEMDEDUP_BASELINE_CAP
     )
-    centroids = kmeans_centroids_portable(
-        spark, emb.select("vec_id", "v"), k=_semdedup_k(emb)
-    )
-    return _cluster_prune(ivf_assign(emb, centroids))
+    k = _semdedup_k(emb)
+    centroids = kmeans_centroids_portable(spark, emb.select("vec_id", "v"), k=k)
+    return _cluster_prune(ivf_assign(emb, centroids), n_cells=k)
 
 
 def ivf_assign_within(vec_br: DataFrame, cents_br: DataFrame) -> DataFrame:
@@ -2144,7 +2165,7 @@ def semdedup3_hierarchical_prune(
         .alias("branch"),
     )
     vec_br = ivf_assign(emb, supers).withColumnRenamed("cell", "branch")
-    return _cluster_prune(ivf_assign_within(vec_br, cents_br))
+    return _cluster_prune(ivf_assign_within(vec_br, cents_br), n_cells=k)
 
 
 def _semdedup4_oracle() -> str:
@@ -2292,7 +2313,7 @@ def semdedup4_two_level_trained(
             "branch",
         )
     )
-    return _cluster_prune(ivf_assign_within(vec_br, cents_br))
+    return _cluster_prune(ivf_assign_within(vec_br, cents_br), n_cells=k)
 
 
 # --- SIM9: kNN-join classification -------------------------------------------
@@ -3563,6 +3584,10 @@ def decon2_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", F.col("cell").alias("branch")
     )
     asg = ivf_assign_within(vbr, cbr)
+    # NOTE (r12): a lazy checkpoint here (to cut the two-consumer
+    # bench/train split) measured 2.66 → 5.4 s — the two branches'
+    # identical upstream subplans already collapse via exchange reuse,
+    # so the cut only added a corpus-wide array materialization.
     lab = asg.join(docs, asg["vec_id"] == docs["doc_id"]).select(
         "vec_id", "v", "cell", "source"
     )

@@ -328,15 +328,23 @@ def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    # Every side below is bounded by the user_id < 30 cap (≤ 30 users,
+    # ≤ 435 pairs, ≤ 30·|event_types| set rows) REGARDLESS of corpus
+    # size, but the checkpointed lineage hides size stats from the
+    # planner, so without hints these four joins each planned as
+    # sort-merge with two exchanges (24 Exchange total in the r12
+    # baseline plan).  Explicit broadcasts are safe at any scale here —
+    # the bound is the filter, not the data (guide §3.1: hint when you
+    # KNOW a side is small and the estimate is wrong).
     pairs = (
         users.alias("ua")
         .join(users.alias("ub"), F.col("ua.user_id") < F.col("ub.user_id"))
         .select(
             F.col("ua.user_id").alias("a_id"), F.col("ub.user_id").alias("b_id")
         )
-        .join(sizes.withColumnRenamed("user_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
-        .join(sizes.withColumnRenamed("user_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
-        .join(inter, ["a_id", "b_id"], "left")
+        .join(F.broadcast(sizes.withColumnRenamed("user_id", "a_id").withColumnRenamed("sz", "sza")), "a_id")
+        .join(F.broadcast(sizes.withColumnRenamed("user_id", "b_id").withColumnRenamed("sz", "szb")), "b_id")
+        .join(F.broadcast(inter), ["a_id", "b_id"], "left")
         .select(
             "a_id",
             "b_id",
@@ -347,7 +355,7 @@ def k4_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pairs.join(est, ["a_id", "b_id"])
+        pairs.join(F.broadcast(est), ["a_id", "b_id"])
         .select(
             "a_id",
             "b_id",

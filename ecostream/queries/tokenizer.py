@@ -142,6 +142,13 @@ def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tokens are [a-z+]-only (asserted by construction above), so
         # inlining them as SQL literals is injection-safe
         pat, rep = f"|{lhs}|{rhs}|", f"|{lhs}+{rhs}|"
+        # Measured r12: checkpointing the rewritten corpus per round
+        # (to cut the O(R²) replace-chain recompute) LOST at bench
+        # scale — 3.01 → 3.63 s — because each materialization adds a
+        # job + an exchange while the un-cut replace chain fuses into
+        # the next round's pair-count scan as one codegen pass.  At
+        # R=6 the quadratic term is far below the per-job floor; the
+        # 100 TB guidance (checkpoint every few rounds) stands.
         cur = cur.select(F.expr(f"replace(s, '{pat}', '{rep}')").alias("s"))
     _MERGE_MEMO[(spark.sparkContext.applicationId, sf_dir)] = [
         (lhs, rhs) for _, lhs, rhs, _ in merges
@@ -513,6 +520,12 @@ def _uni_viterbi_usage(pos: DataFrame, costs: DataFrame) -> DataFrame:
         seg.select(F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.count("*").cast("long").alias("used"))
+        # Vocabulary-sized, but referenced twice downstream (the totals
+        # aggregate AND the vocab join) — without a lineage cut the
+        # whole E-step (per-document DP fold over the corpus) is
+        # evaluated once per reference (measured: 3 corpus-wide stages
+        # per E-step instead of 2 at sf0.1).
+        .localCheckpoint(eager=False)
     )
 
 
@@ -548,7 +561,14 @@ def tok3_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok1 serving device — so downstream segmentation reuses it as a
     pure map."""
     docs = load_table(spark, sf_dir, "documents")
-    pos = _uni_positions(docs)
+    # The positions table feeds FOUR consumers (unigram seed counts,
+    # bigram seed counts, and both E-step joins); without a lineage cut
+    # each one re-runs the scan + split + posexplode (measured: the
+    # dominant repeated cost of the tower).  One materialization, four
+    # cheap re-reads — the sim5 materialize_training_set discipline;
+    # at 100 TB this is the standard corpus-materialization trade
+    # (one write of the tokenized positions vs four full re-parses).
+    pos = _uni_positions(docs).localCheckpoint(eager=False)
 
     seed_uni = pos.groupBy(F.col("word").alias("piece")).agg(
         F.count("*").cast("long").alias("cnt")
