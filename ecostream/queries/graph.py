@@ -1662,52 +1662,46 @@ def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nxt").isNotNull())
         .groupBy("cur", "nxt")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     tot = pairs.groupBy("cur").agg(F.sum("cnt").cast("long").alias("tot"))
-    edges = pairs.join(tot, "cur").localCheckpoint(eager=True)
-    states = ev.select(F.col("event_type").alias("st")).distinct()
-    seed = states.agg(F.min("st")).collect()[0][0]
+    # The iteration state is a MODEL, not data: |event_type| scores and
+    # |event_type|² transition edges — both bounded by the state-space
+    # cardinality at ANY corpus scale (the m4 DTMC / k-means centroid
+    # round-trip device).  The heavy work (raw events → transition
+    # counts) stays one distributed partial-aggregated pass; the waves
+    # themselves fold on the driver in exact integer arithmetic —
+    # identical `div`/`+` on identical BIGINTs, so results are
+    # bit-equal to the former per-round join/checkpoint tower, minus
+    # ~2 jobs per wave of fixed overhead (guide §1.2: fewer jobs).
+    edge_rows = pairs.join(tot, "cur").collect()
+    # `states` is EVERY distinct event_type — including ones that never
+    # appear in a transition pair (single-event users only) — exactly
+    # the relation the former per-round left join preserved rows of.
+    states = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    seed = min(states)
     a = _G14_ALPHA_MILLI
-    s = states.select(
-        "st",
-        F.when(F.col("st") == seed, F.lit(1_000_000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("s"),
-    ).localCheckpoint(eager=True)
+    s = {st: (1_000_000 if st == seed else 0) for st in states}
     for _ in range(_G14_ROUNDS):
-        inflow = (
-            edges.join(
-                F.broadcast(s.where(F.col("s") > 0)),
-                edges["cur"] == F.col("st"),
-            )
-            .select(
-                F.col("nxt").alias("st2"),
-                F.expr("(s * cnt) div tot").alias("flow"),
-            )
-            .groupBy("st2")
-            .agg(F.sum("flow").cast("long").alias("raw"))
-        )
-        s = (
-            states.join(inflow, states["st"] == inflow["st2"], "left")
-            .select(
-                "st",
-                (
-                    F.when(F.col("st") == seed, F.lit(a * 1000))
-                    .otherwise(F.lit(0))
-                    + F.expr(f"({1000 - a} * coalesce(raw, 0L)) div 1000")
-                )
-                .cast("long")
-                .alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    wr = W.orderBy(F.desc("s"), "st")
+        raw: dict[str, int] = {}
+        for r in edge_rows:
+            sv = s.get(r["cur"], 0)
+            if sv > 0:
+                raw[r["nxt"]] = raw.get(r["nxt"], 0) + (sv * r["cnt"]) // r["tot"]
+        s = {
+            st: (a * 1000 if st == seed else 0)
+            + ((1000 - a) * raw.get(st, 0)) // 1000
+            for st in states
+        }
+    out = spark.createDataFrame(
+        [(st, s[st]) for st in states], "event_type string, ppr_micro long"
+    )
+    wr = W.orderBy(F.desc("ppr_micro"), "event_type")
     return (
-        s.select(
-            F.col("st").alias("event_type"),
-            F.col("s").alias("ppr_micro"),
+        out.select(
+            "event_type",
+            "ppr_micro",
             F.row_number().over(wr).cast("long").alias("rnk"),
         )
         .orderBy("event_type")

@@ -1698,8 +1698,12 @@ def _ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     size."""
     exact = exact.select("query_id", F.col("match_id").alias("exact_match"))
     approx = approx.select("query_id", F.col("match_id").alias("approx_match"))
+    # Both sides are |queries| × k by construction at ANY corpus scale,
+    # but their windowed/checkpointed lineage hides size stats, so the
+    # planner falls back to SortMergeJoin (the k4 device): broadcast
+    # the probe side of the left join explicitly.
     j = exact.join(
-        approx,
+        F.broadcast(approx),
         (exact["query_id"] == approx["query_id"])
         & (exact["exact_match"] == approx["approx_match"]),
         "left",
@@ -2583,20 +2587,43 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _RRF_DEPTH)
         .select("query_id", "match_id", F.col("rn").cast("long").alias("lex_rank"))
     )
+    # Fusion as union + one grouped max instead of a FULL OUTER join:
+    # each leg holds at most one row per (query_id, match_id), so
+    # max(rank) recovers exactly the outer join's coalesce(rank, 0) —
+    # one exchange on the fusion key instead of the full outer's two
+    # sorted exchanges (a full outer join can never broadcast), and an
+    # absent leg contributes rank 0 → no rrf term, as before.
     fused = (
-        sem.join(lex, ["query_id", "match_id"], "full_outer")
+        sem.select(
+            "query_id", "match_id", "sem_rank", F.lit(0).cast("long").alias("lex_rank")
+        )
+        .unionByName(
+            lex.select(
+                "query_id",
+                "match_id",
+                F.lit(0).cast("long").alias("sem_rank"),
+                "lex_rank",
+            )
+        )
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.max("sem_rank").alias("sem_rank"),
+            F.max("lex_rank").alias("lex_rank"),
+        )
         .select(
             "query_id",
             "match_id",
-            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
-            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            "sem_rank",
+            "lex_rank",
             (
-                F.coalesce(
-                    F.expr(f"1000000 div ({_RRF_K} + sem_rank)"), F.lit(0)
-                )
-                + F.coalesce(
-                    F.expr(f"1000000 div ({_RRF_K} + lex_rank)"), F.lit(0)
-                )
+                F.when(
+                    F.col("sem_rank") > 0,
+                    F.expr(f"1000000 div ({_RRF_K} + sem_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("lex_rank") > 0,
+                    F.expr(f"1000000 div ({_RRF_K} + lex_rank)"),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("rrf_micro"),
@@ -3352,9 +3379,14 @@ def sim11_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = base_assigned.unionByName(ivf_assign(delta, cents_base))
     ann_merged = ivf_ann_topk(emb, cents_base, assigned=merged)
     ann_rebuild = ivf_ann_topk(emb, cents_full)
+    # Both sides are per-query top-10s (≤ 5 queries × k=10 rows at ANY
+    # corpus scale — bounded by the vec_id < 5 query set, not the
+    # corpus), but their checkpoint-cut lineage hides size stats from
+    # the planner, which falls back to SortMergeJoin (the k4 fix):
+    # broadcast the rebuild side explicitly.
     overlap = (
         ann_merged.select("query_id", "match_id")
-        .join(ann_rebuild.select("query_id", "match_id"),
+        .join(F.broadcast(ann_rebuild.select("query_id", "match_id")),
               ["query_id", "match_id"])
         .agg(F.count("*").cast("long").alias("overlap"))
     )

@@ -171,12 +171,15 @@ def minhash_lsh_candidates(
         # docs) can dominate the whole join.  Dropping oversized buckets
         # bounds the worst key at max_bucket_size² pairs; true near-dup
         # pairs still collide in their other (selective) bands.
-        # Persist the bucket table: the sizes branch and both self-join
-        # sides would otherwise each recompute the whole shingle →
-        # signature pipeline (only one exchange gets reused); measured
-        # 2.5x faster cold at sf0.1.  At warehouse scale the signature
-        # table is written out once and reused across dedup runs
-        # instead of living in executor memory.
+        # Persist the bucket table: the sizes branch and the grouped
+        # pair-generation branch would otherwise each recompute the
+        # whole shingle → signature pipeline (only one exchange gets
+        # reused); measured 2.5x faster cold at sf0.1.  At warehouse
+        # scale the signature table is written out once and reused
+        # across dedup runs instead of living in executor memory.
+        # The count-then-filter two-phase (a cheap partial-agg count,
+        # never a collect_list of an unbounded hot bucket) is what
+        # keeps the worst key's reducer memory bounded at 100 TB.
         buckets = buckets.persist()
         sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("_n"))
         buckets = (
@@ -186,17 +189,28 @@ def minhash_lsh_candidates(
                 "left_anti",
             )
         )
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+    # Pair generation INSIDE each bucket group instead of a bucket-keyed
+    # self-join (guide §2.4 remove shuffles / §3.3 explode after, not
+    # before): one collect_list aggregation replaces the join's two
+    # exchanges of the full bucket table, and every i<j combination of
+    # the sorted in-bucket ids is emitted map-side from the grouped row
+    # — identical pair bag to the a.doc_id < b.doc_id join condition.
+    # Group size is bounded by max_bucket_size (filtered above), so the
+    # n²/2 expansion per group and the array buffer are both capped.
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(sequence(1, size(ids) - 1),"
+            " i -> transform(sequence(i + 1, size(ids)),"
+            " j -> struct(element_at(ids, i) AS a_id,"
+            " element_at(ids, j) AS b_id))))"
+        )
+    )
+    return grouped.select(pair.alias("p")).select("p.a_id", "p.b_id").distinct()
 
 
 @query("d3_minhash_lsh_candidates")
@@ -1325,10 +1339,14 @@ def d8_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toks.select(
         "doc_id", F.explode(F.expr(_D8_GRAM_SPARK)).alias("gram")
     )
+    # "appears in >= 2 distinct docs" as min != max — same predicate as
+    # count_distinct(doc_id) >= 2, but plain min/max partial-aggregate
+    # map-side in one pass (a distinct agg first re-keys every
+    # (gram, doc_id) pair through an extra aggregation).
     rep = (
         g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1"))
+        .where(F.col("_d0") != F.col("_d1"))
         .select("gram")
     )
     per_doc_rep = (
@@ -2155,10 +2173,14 @@ def d13_span_removal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.expr(_D8_GRAM_SPARK)).alias("p0", "gram"),
     ).select("doc_id", (F.col("p0") + 1).alias("i"), "gram")
+    # "appears in >= 2 distinct docs" as min != max — same predicate as
+    # count_distinct(doc_id) >= 2, but plain min/max partial-aggregate
+    # map-side in one pass (a distinct agg first re-keys every
+    # (gram, doc_id) pair through an extra aggregation).
     rep = (
         g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1"))
+        .where(F.col("_d0") != F.col("_d1"))
         .select("gram")
     )
     covered = (
