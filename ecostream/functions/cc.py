@@ -30,7 +30,7 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 def _local_union_find(
-    spark, vertices: DataFrame, sym: DataFrame
+    spark, vertices: DataFrame | None, pdf, vtype
 ) -> DataFrame:
     """Driver-side path-compressed union-find for SMALL graphs.
 
@@ -40,11 +40,20 @@ def _local_union_find(
     label propagation.  Same collect-a-model shape as the bloom bitset
     and k-means centroid round-trips (sanctioned, SURVEY §2.7/§7).
 
-    Only EDGE-TOUCHED vertices round-trip through the driver (≤ 2·|E|,
-    bounded by the threshold); the possibly-huge vertex set stays
-    distributed — isolated vertices get their own id via a left join.
-    The label schema is taken from ``vertices`` so non-long vertex ids
-    work the same as on the distributed path.
+    ``pdf`` is the already-collected un-symmetrized edge frame (Arrow
+    toPandas — row-at-a-time collect() / createDataFrame pickle every
+    edge/label through Py4J, measured ~10 s at 864k edges on er1's x10
+    slice; .tolist() normalizes numpy scalars so min/max/dict keys
+    behave identically to the collect() form).  ``vtype`` carries the
+    vertex id type so non-long ids work the same as on the distributed
+    path.
+
+    With ``vertices=None`` the label table — one row per EDGE-TOUCHED
+    vertex, exactly the set the distributed path would derive from the
+    symmetric edge list — is returned directly as a local table: no
+    symmetrize, no distinct, no label join, zero extra Spark jobs.
+    With an explicit vertex set, isolated vertices get their own id
+    via the left join, as before.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -58,18 +67,10 @@ def _local_union_find(
             x = parent[x]
         return x
 
-    # Arrow-batched round-trip both ways: row-at-a-time collect() and
-    # createDataFrame(list-of-tuples) pickle every edge/label through
-    # Py4J (measured ~10 s at 864k edges on er1's x10 slice); toPandas
-    # + a pandas-backed createDataFrame move the same rows as columnar
-    # Arrow batches.  .tolist() normalizes numpy scalars to Python so
-    # min/max/dict keys behave identically to the collect() form.
-    pdf = sym.select("src", "dst").toPandas()
     for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    vtype = vertices.schema["v"].dataType
     schema = T.StructType(
         [T.StructField("v", vtype), T.StructField("component", vtype)]
     )
@@ -80,6 +81,12 @@ def _local_union_find(
         ),
         schema,
     )
+    if vertices is None:
+        # touched == the edge-endpoint set, which is exactly what the
+        # distributed path's vertices derivation (sym.distinct) yields,
+        # and every touched vertex has a label — the left join would be
+        # the identity.  Same rows, no join.
+        return labels
     return vertices.join(labels, "v", "left").select(
         "v", F.coalesce("component", "v").alias("component")
     )
@@ -116,21 +123,41 @@ def connected_components(
     pass instead of diameter-many distributed rounds.  Set
     ``local_threshold=0`` to force the distributed path.
     """
+    # Null endpoints carry no connectivity; drop them BEFORE the size
+    # branch so both paths agree on dirty input (the distributed join
+    # silently drops nulls, while the local union-find would raise on
+    # ordering None against a vertex id).
+    clean_lineage = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if local_threshold:
+        # ONE evaluation both decides the size branch AND ships the
+        # edges (formerly: checkpoint job + count job + toPandas job).
+        # The limit caps the collect at the threshold regardless of
+        # graph size — CollectLimit's incremental partition scan stops
+        # early on huge graphs, so the probe is cheap on the
+        # distributed branch too.  Branch predicate identical to the
+        # old `2 * count < threshold`: with cap = ceil(threshold/2),
+        # len(pdf) < cap  ⟺  |edges| < threshold/2.  The union-find is
+        # orientation-agnostic, so only the un-symmetrized half ships.
+        cap = (local_threshold + 1) // 2
+        pdf = clean_lineage.limit(cap).toPandas()
+        if len(pdf) < cap:
+            vtype = (
+                vertices.schema["v"].dataType
+                if vertices is not None
+                else clean_lineage.schema["src"].dataType
+            )
+            return _local_union_find(
+                edges.sparkSession, vertices, pdf, vtype
+            )
     # Materialize the edge list ONCE, BEFORE symmetrizing: every round
     # joins it, and without this the full upstream lineage (for dedup:
     # the whole LSH candidate pipeline) would re-execute per round —
     # and checkpointing only AFTER the union would still execute that
     # lineage twice, once per union branch (measured: half of er1's
     # CC wall at x10 was the blocking join running a second time).
-    # Null endpoints carry no connectivity; drop them BEFORE the size
-    # branch so both paths agree on dirty input (the distributed join
-    # silently drops nulls, while the local union-find would raise on
-    # ordering None against a vertex id).
-    clean = _ckpt(
-        edges.select("src", "dst").where(
-            F.col("src").isNotNull() & F.col("dst").isNotNull()
-        )
-    )
+    clean = _ckpt(clean_lineage)
     sym = clean.union(
         clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -138,11 +165,6 @@ def connected_components(
         # Derived from the materialized edge list, not the upstream
         # lineage.
         vertices = sym.select(F.col("src").alias("v")).distinct()
-    if local_threshold and 2 * clean.count() < local_threshold:
-        # The union-find is orientation-agnostic, so ship the driver
-        # the un-symmetrized half: same components, half the Arrow
-        # transfer.
-        return _local_union_find(vertices.sparkSession, vertices, clean)
     # Two-phase star contraction runs over the edge set alone; the
     # final projection restores isolated input vertices, and endpoints
     # missing from `vertices` still conduct (matching the union-find

@@ -604,6 +604,16 @@ def er1_blocking_and_verify(
             )
         ).alias("b"),
     ).localCheckpoint(eager=False)
+    # Pin the block-join's parallelism (guide §2.2/§2.5, the
+    # copresence/sim13 fix): the block exchange carries tiny bytes, so
+    # AQE coalesces it and the quadratic-per-block pair generation +
+    # levenshtein verification ran in ONE task (measured 0.86 s serial
+    # at sf0.1).  REPARTITION_BY_NUM is never AQE-coalesced, the join's
+    # equi-key IS the partitioning key so both legs land co-partitioned
+    # at full width, and the count derives from defaultParallelism so
+    # it scales with the cluster.
+    par = spark.sparkContext.defaultParallelism
+    bk = bk.repartition(par, "b")
     x = bk.select(
         F.col("rec_id").alias("src"), F.col("raw").alias("ra"), "b"
     )

@@ -630,7 +630,12 @@ def t9_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-ish join → partial agg).  8-grams (vs bigrams) make exact
     overlap a high-precision contamination signal: only genuinely
     copied passages collide."""
-    docs = _docs(spark, sf_dir)
+    from ..functions.spread import spread_scan
+
+    # 8-gram concat explode is heavy per-row map work over an
+    # under-split scan (guide §2.5): spread it (A/B 0.86x; no-op at
+    # scale where the scan has >= parallelism splits).
+    docs = spread_scan(_docs(spark, sf_dir))
     # Tokenize ONCE per row into a column: a split() referenced inside
     # the transform() lambda would re-split the document for every
     # 8-gram position (no common-subexpression elimination across
@@ -2166,7 +2171,12 @@ def d13_span_removal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.  Reference analog: the dedup utilities around
     InsectDataStore (minwisehashing.py) stop at candidate pairs; the
     removal leg is this engine's extension."""
-    docs = _docs(spark, sf_dir)
+    from ..functions.spread import spread_scan
+
+    # The 4-gram posexplode + both keyed partial aggs are map-side work
+    # over an under-split scan (guide §2.5): spread it (A/B 0.63x;
+    # no-op at scale).
+    docs = spread_scan(_docs(spark, sf_dir))
     base = docs.select("doc_id", F.split("text", " ").alias("t"))
     toks = base.where(F.size("t") >= _D8_N)
     g = toks.select(
@@ -2858,7 +2868,12 @@ d14_winnowing_pairs.__doc__ = d14_winnowing_pairs.__doc__.format(
 def _d14_stages(spark: SparkSession, sf_dir: str) -> dict:
     """d14's pipeline with every stage exposed (shared by the declared
     query and the stress-funnel stage counters, VERDICT r10 #4)."""
-    docs = _docs(spark, sf_dir)
+    from ..functions.spread import spread_scan
+
+    # The per-row gram-hash + window-min folds are the heavy map leg
+    # over an under-split scan (guide §2.5): spread it (A/B 0.71x;
+    # no-op at scale).
+    docs = spread_scan(_docs(spark, sf_dir))
     k, w = _D14_K, _D14_W
     grams = (
         f"CASE WHEN size(t) >= {k} THEN "
@@ -3848,7 +3863,12 @@ def d17_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's only similarity surface is the MinHash estimate
     (minhash_lsh.py) which d3/k4 already cover approximately."""
     theta = _D17_THETA_PERMILLE
-    docs = _docs(spark, sf_dir).select(
+    from ..functions.spread import spread_scan
+
+    # Shingle explode + prefix-filter candidate generation run map-side
+    # over an under-split scan (guide §2.5): spread it (A/B 0.70x;
+    # no-op at scale).
+    docs = spread_scan(_docs(spark, sf_dir)).select(
         "doc_id", F.split("text", " ").alias("a")
     )
     shingles = (

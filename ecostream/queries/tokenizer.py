@@ -560,7 +560,13 @@ def tok3_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     The learned model is memoized per (application, sf_dir) — the
     tok1 serving device — so downstream segmentation reuses it as a
     pure map."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.spread import spread_scan
+
+    # The positions posexplode and both E-steps' per-document Viterbi
+    # folds are map-side work over an under-split scan (guide §2.5):
+    # spread it BEFORE the lineage cut so the checkpointed positions
+    # table carries full-width partitioning (A/B 0.75x; no-op at scale).
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # The positions table feeds FOUR consumers (unigram seed counts,
     # bigram seed counts, and both E-step joins); without a lineage cut
     # each one re-runs the scan + split + posexplode (measured: the
