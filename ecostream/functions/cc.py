@@ -133,15 +133,24 @@ def connected_components(
     if local_threshold:
         # ONE evaluation both decides the size branch AND ships the
         # edges (formerly: checkpoint job + count job + toPandas job).
-        # The limit caps the collect at the threshold regardless of
-        # graph size — CollectLimit's incremental partition scan stops
-        # early on huge graphs, so the probe is cheap on the
-        # distributed branch too.  Branch predicate identical to the
-        # old `2 * count < threshold`: with cap = ceil(threshold/2),
+        # The probe runs on a LAZY localCheckpoint of the edge list
+        # (ADVICE r12): a bare `clean_lineage.limit(cap)` would fully
+        # execute every upstream stage past the first shuffle boundary
+        # (CollectLimit only short-circuits the final stage) and the
+        # distributed branch's checkpoint would then re-execute the
+        # same expensive lineage a second time.  The lazy checkpoint
+        # materializes as a side effect of the probe action (runJob's
+        # doCheckpoint fills the remaining partitions in the same
+        # action), so the upstream lineage — for dedup, the whole LSH
+        # candidate pipeline — runs exactly ONCE on BOTH branches,
+        # while the local branch still pays a single action.
+        # Branch predicate identical to the old
+        # `2 * count < threshold`: with cap = ceil(threshold/2),
         # len(pdf) < cap  ⟺  |edges| < threshold/2.  The union-find is
         # orientation-agnostic, so only the un-symmetrized half ships.
         cap = (local_threshold + 1) // 2
-        pdf = clean_lineage.limit(cap).toPandas()
+        clean = clean_lineage.localCheckpoint(eager=False)
+        pdf = clean.limit(cap).toPandas()
         if len(pdf) < cap:
             vtype = (
                 vertices.schema["v"].dataType
@@ -151,13 +160,14 @@ def connected_components(
             return _local_union_find(
                 edges.sparkSession, vertices, pdf, vtype
             )
-    # Materialize the edge list ONCE, BEFORE symmetrizing: every round
-    # joins it, and without this the full upstream lineage (for dedup:
-    # the whole LSH candidate pipeline) would re-execute per round —
-    # and checkpointing only AFTER the union would still execute that
-    # lineage twice, once per union branch (measured: half of er1's
-    # CC wall at x10 was the blocking join running a second time).
-    clean = _ckpt(clean_lineage)
+    else:
+        # Materialize the edge list ONCE, BEFORE symmetrizing: every
+        # round joins it, and without this the full upstream lineage
+        # would re-execute per round — and checkpointing only AFTER
+        # the union would still execute that lineage twice, once per
+        # union branch (measured: half of er1's CC wall at x10 was
+        # the blocking join running a second time).
+        clean = _ckpt(clean_lineage)
     sym = clean.union(
         clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -1673,12 +1673,35 @@ def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical `div`/`+` on identical BIGINTs, so results are
     # bit-equal to the former per-round join/checkpoint tower, minus
     # ~2 jobs per wave of fixed overhead (guide §1.2: fewer jobs).
-    edge_rows = pairs.join(tot, "cur").collect()
     # `states` is EVERY distinct event_type — including ones that never
     # appear in a transition pair (single-event users only) — exactly
     # the relation the former per-round left join preserved rows of.
+    # NULL event_types carry no rank mass (the former per-round join
+    # gave them score 0 and they cannot seed); dropping them here keeps
+    # the collect sortable, and an empty events table yields an empty
+    # result instead of a min() ValueError (ADVICE r12).
     states = sorted(
-        r[0] for r in ev.select("event_type").distinct().collect()
+        r[0]
+        for r in ev.select("event_type")
+        .where(F.col("event_type").isNotNull())
+        .distinct()
+        .collect()
+    )
+    if not states:
+        return spark.createDataFrame(
+            [], "event_type string, ppr_micro long, rnk long"
+        )
+    # Defensive cardinality guard (VERDICT r12 #3): the collect is
+    # bounded by |event_type|² BY THE DATA MODEL (edges are (cur, nxt)
+    # pairs of event types), but nothing upstream enforces it — cap it
+    # so a pathological events table fails loudly instead of OOMing
+    # the driver (the cc.py limit-probe device).
+    from ..functions.guards import bounded_collect
+
+    edge_rows = bounded_collect(
+        pairs.join(tot, "cur"),
+        len(states) ** 2,
+        "g14 transition edges (|event_type|² model bound)",
     )
     seed = min(states)
     a = _G14_ALPHA_MILLI

@@ -189,6 +189,24 @@ def minhash_lsh_candidates(
                 "left_anti",
             )
         )
+    if max_bucket_size is None:
+        # UNBOUNDED buckets (no size guard ran above): the grouped
+        # collect_list below would materialize a whole bucket — and its
+        # n²/2 pair structs — in ONE aggregation buffer, so a single
+        # hot band hash could OOM an executor (ADVICE r12).  Fall back
+        # to the streaming bucket-keyed self-join: identical pair set
+        # (a < b within each bucket, distinct across bands), no
+        # per-group buffer, at the cost of two exchanges of the bucket
+        # table.  Query-path callers all pass a finite cap and take the
+        # grouped formulation.
+        a = buckets.select("band", "bh", F.col("doc_id").alias("a_id"))
+        b = buckets.select("band", "bh", F.col("doc_id").alias("b_id"))
+        return (
+            a.join(b, ["band", "bh"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
     # Pair generation INSIDE each bucket group instead of a bucket-keyed
     # self-join (guide §2.4 remove shuffles / §3.3 explode after, not
     # before): one collect_list aggregation replaces the join's two

@@ -57,6 +57,36 @@ _PAIRS_SPARK = (
 )
 
 
+def _bpe_ckpt_every(spark: SparkSession, est_bytes: int) -> int:
+    """Lineage-checkpoint cadence for the merge-train rewrite chain
+    (VERDICT r12 #4): 0 = never (the replace chain stays a fused
+    codegen pass — measured BEST at bench scale, 3.01 vs 3.63 s with
+    per-round cuts), else checkpoint every N rounds to truncate the
+    O(R²) replace-chain recompute that is real at 100 TB.
+
+    The gate is SCALE-INVARIANT: it fires on the estimated corpus
+    bytes, not core count or SF.  Below the threshold, recomputing the
+    whole chain is cheaper than one corpus materialization (the r12
+    measurement); above it, each pair-count pass re-running `rank`
+    stacked replaces over a huge corpus dominates and the
+    materialization amortizes.  Both knobs are conf-parameterised so a
+    cluster profile can tune them without code changes."""
+    thresh = int(
+        spark.conf.get("spark.ecostream.bpe.ckptMinBytes", str(8 << 30))
+    )
+    every = int(spark.conf.get("spark.ecostream.bpe.ckptEvery", "3"))
+    if every <= 0 or est_bytes < thresh:
+        return 0
+    return every
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` (file-size-derived
+    for a plain scan) — the same statistic the broadcast planner
+    trusts, used here only to gate a checkpoint cadence."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def _bpe_oracle(rounds: int) -> str:
     """Unrolled DuckDB replay: s{k} = corpus after k merges, m{k} = the
     k-th learned rule.  range(1, len(t)) is end-exclusive (empty for
@@ -124,6 +154,7 @@ def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = docs.select(
         F.concat(F.lit("|"), F.expr("replace(text, ' ', '|')"), F.lit("|")).alias("s")
     )
+    ckpt_every = _bpe_ckpt_every(spark, _plan_size_bytes(docs))
     merges = []
     for rank in range(1, _BPE_ROUNDS + 1):
         toks = cur.select(
@@ -148,8 +179,17 @@ def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # job + an exchange while the un-cut replace chain fuses into
         # the next round's pair-count scan as one codegen pass.  At
         # R=6 the quadratic term is far below the per-job floor; the
-        # 100 TB guidance (checkpoint every few rounds) stands.
+        # 100 TB replace-chain truncation is the GATED cadence below
+        # (off at bench scale, fires on corpus bytes — VERDICT r12 #4).
         cur = cur.select(F.expr(f"replace(s, '{pat}', '{rep}')").alias("s"))
+        if ckpt_every and rank % ckpt_every == 0 and rank < _BPE_ROUNDS:
+            # Lazy cut: the NEXT round's pair-count job materializes it
+            # (no extra job), later rounds re-read the materialized
+            # corpus instead of re-running `rank` stacked replaces over
+            # the scan.  Pure lineage surgery — pair counts are
+            # order-independent aggregates, so the learned table is
+            # unchanged (tests pin gate-on ≡ gate-off).
+            cur = cur.localCheckpoint(eager=False)
     _MERGE_MEMO[(spark.sparkContext.applicationId, sf_dir)] = [
         (lhs, rhs) for _, lhs, rhs, _ in merges
     ]
@@ -457,18 +497,127 @@ def _tok3_oracle() -> str:
     )
 
 
-_UNI_DP = f"""aggregate(ps,
-    named_struct('bp', CAST({_UNI_INF} AS BIGINT),
-                 'pp', CAST(array() AS array<string>),
-                 'bc', CAST(0 AS BIGINT),
-                 'pc', CAST(array() AS array<string>)),
-    (a, x) -> IF(a.bp + x.bcost < a.bc + x.ucost,
-        named_struct('bp', a.bc, 'pp', a.pc,
-                     'bc', a.bp + x.bcost,
-                     'pc', concat(a.pp, array(x.bkey))),
-        named_struct('bp', a.bc, 'pp', a.pc,
-                     'bc', a.bc + x.ucost,
-                     'pc', concat(a.pc, array(x.word))))).pc"""
+def _uni_viterbi_arrow(batches):
+    """Arrow-batched exact-int64 Viterbi E-step (guide §4.2/§4.4): the
+    per-document minimum-cost segmentation DP, vectorized with NumPy
+    ACROSS the documents of each chunk instead of an interpreted
+    Catalyst `aggregate` fold with O(L²) array concats per document.
+
+    Input rows arrive hash-partitioned by doc_id and sorted by
+    (doc_id, i), so each document is a contiguous run inside one
+    partition.  Chunks are cut only at document boundaries (rows of a
+    batch's trailing document carry over to the next chunk), so memory
+    is bounded by one Arrow batch plus one document, never the
+    partition.  All arithmetic is int64 add/compare — bit-identical to
+    the JVM fold: same 1e15 _UNI_INF sentinel, same strict-< rule ("the
+    bigram step wins only on strict improvement").  Emits per-PARTITION
+    partial usage counts (piece, used); the downstream sum is exactly
+    the old explode + count.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    counts: dict = {}
+    # carried columns of the (possibly) unfinished trailing document
+    carry: list = []
+
+    def run_chunk(cols) -> None:
+        doc_ids, ucost, bcost, words, bkeys = cols
+        n = len(doc_ids)
+        if n == 0:
+            return
+        starts = np.flatnonzero(
+            np.r_[True, doc_ids[1:] != doc_ids[:-1]]
+        )
+        lengths = np.r_[starts[1:], n] - starts
+        ndocs = len(starts)
+        maxlen = int(lengths.max())
+        # padded (ndocs x maxlen) cost matrices; pad rows are inert
+        # (valid=False lanes never update the DP state)
+        span = np.arange(maxlen)
+        idx = starts[:, None] + span[None, :]
+        valid = span[None, :] < lengths[:, None]
+        idx = np.where(valid, idx, 0)
+        U = np.where(valid, ucost[idx], 0)
+        B = np.where(valid, bcost[idx], _UNI_INF)
+        # forward pass: bc = best cost through position k, bp = best
+        # through k-1 (the fold's named_struct state, minus the paths);
+        # choice[d, k] = "the bigram step won at k" (strict <)
+        bp = np.full(ndocs, _UNI_INF, dtype=np.int64)
+        bc = np.zeros(ndocs, dtype=np.int64)
+        choice = np.zeros((ndocs, maxlen), dtype=bool)
+        for k in range(maxlen):
+            alive = valid[:, k]
+            cand_b = bp + B[:, k]
+            cand_u = bc + U[:, k]
+            take_b = cand_b < cand_u
+            choice[:, k] = take_b & alive
+            bp = np.where(alive, bc, bp)
+            bc = np.where(
+                alive, np.where(take_b, cand_b, cand_u), bc
+            )
+        # traceback (vectorized across docs): from the last position,
+        # a bigram step consumes positions {k-1, k} and emits bkey[k];
+        # a unigram step consumes {k} and emits word[k]
+        ptr = lengths - 1
+        uni_sel: list = []
+        bi_sel: list = []
+        while True:
+            active = ptr >= 0
+            if not active.any():
+                break
+            safe = np.where(active, ptr, 0)
+            g = starts + safe
+            took_b = choice[np.arange(ndocs), safe] & active
+            took_u = active & ~took_b
+            bi_sel.append(g[took_b])
+            uni_sel.append(g[took_u])
+            ptr = ptr - np.where(took_b, 2, 1)
+        import pandas as pd
+
+        emitted = pd.concat(
+            [
+                pd.Series(words[np.concatenate(uni_sel)]),
+                pd.Series(bkeys[np.concatenate(bi_sel)]),
+            ],
+            ignore_index=True,
+        )
+        for piece, used in emitted.value_counts().items():
+            counts[piece] = counts.get(piece, 0) + int(used)
+
+    def to_np(batch):
+        return [
+            batch.column(j).to_numpy(zero_copy_only=False)
+            for j in range(batch.num_columns)
+        ]
+
+    for batch in batches:
+        cols = to_np(batch)
+        if carry:
+            cols = [np.concatenate([c, b]) for c, b in zip(carry, cols)]
+        doc_ids = cols[0]
+        n = len(doc_ids)
+        if n == 0:
+            carry = []
+            continue
+        # hold back the trailing document — it may continue in the
+        # next batch
+        tail_start = int(
+            np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])[-1]
+        )
+        carry = [c[tail_start:] for c in cols]
+        run_chunk([c[:tail_start] for c in cols])
+    if carry:
+        run_chunk(carry)
+    if counts:
+        pieces = list(counts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(pieces, type=pa.string()),
+                pa.array([counts[p] for p in pieces], type=pa.int64()),
+            ],
+            names=["piece", "used"],
+        )
 
 
 def _uni_positions(docs: DataFrame) -> DataFrame:
@@ -511,15 +660,27 @@ def _uni_viterbi_usage(pos: DataFrame, costs: DataFrame) -> DataFrame:
             F.coalesce("bkey", F.lit("")).alias("bkey"),
         )
     )
-    per = j.groupBy("doc_id").agg(
-        F.expr("array_sort(collect_list(struct(i, ucost, word, bcost, bkey)))")
-        .alias("ps")
+    # Per-document DP via one Arrow pass (guide §4.2; VERDICT r12 #1):
+    # the former groupBy(doc_id) + collect_list(struct) + interpreted
+    # `aggregate` fold re-built the path array per step (O(L²) concats
+    # per doc).  Same single doc_id exchange (repartition instead of the
+    # aggregation's), rows sorted per doc so each document is a
+    # contiguous run, only the five needed columns cross the boundary
+    # (guide §4.1), and the Arrow fn emits per-partition PARTIAL usage
+    # counts — the final sum is the old explode+count, one
+    # vocabulary-sized shuffle.  REPARTITION_BY_NUM derives from
+    # defaultParallelism, so the DP spreads with the cluster and is
+    # never AQE-coalesced.
+    par = pos.sparkSession.sparkContext.defaultParallelism
+    seg = (
+        j.repartition(par, "doc_id")
+        .sortWithinPartitions("doc_id", "i")
+        .select("doc_id", "ucost", "bcost", "word", "bkey")
+        .mapInArrow(_uni_viterbi_arrow, "piece string, used long")
     )
-    seg = per.select(F.expr(_UNI_DP).alias("pieces"))
     return (
-        seg.select(F.explode("pieces").alias("piece"))
-        .groupBy("piece")
-        .agg(F.count("*").cast("long").alias("used"))
+        seg.groupBy("piece")
+        .agg(F.sum("used").cast("long").alias("used"))
         # Vocabulary-sized, but referenced twice downstream (the totals
         # aggregate AND the vocab join) — without a lineage cut the
         # whole E-step (per-document DP fold over the corpus) is

@@ -236,3 +236,42 @@ def test_g15_truss_matches_pure_python(spark):
     assert got == expected
     # truss invariant: every surviving edge closes >= t triangles
     assert all(v >= _G15_T for v in got.values()) or not got
+
+
+def test_bounded_collect_guard(spark):
+    """VERDICT r12 #3: model-sized driver collects fail loudly at the
+    cap instead of shipping an unbounded relation to the driver."""
+    import pytest
+
+    from ecostream.functions.guards import bounded_collect
+
+    df = spark.range(10)
+    assert len(bounded_collect(df, 10, "ok")) == 10
+    assert len(bounded_collect(df, 100, "ok")) == 10
+    with pytest.raises(ValueError, match="model-size bound"):
+        bounded_collect(df, 9, "over-cap synthetic")
+
+
+def test_g14_empty_and_null_events(spark, tmp_path):
+    """ADVICE r12: NULL event_types must not break the driver fold and
+    an empty events table must yield an empty result, not ValueError."""
+    import pyspark.sql.functions as F
+
+    from ecostream.queries.graph import g14_personalized_pagerank
+    from ecostream.schema import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    d_empty = str(tmp_path / "empty")
+    src.limit(0).write.parquet(f"{d_empty}/events.parquet")
+    assert g14_personalized_pagerank(spark, d_empty).count() == 0
+
+    d_null = str(tmp_path / "withnull")
+    src.limit(50).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(
+            F.col("event_type")
+        ),
+    ).write.parquet(f"{d_null}/events.parquet")
+    out = g14_personalized_pagerank(spark, d_null).collect()
+    assert out  # non-empty, no TypeError from sorting None
+    assert all(r["event_type"] is not None for r in out)

@@ -261,3 +261,43 @@ def test_tok3_apply_consistent_with_training(spark):
         assert served.get(piece, 0) == n_uses, piece
     # every served piece is in the model vocabulary
     assert set(served) <= set(out)
+
+
+def test_bpe1_ckpt_gate_policy(spark):
+    """VERDICT r12 #4: the lineage-checkpoint cadence is a pure,
+    scale-invariant function of estimated corpus bytes — off below the
+    threshold (bench scale keeps the fused replace chain), on above it
+    (100 TB truncates the O(R²) recompute)."""
+    from ecostream.queries.tokenizer import _bpe_ckpt_every
+
+    # default threshold is 8 GiB: bench-scale corpora stay gate-off
+    assert _bpe_ckpt_every(spark, 10 << 20) == 0
+    assert _bpe_ckpt_every(spark, (8 << 30) - 1) == 0
+    assert _bpe_ckpt_every(spark, 8 << 30) == 3
+    assert _bpe_ckpt_every(spark, 100 << 40) == 3
+    # conf-parameterised knobs, including a hard disable
+    spark.conf.set("spark.ecostream.bpe.ckptMinBytes", "1024")
+    spark.conf.set("spark.ecostream.bpe.ckptEvery", "2")
+    try:
+        assert _bpe_ckpt_every(spark, 2048) == 2
+        spark.conf.set("spark.ecostream.bpe.ckptEvery", "0")
+        assert _bpe_ckpt_every(spark, 2048) == 0
+    finally:
+        spark.conf.unset("spark.ecostream.bpe.ckptMinBytes")
+        spark.conf.unset("spark.ecostream.bpe.ckptEvery")
+
+
+def test_bpe1_ckpt_gate_on_identical_rules(spark):
+    """Forcing the gate ON (threshold 0) must leave the learned merge
+    table bit-identical — the checkpoint is lineage surgery only."""
+    from ecostream.queries import tokenizer as tk
+
+    baseline = tk.bpe1_merge_train(spark, SF_SMOKE).collect()
+    spark.conf.set("spark.ecostream.bpe.ckptMinBytes", "0")
+    spark.conf.set("spark.ecostream.bpe.ckptEvery", "2")
+    try:
+        gated = tk.bpe1_merge_train(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.unset("spark.ecostream.bpe.ckptMinBytes")
+        spark.conf.unset("spark.ecostream.bpe.ckptEvery")
+    assert gated == baseline
