@@ -497,11 +497,36 @@ def _tok3_oracle() -> str:
     )
 
 
+_UNI_DP = f"""aggregate(ps,
+    named_struct('bp', CAST({_UNI_INF} AS BIGINT),
+                 'pp', CAST(array() AS array<string>),
+                 'bc', CAST(0 AS BIGINT),
+                 'pc', CAST(array() AS array<string>)),
+    (a, x) -> IF(a.bp + x.bcost < a.bc + x.ucost,
+        named_struct('bp', a.bc, 'pp', a.pc,
+                     'bc', a.bp + x.bcost,
+                     'pc', concat(a.pp, array(x.bkey))),
+        named_struct('bp', a.bc, 'pp', a.pc,
+                     'bc', a.bc + x.ucost,
+                     'pc', concat(a.pc, array(x.word))))).pc"""
+
+
 def _uni_viterbi_arrow(batches):
-    """Arrow-batched exact-int64 Viterbi E-step (guide §4.2/§4.4): the
-    per-document minimum-cost segmentation DP, vectorized with NumPy
-    ACROSS the documents of each chunk instead of an interpreted
-    Catalyst `aggregate` fold with O(L²) array concats per document.
+    """Arrow-batched exact-int64 Viterbi E-step (guide §4.2/§4.4):
+    MEASURED AND NOT WIRED (r13) — kept as the documented alternative
+    the `_UNI_DP` fold was benchmarked against, and as the 100 TB
+    fallback if document lengths ever stop being bounded (~100 words),
+    where the fold's O(L²) path concats would turn quadratic-real.
+
+    Vectorizes the per-document minimum-cost segmentation DP with
+    NumPy ACROSS the documents of each chunk instead of the Catalyst
+    `aggregate` fold.  Interleaved same-session A/B at sf0.1/32 cores
+    (tools/ab_tok3_estep.py): old fold 0.93 s vs Arrow 1.17 s per
+    E-step (0.80x), full tok3 0.85x — with ≤100-word documents the
+    fold's path concats are ≤5050 element copies per doc and the
+    Arrow serialization of the 5-column positions table costs more
+    than the fold saves, so the fold stays the wired path (guide §1:
+    measure first; §4 boundary cost is real in BOTH directions).
 
     Input rows arrive hash-partitioned by doc_id and sorted by
     (doc_id, i), so each document is a contiguous run inside one
@@ -660,27 +685,21 @@ def _uni_viterbi_usage(pos: DataFrame, costs: DataFrame) -> DataFrame:
             F.coalesce("bkey", F.lit("")).alias("bkey"),
         )
     )
-    # Per-document DP via one Arrow pass (guide §4.2; VERDICT r12 #1):
-    # the former groupBy(doc_id) + collect_list(struct) + interpreted
-    # `aggregate` fold re-built the path array per step (O(L²) concats
-    # per doc).  Same single doc_id exchange (repartition instead of the
-    # aggregation's), rows sorted per doc so each document is a
-    # contiguous run, only the five needed columns cross the boundary
-    # (guide §4.1), and the Arrow fn emits per-partition PARTIAL usage
-    # counts — the final sum is the old explode+count, one
-    # vocabulary-sized shuffle.  REPARTITION_BY_NUM derives from
-    # defaultParallelism, so the DP spreads with the cluster and is
-    # never AQE-coalesced.
-    par = pos.sparkSession.sparkContext.defaultParallelism
-    seg = (
-        j.repartition(par, "doc_id")
-        .sortWithinPartitions("doc_id", "i")
-        .select("doc_id", "ucost", "bcost", "word", "bkey")
-        .mapInArrow(_uni_viterbi_arrow, "piece string, used long")
+    # Per-document DP stays the codegen `aggregate` fold: the Arrow
+    # rewrite VERDICT r12 #1 asked for was built and MEASURED SLOWER
+    # (0.80x per E-step, 0.85x full query — see _uni_viterbi_arrow's
+    # docstring and tools/ab_tok3_estep.py) because document length is
+    # bounded (~100 words), so the fold's O(L²) path concats are cheap
+    # while the Python boundary serializes the whole positions table.
+    per = j.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(i, ucost, word, bcost, bkey)))")
+        .alias("ps")
     )
+    seg = per.select(F.expr(_UNI_DP).alias("pieces"))
     return (
-        seg.groupBy("piece")
-        .agg(F.sum("used").cast("long").alias("used"))
+        seg.select(F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.count("*").cast("long").alias("used"))
         # Vocabulary-sized, but referenced twice downstream (the totals
         # aggregate AND the vocab join) — without a lineage cut the
         # whole E-step (per-document DP fold over the corpus) is

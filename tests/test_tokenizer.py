@@ -301,3 +301,75 @@ def test_bpe1_ckpt_gate_on_identical_rules(spark):
         spark.conf.unset("spark.ecostream.bpe.ckptMinBytes")
         spark.conf.unset("spark.ecostream.bpe.ckptEvery")
     assert gated == baseline
+
+
+def test_uni_viterbi_arrow_matches_fold(spark):
+    """The Arrow-batched Viterbi DP (benchmarked alternative to the
+    wired _UNI_DP fold; see _uni_viterbi_arrow's docstring) must emit
+    the exact same (piece, used) counts — it is the documented 100 TB
+    fallback for unbounded document lengths, so keep it honest."""
+    import pyspark.sql.functions as F
+
+    from ecostream.queries import tokenizer as tk
+    from ecostream.schema import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pos = tk._uni_positions(docs).localCheckpoint()
+    seed_uni = pos.groupBy(F.col("word").alias("piece")).agg(
+        F.count("*").cast("long").alias("cnt")
+    ).select("piece", F.lit(1).alias("nw"), "cnt")
+    seed_bi = (
+        pos.where(F.col("bkey").isNotNull())
+        .groupBy(F.col("bkey").alias("piece"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select("piece", F.lit(2).alias("nw"), "cnt")
+    )
+    seed = seed_uni.unionByName(seed_bi)
+    tot0 = seed.agg(F.sum("cnt").cast("long").alias("tot"))
+    cost0 = seed.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        "nw",
+        (
+            -F.round(
+                F.log(F.col("cnt").cast("double") / F.col("tot")) * 1_000_000
+            )
+        )
+        .cast("long")
+        .alias("cost"),
+    ).localCheckpoint()
+
+    fold = {
+        r["piece"]: r["used"]
+        for r in tk._uni_viterbi_usage(pos, cost0).collect()
+    }
+
+    uni = cost0.where(F.col("nw") == 1).select(
+        F.col("piece").alias("_up"), F.col("cost").alias("ucost")
+    )
+    bi = cost0.where(F.col("nw") == 2).select(
+        F.col("piece").alias("_bp"), F.col("cost").alias("bcost")
+    )
+    j = (
+        pos.join(F.broadcast(uni), pos["word"] == uni["_up"])
+        .join(F.broadcast(bi), pos["bkey"] == bi["_bp"], "left")
+        .select(
+            "doc_id",
+            "i",
+            "word",
+            "ucost",
+            F.coalesce("bcost", F.lit(tk._UNI_INF)).cast("long").alias("bcost"),
+            F.coalesce("bkey", F.lit("")).alias("bkey"),
+        )
+    )
+    arrow = {
+        r["piece"]: r["used"]
+        for r in (
+            j.repartition(4, "doc_id")
+            .sortWithinPartitions("doc_id", "i")
+            .select("doc_id", "ucost", "bcost", "word", "bkey")
+            .mapInArrow(tk._uni_viterbi_arrow, "piece string, used long")
+            .groupBy("piece")
+            .agg(F.sum("used").cast("long").alias("used"))
+        ).collect()
+    }
+    assert arrow == fold and fold
