@@ -267,20 +267,94 @@ def sim3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SIM4: IVF-style coarse-quantizer ANN ------------------------------------
 
 
+def _cent_structs(centroids: DataFrame) -> F.Column:
+    """Per-centroid struct with the norm precomputed ONCE on the tiny
+    model side (saves an O(dim) norm per vector×centroid downstream).
+    greatest(.., 1e-12) guards the degenerate all-zeros centroid —
+    under ANSI mode a 0 divisor is fatal, and a zero centroid should
+    simply never win the argmax (its dot is 0 anyway)."""
+    return F.struct(
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.col("cv_cent").alias("cv_cent"),
+        F.greatest(norm(F.col("cv_cent")), F.lit(1e-12)).alias("cent_norm"),
+    )
+
+
+def _argmax_cell(cents_col) -> F.Column:
+    """argmax_c dot(v, c)/|c| over an ARRAY of centroid structs as one
+    narrow expression: ``array_max(transform(...))`` on
+    struct(cent_sim, -cent_id) — identical ordering semantics (ties →
+    lowest centroid id, NaN greatest) to the former
+    ``max(struct(...))`` aggregate, with NO per-vector exchange.  The
+    vector's own norm is constant per row, so it is dropped from the
+    score."""
+    return F.array_max(
+        F.transform(
+            cents_col,
+            lambda c: F.struct(
+                (dot(F.col("v"), c["cv_cent"]) / c["cent_norm"]).alias(
+                    "cent_sim"
+                ),
+                (-c["cent_id"]).alias("neg_cent"),
+            ),
+        )
+    )
+
+
+def ivf_assign_narrow(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """:func:`ivf_assign` as a pure NARROW MAP — MEASURED AND NOT WIRED
+    (r13; guide §1 measure first).  The centroid table collapses to ONE
+    row holding the array of centroid structs, and a 1-row broadcast
+    cross join + ``array_max(transform(...))`` scores every centroid
+    per vector inline: NO per-vector exchange, bit-identical argmax
+    (equivalence test + full IVF-family oracle parity both green).
+
+    Measurements (tools/ab_ivf.py, sf0.1 × 32 cores, interleaved):
+    full queries 0.86–1.00x (sim5 0.86, decon2 0.86, semdedup4 0.94,
+    sim11 0.98, sq1 1.00) — but isolated assigns show the loss is
+    PER-CALL FIXED COST (the model-side agg stage feeding the
+    broadcast), not per-row: at 16x rows this path is flat (0.53 →
+    0.49 s) while the wired exchange formulation grows (0.49 →
+    0.65 s), crossing at ~1.33x by 32 k vectors.  Two reasons the
+    exchange formulation stays wired at bench scale: (a) the suite's
+    inputs are a few thousand vectors, below the crossover; (b) its
+    groupBy exchange doubles as a scan-spread for the downstream
+    in-cell folds (the bench parquet is single-row-group), which this
+    narrow map would leave serial.  At warehouse scale — well-split
+    inputs, vector tables that dwarf the per-call stage cost — this is
+    the right shape; swap the wired body for this one when (a)/(b)
+    invert.  (A ``coalesce(1)`` on the model side to skip its agg
+    exchange was also measured: 0.16x — coalesce propagates UP the
+    centroid lineage and serializes the upstream scan.  Keep the plain
+    agg.)"""
+    cents_one = centroids.select(_cent_structs(centroids).alias("c")).agg(
+        F.collect_list("c").alias("_cents")
+    )
+    best = emb.crossJoin(F.broadcast(cents_one)).select(
+        "vec_id", "v", _argmax_cell(F.col("_cents")).alias("m")
+    )
+    # array_max(empty) is NULL: an empty centroid table assigns nothing,
+    # exactly as a crossJoin-with-empty produces zero rows.
+    return best.where(F.col("m").isNotNull()).select(
+        "vec_id", "v", (-F.col("m.neg_cent")).alias("cell")
+    )
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine) — the
     IVF coarse quantizer.  Centroids broadcast; the argmax is a
     ``max(struct(sim, -cent_id))`` aggregate (ties → lowest centroid),
     so partial aggregation collapses the |centroids| scored rows per
     vector map-side — the exchange carries one row per vector, unlike
-    a row_number window which would shuffle and sort all of them."""
+    a row_number window which would shuffle and sort all of them.
+    (:func:`ivf_assign_narrow` is the measured exchange-free
+    alternative for well-split at-scale inputs; see its docstring for
+    why the exchange formulation wins at bench scale.)"""
     # argmax_c cos(v, c) = argmax_c dot(v, c)/|c|: the vector's own norm
     # is constant per row, so it is dropped from the score (saves a
     # |centroids|-times-redundant O(dim) norm per row), and |c| is
-    # precomputed on the tiny centroid side before the broadcast.
-    # greatest(.., 1e-12) guards the degenerate all-zeros centroid —
-    # under ANSI mode a 0 divisor is fatal, and a zero centroid should
-    # simply never win the argmax (its dot is 0 anyway).
+    # precomputed on the tiny centroid side before the broadcast (the
+    # greatest(.., 1e-12) zero-centroid guard lives in _cent_structs).
     cents = centroids.withColumn(
         "cent_norm", F.greatest(norm(F.col("cv_cent")), F.lit(1e-12))
     )
@@ -2012,6 +2086,28 @@ def semdedup2_trained_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _semdedup_k(emb)
     centroids = kmeans_centroids_portable(spark, emb.select("vec_id", "v"), k=k)
     return _cluster_prune(ivf_assign(emb, centroids), n_cells=k)
+
+
+def ivf_assign_within_narrow(
+    vec_br: DataFrame, cents_br: DataFrame
+) -> DataFrame:
+    """:func:`ivf_assign_within` as a narrow map — MEASURED AND NOT
+    WIRED, same verdict and trade-off as :func:`ivf_assign_narrow`
+    (see its docstring): the model side groups to one centroid-array
+    row PER BRANCH, a broadcast equi-join attaches the branch's array
+    to each vector (one row per vector, never |centroids| rows), and
+    ``array_max(transform(...))`` picks the cell inline with no
+    ``groupBy(vec_id)`` exchange.  A branch with no centroids drops
+    its vectors in BOTH formulations (inner join)."""
+    cents = cents_br.select(
+        "branch", _cent_structs(cents_br).alias("c")
+    ).groupBy("branch").agg(F.collect_list("c").alias("_cents"))
+    best = vec_br.join(F.broadcast(cents), "branch").select(
+        "vec_id", "v", _argmax_cell(F.col("_cents")).alias("m")
+    )
+    return best.where(F.col("m").isNotNull()).select(
+        "vec_id", "v", (-F.col("m.neg_cent")).alias("cell")
+    )
 
 
 def ivf_assign_within(vec_br: DataFrame, cents_br: DataFrame) -> DataFrame:

@@ -706,3 +706,63 @@ def test_sq1_quantizer_matches_python(spark):
         assert r["k"] == 10
         assert r["n_hit"] == recall[q], q
         assert 0.0 <= r["recall_at_10"] <= 1.0
+
+
+def test_ivf_assign_narrow_matches_wired(spark):
+    """The exchange-free narrow-map assigners (benchmarked alternatives
+    kept for well-split at-scale inputs; see ivf_assign_narrow's
+    docstring) must produce the exact same cell assignments as the
+    wired partial-agg formulations."""
+    import pyspark.sql.functions as F
+
+    from ecostream.queries import similarity as sim
+
+    emb = sim._emb(spark, "/root/testdata/sf0.001").localCheckpoint()
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv_cent")
+    )
+    wired = {
+        r["vec_id"]: r["cell"]
+        for r in sim.ivf_assign(emb, cents).collect()
+    }
+    narrow = {
+        r["vec_id"]: r["cell"]
+        for r in sim.ivf_assign_narrow(emb, cents).collect()
+    }
+    assert narrow == wired and wired
+
+    supers = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("sup_id"), F.col("v").alias("sv")
+    )
+    vec_br = sim.ivf_assign(
+        emb,
+        supers.select(
+            F.col("sup_id").alias("cent_id"), F.col("sv").alias("cv_cent")
+        ),
+    ).withColumnRenamed("cell", "branch")
+    cents_br = sim.ivf_assign(
+        cents.select(
+            F.col("cent_id").alias("vec_id"), F.col("cv_cent").alias("v")
+        ),
+        supers.select(
+            F.col("sup_id").alias("cent_id"), F.col("sv").alias("cv_cent")
+        ),
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv_cent"),
+        F.col("cell").alias("branch"),
+    )
+    wired_w = {
+        r["vec_id"]: r["cell"]
+        for r in sim.ivf_assign_within(vec_br, cents_br).collect()
+    }
+    narrow_w = {
+        r["vec_id"]: r["cell"]
+        for r in sim.ivf_assign_within_narrow(vec_br, cents_br).collect()
+    }
+    assert narrow_w == wired_w and wired_w
+
+    # empty centroid table: both formulations assign nothing
+    empty = cents.limit(0)
+    assert sim.ivf_assign_narrow(emb, empty).count() == 0
+    assert sim.ivf_assign(emb, empty).count() == 0
