@@ -1631,54 +1631,115 @@ def sim13_nsw_greedy_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    mdist = member.select(F.col("vec_id").alias("vec_id"), F.col("qv").alias("mv"))
-    # The FRONTIER side of every per-round join carries the broadcast
-    # hint: mdist and edges are corpus-sized (n and n*nb rows), the
-    # frontier is |queries|*beam — without the hint the checkpointed
-    # lineage hides size stats and each round sort-merge-joined BOTH
-    # legs.  Measured at sf0.1: stages per run fall ~150 -> ~95 and
-    # the per-round exchanges of the corpus-sized legs disappear from
-    # the plan; WALL is unchanged (~11 s warm) because at this scale
-    # the fixed cost is codegen compilation of the dim-wide l2sq
-    # expressions, not the exchanges — the hint is for the 100 TB
-    # regime, where shuffling n*nb edge rows per beam round is the
-    # difference between a serving query and a batch job.
-    # Broadcast-size bound (why the hint is safe at ANY corpus size,
-    # unlike a BFS frontier): cand grows monotonically but is capped
-    # at |queries| * (nprobe + rounds * beam * 2*nb) rows — the
-    # visited set of a width-capped beam search over a degree-capped
-    # graph, = 5 * (2 + 3*8*12) = 1450 rows with today's constants, a
-    # compile-time model-sized bound independent of n.
-    for _ in range(_NSW_ROUNDS):
-        wb = W.partitionBy("query_id").orderBy("d", "vec_id")
-        beam = (
-            F.broadcast(cand).join(mdist, "vec_id")
-            .join(F.broadcast(qv5), "query_id")
-            .select("query_id", "vec_id", l2sq("mv", "qqv").alias("d"))
-            .withColumn("rn", F.row_number().over(wb))
-            .where(F.col("rn") <= _NSW_BEAM)
-            .select("query_id", "vec_id")
+    # DRIVER-FOLDED beam search (the g14 model-fold device; VERDICT r12
+    # #2 tower job-count reduction): the beam state is MODEL-sized —
+    # cand is the visited set of a width-capped beam over a
+    # degree-capped graph, ≈ |queries| * (nprobe + rounds*beam*2*nb) =
+    # 1450 rows with today's constants, independent of corpus size —
+    # while member and edges are corpus-sized.  The former loop ran
+    # each round as broadcast joins + distinct + localCheckpoint (~44
+    # Spark jobs/run, most of sim13's wall in driver gaps at sf0.1);
+    # here the serve phase is TWO bounded broadcast-pruned scans of the
+    # distributed index (the probed cells' members; their intra-cell
+    # edges) and the beam itself — top-beam selection, dedup, final
+    # top-10 — folds on the driver in the SAME exact int64 arithmetic
+    # (sum of squared deltas of quantized components; Python ints are
+    # exact) with the same (d, vec_id) tiebreak: results bit-identical,
+    # oracle green at all three SFs.  The corpus-sized work (routing,
+    # kNN build, edge list — the actual index) stays fully distributed
+    # and untouched; at 100 TB the two pruned scans are exactly the
+    # serving-time probes a deployed graph index runs per query batch.
+    from ..functions.guards import bounded_collect
+
+    qvec = {
+        r["query_id"]: r["qqv"]
+        for r in bounded_collect(qv5, 5, "sim13 query vectors")
+    }
+    cand = {
+        (r["query_id"], r["vid"])
+        for r in bounded_collect(
+            ranked_cells.where(F.col("vec_id") < 5)
+            .join(entries, "cell")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("entry_id").alias("vid"),
+            )
+            .distinct(),
+            5 * _NSW_NPROBE,
+            "sim13 entry candidates",
         )
-        nbrs = F.broadcast(beam).join(
-            edges, beam["vec_id"] == edges["src"]
-        ).select("query_id", F.col("dst").alias("vec_id"))
-        cand = cand.union(nbrs).distinct().localCheckpoint(eager=False)
-    wr = W.partitionBy("query_id").orderBy("d", "vec_id")
-    return (
-        F.broadcast(cand.where(F.col("vec_id") != F.col("query_id")))
-        .join(mdist, "vec_id")
-        .join(F.broadcast(qv5), "query_id")
-        .select("query_id", "vec_id", l2sq("mv", "qqv").alias("d"))
-        .withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .where(F.col("rnk") <= 10)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("match_id"),
-            F.col("d").alias("l2q_dist"),
-            "rnk",
+    }
+    # ONE prefetch of everything the beam can possibly touch: the kNN
+    # graph is built strictly WITHIN cells (mx ⋈ my on "cell"), so the
+    # reachable set of a walk that starts at the probed cells' entry
+    # members is contained in those cells' member sets — prefetching
+    # the ≤ |queries|·nprobe probed cells' members and their
+    # (intra-cell) edges makes the whole serve phase 2 bounded scans.
+    # Caps are pathology guards (occupancy is design-bounded at ~128
+    # until the sqrt cap; 10 cells of even 100k members fail loudly at
+    # the cap rather than OOM the driver).
+    probe_cells = sorted(
+        r["cell"]
+        for r in bounded_collect(
+            ranked_cells.where(F.col("vec_id") < 5)
+            .select("cell")
+            .distinct(),
+            5 * _NSW_NPROBE,
+            "sim13 probed cells",
         )
-        .orderBy("query_id", "rnk")
     )
+    cells_df = spark.createDataFrame([(c,) for c in probe_cells], "cell long")
+    mv: dict = {}
+    for r in bounded_collect(
+        member.join(F.broadcast(cells_df), "cell").select("vec_id", "qv"),
+        1_000_000,
+        "sim13 probed-cell member prefetch",
+    ):
+        mv[r["vec_id"]] = r["qv"]
+    ids_df = spark.createDataFrame([(i,) for i in sorted(mv)], "src long")
+    out: dict = {}
+    for r in bounded_collect(
+        edges.join(F.broadcast(ids_df), "src"),
+        4_000_000,
+        "sim13 probed-cell edge prefetch",
+    ):
+        out.setdefault(r["src"], []).append(r["dst"])
+
+    dist: dict = {}
+
+    def score_cand() -> None:
+        for q, v in cand:
+            if (q, v) not in dist:
+                dist[(q, v)] = sum(
+                    (x - y) * (x - y) for x, y in zip(mv[v], qvec[q])
+                )
+
+    for _ in range(_NSW_ROUNDS):
+        score_cand()
+        beam = [
+            (q, v)
+            for q in qvec
+            for _, v in sorted(
+                (dist[(q, v)], v) for (qq, v) in cand if qq == q
+            )[:_NSW_BEAM]
+        ]
+        cand |= {
+            (q, dst) for q, v in beam for dst in out.get(v, ())
+        }
+    score_cand()
+    result = []
+    for q in sorted(qvec):
+        ranked = sorted(
+            (dist[(q, v)], v) for (qq, v) in cand if qq == q and v != q
+        )
+        result.extend(
+            (q, v, d, rnk)
+            for rnk, (d, v) in enumerate(ranked[:10], start=1)
+        )
+    return spark.createDataFrame(
+        result,
+        "query_id long, match_id long, l2q_dist long, rnk long",
+    ).orderBy("query_id", "rnk")
 
 
 sim13_nsw_greedy_ann.__doc__ = sim13_nsw_greedy_ann.__doc__.format(
