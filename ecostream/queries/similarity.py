@@ -863,7 +863,13 @@ def sim6_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only codes — a broadcast of the 1280-row LUT joined map-side,
     one (query, vec) sum, and a per-query top-10.  No full-precision
     vector is read at query time — that is the point of PQ."""
-    emb = _emb(spark, sf_dir)
+    from ..functions.spread import spread_scan
+
+    # The n×m×k encode argmin and both LUT joins are map-side work over
+    # an under-split scan (guide §2.5): spread it so the quantize +
+    # encode fold runs at session width instead of one task (probe:
+    # a 0.8 s single-task encode job at sf0.1).  No-op at scale.
+    emb = spread_scan(_emb(spark, sf_dir))
     qv = F.transform("v", lambda x: F.round(x * _PQ_QSCALE).cast("long"))
     q = emb.select("vec_id", qv.alias("qv"))
 
@@ -1104,6 +1110,11 @@ def sim12_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extends the similarity family, SURVEY
     §2.13); closes the composed-index gap VERDICT r9 #3 names."""
+    # NOTE (r13): the sim6 spread gate was A/B-tested here too and
+    # measured WORSE (2.76 → 3.18 s median) — sim12's per-stage work is
+    # dominated by the per-cell codebook windows and broadcast builds,
+    # not the map-side encode, so the extra exchange only added stages.
+    # Left on the scan layout (the a6/lm2/bpe1 verdict).
     emb = _emb(spark, sf_dir)
     qv = F.transform("v", lambda x: F.round(x * _PQ_QSCALE).cast("long"))
     q = emb.select("vec_id", qv.alias("qv"))
